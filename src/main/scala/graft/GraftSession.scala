@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory with the configuration every graft job needs.
+  *
+  * Scale notes (100 TB target):
+  *  - AQE on: runtime coalescing of shuffle partitions + skew-join splitting,
+  *    so the same plan survives sf0.001 smoke tests and 1000-executor runs.
+  *  - `nanosAsLong`: the events table carries ns-precision timestamps which
+  *    Spark's vectorized parquet reader otherwise rejects; we read them as
+  *    LongType (ns since epoch) and convert explicitly (see Tables.eventTime).
+  *  - shuffle.partitions is a *default*; AQE coalesces it down. On a real
+  *    cluster this should be ~2-3x total cores; callers override via `cpus`.
+  */
+object GraftSession {
+
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Spark 4 defaults ANSI on; graft's hash pipelines rely on wrapping
+      // 64-bit arithmetic (minhash/rolling-hash) and permissive casts.
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = builder(s"local[$cores]", math.max(cores, 8)).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Idempotently apply graft runtime confs to an externally-built session
+    * (Verify/Bench construct their own). Static confs (master etc.) untouched.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark
+  }
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Reusable Column builders for the training-data-pipeline operators.
+  *
+  * Everything here composes codegen'd Spark built-ins (higher-order array
+  * functions, xxhash64, bit ops) — no Scala UDFs — so the expressions stay
+  * inside WholeStageCodegen and distribute trivially: each builder is a pure
+  * per-row expression with no shuffle of its own.
+  */
+package object functions {
+
+  /** Engine-independent decimal rounding: floor(x·10^k + 0.5)/10^k.
+    * Spark's `round` rounds the shortest decimal rendering of the double
+    * (HALF_UP on Double.toString) while DuckDB rounds the binary value, so
+    * the two disagree on .xx5 boundaries. This formulation is pure IEEE
+    * double arithmetic — identical in any engine — which keeps oracle
+    * hashes stable. Mirror in SQL as floor(x * 1eK + 0.5) / 1eK.
+    */
+  def stableRound(c: Column, digits: Int): Column = {
+    val p = math.pow(10.0, digits)
+    floor(c * p + 0.5) / p
+  }
+
+  /** Whitespace-ish tokenizer: lowercased word tokens. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9']+"), t => length(t) > 0)
+
+  /** BPE-ish token count: words, numbers, and punctuation runs each count. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      .cast("long")
+
+  /** Token n-gram shingles (as strings) of the given size. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) <= n, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+
+  /** 64-bit hash of each shingle (xxhash64, fixed Spark seed 42). */
+  def shingleHashes(sh: Column): Column =
+    array_distinct(transform(sh, s => xxhash64(s)))
+
+  private val MersennePrime = (1L << 61) - 1
+
+  /** Deterministic per-index affine coefficients for minhash permutations. */
+  private def coeff(tag: String, i: Int): Long = {
+    // splitmix64 over a stable seed — deterministic across JVMs/executors.
+    var z = (tag.hashCode.toLong << 32) | i.toLong
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    val r = (z ^ (z >>> 31)) & MersennePrime
+    if (r == 0) 1L else r
+  }
+
+  /** MinHash signature (array<long> of length k) over a set of 64-bit
+    * shingle hashes: sig_i = min over h of ((a_i*h + b_i) mod p).
+    */
+  def minhashSignature(hashes: Column, k: Int): Column = {
+    val sigs = (0 until k).map { i =>
+      val a = coeff("minhash-a", i)
+      val b = coeff("minhash-b", i)
+      array_min(transform(hashes, h => pmod(h * a + b, lit(MersennePrime))))
+    }
+    array(sigs: _*)
+  }
+
+  /** LSH band keys: hash each row-group of the signature → array of
+    * (bandIndex, bandHash) structs, ready to explode + groupBy.
+    */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column = {
+    val keys = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(array_join(
+          transform(slice(sig, b * rowsPerBand + 1, rowsPerBand), _.cast("string")),
+          "_")).as("bucket"))
+    }
+    array(keys: _*)
+  }
+
+  /** 64-bit SimHash over tokens: per bit j, sum ±1 of xxhash64(token) bit j;
+    * bit set iff sum > 0. Returned as LongType.
+    */
+  def simhash64(toks: Column): Column = {
+    val hashes = transform(toks, t => xxhash64(t))
+    // shiftright/shiftleft builtins take Int, not Column — call the SQL
+    // functions directly so the shift amount can be the lambda variable.
+    val bitSums = transform(sequence(lit(0), lit(63)), j =>
+      aggregate(hashes, lit(0),
+        (acc, h) =>
+          acc + when(call_function("shiftright", h, j).bitwiseAND(1) === 1, 1).otherwise(-1)))
+    aggregate(
+      zip_with(bitSums, sequence(lit(0), lit(63)), (s, j) =>
+        when(s > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Jaccard similarity of two pre-deduped arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(1.0)).otherwise(inter / uni)
+  }
+
+  /** Dot product of two equal-length numeric arrays (sequential fold — the
+    * same accumulation order DuckDB's list functions use).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity over array<double> columns. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Polynomial rolling hash over tokens (document fingerprint).
+    * fp = sum tok_i_hash * B^i mod p — order-sensitive, unlike minhash.
+    */
+  def rollingHash(toks: Column): Column =
+    aggregate(toks, struct(lit(0L).as("h"), lit(1L).as("pw")),
+      (acc, t) => struct(
+        pmod(acc.getField("h") + xxhash64(t) * acc.getField("pw"), lit(MersennePrime)).as("h"),
+        pmod(acc.getField("pw") * 1000003L, lit(MersennePrime)).as("pw")),
+      acc => acc.getField("h"))
+
+  /** Random-hyperplane signature for cosine LSH: `planes` pseudo-random ±1
+    * hyperplanes (derived from xxhash64 of (plane,dim) — deterministic, no
+    * broadcast of plane matrices needed), packed into a LongType bit-sig.
+    */
+  def hyperplaneSignature(vec: Column, planes: Int): Column = {
+    require(planes <= 64)
+    val bits = (0 until planes).map { p =>
+      val dotp = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
+          x * when(xxhash64(concat_ws("_", lit(p), i)).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, v) => acc + v)
+      when(dotp > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+}

@@ -1,0 +1,124 @@
+package graft.ml
+
+import graft.GQuery
+import graft.functions._
+import graft.functions.stableRound
+import graft.sources.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the embedding column.
+  *
+  * Three tiers:
+  *  - brute-force cosine top-k: the exactness baseline. The (small) query
+  *    set broadcasts; the corpus streams — no shuffle of the corpus, a
+  *    per-partition partial top-k then a tiny global top-k.
+  *  - LSH (random hyperplanes): signature bucketing bounds the candidate
+  *    set; recall tested against brute force in AnnSpec.
+  *  - IVF: coarse quantizer (here: per-label centroids, i.e. a trained
+  *    partition assignment) → probe nearest cells only. This is the 100 TB
+  *    path: cells are pre-partitioned on disk, a probe reads a fraction of
+  *    the corpus.
+  */
+object AnnOps {
+
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+
+  /** Brute-force cosine top-k for each query vector. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val c = corpus.select(col("vec_id").as("n_id"), col("v").as("nv"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+    c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), stableRound(cosine(col("qv"), col("nv")), 4).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("sim"), col("rk").cast("long").as("rk"))
+  }
+
+  private val qAnnTopK = GQuery(
+    "q_ann_topk",
+    (s, d) => {
+      val all = corpus(s, d)
+      bruteForceTopK(all, all.filter(col("vec_id") < 20), 5)
+    },
+    Some("""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                 p AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                              floor(list_cosine_similarity(q.v, n.v) * 10000 + 0.5) / 10000 AS sim
+                       FROM c q JOIN c n ON q.vec_id < 20 AND q.vec_id <> n.vec_id),
+                 r AS (SELECT q_id, n_id, sim,
+                              row_number() OVER (PARTITION BY q_id
+                                                 ORDER BY sim DESC, n_id ASC) AS rk
+                       FROM p)
+            SELECT q_id, n_id, sim, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5"""),
+    headline = true)
+
+  /** Hyperplane-LSH top-k: bucket corpus by 16-bit signature, search the
+    * query's bucket plus hamming-1 neighbor buckets (multi-probe).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 12): DataFrame = {
+    val sigd = corpus.withColumn("sig", hyperplaneSignature(col("v"), planes))
+    // multi-probe: each query probes its own signature and all 1-bit flips
+    val probes = array((lit(0L) +: (0 until planes).map(b => lit(1L << b))): _*)
+    val q = queries
+      .withColumn("sig0", hyperplaneSignature(col("v"), planes))
+      .withColumn("sig", explode(transform(probes, f => col("sig0").bitwiseXOR(f))))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("sig"))
+    val c = sigd.select(col("vec_id").as("n_id"), col("v").as("nv"), col("sig"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+    c.join(broadcast(q), Seq("sig"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), stableRound(cosine(col("qv"), col("nv")), 4).as("sim"))
+      .distinct()
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("sim"), col("rk").cast("long").as("rk"))
+  }
+
+  private val qAnnLsh = GQuery(
+    "q_ann_lsh",
+    (s, d) => {
+      val all = corpus(s, d)
+      lshTopK(all, all.filter(col("vec_id") < 20), 5)
+    },
+    None)
+
+  /** IVF: centroid per cell (label), probe the `nprobe` nearest cells. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    // elementwise mean per label → centroid vectors
+    val cents = corpus
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg("x").as("m"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        p => p.getField("m")).as("cent"))
+    val probe = Window.partitionBy("q_id").orderBy(col("csim").desc, col("label").asc)
+    val cells = queries.select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .join(broadcast(cents))
+      .select(col("q_id"), col("qv"), col("label"), cosine(col("qv"), col("cent")).as("csim"))
+      .withColumn("pr", row_number().over(probe))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("qv"), col("label"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+    corpus.select(col("vec_id").as("n_id"), col("label"), col("v").as("nv"))
+      .join(broadcast(cells), Seq("label"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), stableRound(cosine(col("qv"), col("nv")), 4).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("sim"), col("rk").cast("long").as("rk"))
+  }
+
+  private val qAnnIvf = GQuery(
+    "q_ann_ivf",
+    (s, d) => {
+      val all = corpus(s, d)
+      ivfTopK(all, all.filter(col("vec_id") < 20), 5, 3)
+    },
+    None)
+
+  val queries: Seq[GQuery] = Seq(qAnnTopK, qAnnLsh, qAnnIvf)
+}

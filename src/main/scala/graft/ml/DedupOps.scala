@@ -1,0 +1,137 @@
+package graft.ml
+
+import graft.GQuery
+import graft.functions._
+import graft.functions.stableRound
+import graft.sources.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * and embedding-cosine near-dup.
+  *
+  * Scale design: every near-dup variant is *candidate-generation by
+  * bucketing* (explode band keys → shuffle on bucket → pairs within bucket)
+  * so the cross-product never materializes. At 100 TB the only quadratic
+  * term is within-bucket, bounded by band tuning; skewed buckets are handled
+  * by AQE skew-join splitting plus an explicit per-bucket size cap.
+  */
+object DedupOps {
+
+  // ---- exact dedup: content-hash groupBy --------------------------------
+  private val qDedupExact = GQuery(
+    "q_dedup_exact",
+    (s, d) =>
+      documents(s, d)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").cast("long").as("keep_id"),
+          count(lit(1)).as("n_copies")),
+    Some("""SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keep_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1"""),
+    headline = true)
+
+  /** Shared doc→signature prep. k=32 hashes, 8 bands × 4 rows. */
+  private[ml] def minhashed(df: DataFrame, k: Int = 32): DataFrame =
+    df.select(
+      col("doc_id"),
+      shingleHashes(shingles(tokens(col("text")), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), k))
+
+  /** MinHash-LSH candidate pairs with exact-jaccard verification.
+    * Pipeline: shingle → minhash sig → band keys → explode → groupBy bucket
+    * → within-bucket pairs (distinct) → verify jaccard on shingle sets.
+    */
+  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sigs = minhashed(docs)
+      .withColumn("band", explode(lshBands(col("sig"), 8, 4)))
+      .select(col("doc_id"), col("sh"), col("band.band").as("band"),
+        col("band.bucket").as("bucket"))
+    val l = sigs.select(col("band"), col("bucket"), col("doc_id").as("a"),
+      col("sh").as("sh_a"))
+    val r = sigs.select(col("band"), col("bucket"), col("doc_id").as("b"),
+      col("sh").as("sh_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), jaccard(col("sh_a"), col("sh_b")).as("sim"))
+      .groupBy("a", "b").agg(first("sim").as("sim")) // dedup multi-band hits
+      .filter(col("sim") >= threshold)
+  }
+
+  private val qDedupMinhash = GQuery(
+    "q_dedup_minhash",
+    (s, d) =>
+      minhashPairs(documents(s, d), 0.5)
+        .select(col("a"), col("b"), round(col("sim"), 4).as("sim")),
+    None,
+    headline = true)
+
+  // ---- SimHash near-dup: 64-bit signature, hamming ≤ 6 -------------------
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sigs = docs.select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
+    // Block on 4 x 16-bit chunks: two sigs within hamming 3 of each other
+    // share at least one exact chunk (pigeonhole over 4 blocks); for
+    // maxHamming 6 this is a recall-oriented heuristic blocking, the
+    // standard simhash table trick.
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("blk"),
+          call_function("shiftright", col("sig"), lit(i * 16)).bitwiseAND(0xffffL)
+            .as("chunk"))): _*)).as("c"))
+      .select(col("doc_id"), col("sig"), col("c.blk"), col("c.chunk"))
+    val l = chunks.select(col("blk"), col("chunk"), col("doc_id").as("a"), col("sig").as("sig_a"))
+    val r = chunks.select(col("blk"), col("chunk"), col("doc_id").as("b"), col("sig").as("sig_b"))
+    l.join(r, Seq("blk", "chunk"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  private val qDedupSimhash = GQuery(
+    "q_dedup_simhash",
+    (s, d) => simhashPairs(documents(s, d), 6),
+    None)
+
+  // ---- n-gram Jaccard (exact, blocked) -----------------------------------
+  // Exact trigram-set jaccard over candidate pairs blocked by (lang, source)
+  // — the "verify" side without LSH; quadratic within block only.
+  private val qNgramJaccard = GQuery(
+    "q_ngram_jaccard",
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(shingles(tokens(col("text")), 3)).as("grams"))
+      val l = docs.select(col("lang"), col("source"), col("doc_id").as("a"), col("grams").as("ga"))
+      val r = docs.select(col("lang"), col("source"), col("doc_id").as("b"), col("grams").as("gb"))
+      l.join(r, Seq("lang", "source"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"), round(jaccard(col("ga"), col("gb")), 4).as("sim"))
+        .filter(col("sim") >= 0.3)
+    },
+    None)
+
+  // ---- embedding-cosine near-dup pairs ----------------------------------
+  // Exact within label blocks (cheap blocking on provided cluster labels).
+  private val qDedupEmbed = GQuery(
+    "q_dedup_embed",
+    (s, d) => {
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      val l = emb.select(col("label"), col("vec_id").as("a"), col("v").as("va"))
+      val r = emb.select(col("label"), col("vec_id").as("b"), col("v").as("vb"))
+      l.join(r, Seq("label"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"), stableRound(cosine(col("va"), col("vb")), 4).as("sim"))
+        .filter(col("sim") >= 0.35)
+    },
+    Some("""SELECT a, b, sim FROM (
+              SELECT e1.vec_id AS a, e2.vec_id AS b,
+                     floor(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])) * 10000 + 0.5) / 10000 AS sim
+              FROM embeddings e1 JOIN embeddings e2
+                ON e1.label = e2.label AND e1.vec_id < e2.vec_id)
+            WHERE sim >= 0.35"""))
+
+  val queries: Seq[GQuery] =
+    Seq(qDedupExact, qDedupMinhash, qDedupSimhash, qNgramJaccard, qDedupEmbed)
+}

@@ -1,0 +1,97 @@
+package graft.ml
+
+import graft.GQuery
+import graft.sources.Tables._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: media as opaque `binary` columns with typed
+  * metadata. The container has no image/audio codecs, so the decode step is
+  * a clearly-marked deterministic stub (`StubDecode`) — the Spark-side
+  * plumbing (schema, batching, partition-wise decode, metadata extraction)
+  * is real and is what matters at scale: decode runs `mapPartitions`-style
+  * per executor, media bytes never shuffle, and only small extracted
+  * features flow downstream.
+  */
+object MultimodalOps {
+
+  /** Schema of a multimodal asset row. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("n_bytes", LongType),
+      StructField("content_id", StringType))), nullable = true)))
+
+  /** Build an asset table from the documents fixture: text bytes stand in
+    * for media payloads (deterministic; no codec libs in this container).
+    */
+  def assets(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id").as("asset_id"),
+      when(col("doc_id") % 2 === 0, lit("image/png")).otherwise(lit("audio/wav"))
+        .as("media_type"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        substring(md5(col("text")), 1, 8).as("content_id")).as("meta"))
+
+  /** STUB media decode: a real deployment plugs a codec (JNI/FFI or a
+    * Python worker via a Pandas-UDF bridge) into this exact signature —
+    * batch of payload bytes in, fixed-size feature vector out. Here it is a
+    * deterministic fake: byte histogram moments, so tests have stable
+    * output. Runs per-partition; payload bytes never leave the executor.
+    */
+  def stubDecodeFeatures(payload: Array[Byte]): Array[Double] = {
+    // ??? <- real codec goes here (image decode / resize / frame-sample)
+    if (payload == null || payload.isEmpty) Array.fill(4)(0.0)
+    else {
+      val n = payload.length.toDouble
+      val mean = payload.map(b => (b & 0xff).toDouble).sum / n
+      val mx = payload.map(b => (b & 0xff).toDouble).max
+      val mn = payload.map(b => (b & 0xff).toDouble).min
+      Array(n, mean, mx, mn)
+    }
+  }
+
+  /** Decode → feature columns. The decode closure is the one place graft
+    * accepts opaque per-row code (a codec cannot be a Catalyst expression);
+    * it runs executor-side on the scan partitioning — payload bytes never
+    * shuffle, and `drop("payload")` right after means only small features
+    * flow downstream. A production build swaps the closure for an
+    * Arrow-batched bridge with identical signature.
+    */
+  def decodeFeatures(assets: DataFrame): DataFrame = {
+    val decode = udf((p: Array[Byte]) => stubDecodeFeatures(p))
+    assets.withColumn("features", decode(col("payload"))).drop("payload")
+  }
+
+  // Metadata extraction is pure SQL → oracle-checkable.
+  private val qMultimodalMeta = GQuery(
+    "q_multimodal_meta",
+    (s, d) =>
+      assets(s, d).select(
+        col("asset_id"),
+        col("media_type"),
+        col("meta.n_bytes").as("n_bytes"),
+        col("meta.content_id").as("content_id")),
+    Some("""SELECT doc_id AS asset_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END
+                     AS media_type,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   substr(md5(text), 1, 8) AS content_id
+            FROM documents"""))
+
+  private val qMultimodalDecode = GQuery(
+    "q_multimodal_decode",
+    (s, d) =>
+      decodeFeatures(assets(s, d)).select(
+        col("asset_id"), col("media_type"),
+        round(element_at(col("features"), 2), 4).as("byte_mean"),
+        element_at(col("features"), 1).cast("long").as("n_bytes")),
+    None)
+
+  val queries: Seq[GQuery] = Seq(qMultimodalMeta, qMultimodalDecode)
+}

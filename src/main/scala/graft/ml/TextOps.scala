@@ -1,0 +1,135 @@
+package graft.ml
+
+import graft.GQuery
+import graft.functions._
+import graft.functions.stableRound
+import graft.sources.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * per-row expressions (no shuffle, no UDF) — at 100 TB these run at scan
+  * speed inside WholeStageCodegen.
+  */
+object TextOps {
+
+  /** Stopword regexes per language for the n-gram/stopword language-ID
+    * heuristic. Word-boundary anchored; counts are exact-match counts.
+    */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|is|in|that|for|with|was)\\b",
+    "es" -> "\\b(el|la|de|que|y|los|las|una|por|con)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|ein|mit|von|zu)\\b",
+    "fr" -> "\\b(le|la|les|des|est|une|dans|pour|que|qui)\\b",
+    // \x{...} escapes: understood by both Java regex and DuckDB's RE2
+    // (RE2 has no \uXXXX form).
+    "zh" -> "[\\x{4e00}-\\x{9fff}]")
+
+  private def markerCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(lower(text), lit(pattern), lit(0))).cast("long")
+
+  /** Argmax over marker counts, tie broken by list order (en first). */
+  def langIdCol(text: Column): Column = {
+    val scores = langMarkers.map { case (l, p) => (l, markerCount(text, p)) }
+    scores.tail.foldLeft(
+      (when(lit(true), lit(scores.head._1)), scores.head._2)) {
+      case ((bestLang, bestScore), (l, sc)) =>
+        (when(sc > bestScore, lit(l)).otherwise(bestLang),
+          when(sc > bestScore, sc).otherwise(bestScore))
+    }._1
+  }
+
+  private val qLangId = GQuery(
+    "q_lang_id",
+    (s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        langIdCol(col("text")).as("pred_lang"),
+        col("lang").as("true_lang")),
+    Some {
+      // Same argmax with the same tie-break, written as nested CASEs.
+      // DuckDB single-quoted strings pass backslashes through verbatim, so
+      // the Java-regex pattern text embeds as-is.
+      val scoreExprs = langMarkers.map { case (l, p) =>
+        s"CAST(len(regexp_extract_all(lower(text), '$p')) AS BIGINT) AS s_$l"
+      }.mkString(", ")
+      val langs = langMarkers.map(_._1)
+      // pick first lang whose score is strictly greater than current best —
+      // fold left like the Spark side.
+      val pick = langs.tail.foldLeft(("'" + langs.head + "'", "s_" + langs.head)) {
+        case ((bl, bs), l) =>
+          (s"CASE WHEN s_$l > $bs THEN '$l' ELSE $bl END",
+            s"CASE WHEN s_$l > $bs THEN s_$l ELSE $bs END")
+      }._1
+      s"""SELECT doc_id, $pick AS pred_lang, lang AS true_lang
+          FROM (SELECT doc_id, lang, $scoreExprs FROM documents)"""
+    })
+
+  private val qTokens = GQuery(
+    "q_tokens",
+    (s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\w+"), lit(0))).cast("long")
+          .as("n_words"),
+        bpeishTokenCount(col("text")).as("n_bpeish"),
+        length(col("text")).cast("long").as("len_chars")),
+    Some("""SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_words,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                     AS n_bpeish,
+                   CAST(length(text) AS BIGINT) AS len_chars
+            FROM documents"""))
+
+  // Quality score: stopword ratio, punctuation ratio, mean word length —
+  // the length/punct/stopword heuristics of C4-style corpus filtering.
+  private val qQuality = GQuery(
+    "q_quality",
+    (s, d) => {
+      val words = size(regexp_extract_all(col("text"), lit("\\w+"), lit(0))).cast("double")
+      val stops = size(regexp_extract_all(lower(col("text")),
+        lit("\\b(the|a|an|and|of|to|in|is|it|for)\\b"), lit(0))).cast("double")
+      val punct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0))).cast("double")
+      val chars = length(col("text")).cast("double")
+      documents(s, d).select(
+        col("doc_id"),
+        stableRound(when(words === 0, 0.0).otherwise(stops / words), 4).as("stop_ratio"),
+        stableRound(when(chars === 0, 0.0).otherwise(punct / chars), 4).as("punct_ratio"),
+        stableRound(when(words === 0, 0.0).otherwise(chars / words), 4).as("chars_per_word"))
+    },
+    Some("""SELECT doc_id,
+                   floor((CASE WHEN words = 0 THEN 0.0 ELSE stops / words END) * 10000 + 0.5) / 10000 AS stop_ratio,
+                   floor((CASE WHEN chars = 0 THEN 0.0 ELSE punct / chars END) * 10000 + 0.5) / 10000 AS punct_ratio,
+                   floor((CASE WHEN words = 0 THEN 0.0 ELSE chars / words END) * 10000 + 0.5) / 10000 AS chars_per_word
+            FROM (SELECT doc_id,
+                         CAST(len(regexp_extract_all(text, '\w+')) AS DOUBLE) AS words,
+                         CAST(len(regexp_extract_all(lower(text),
+                              '\b(the|a|an|and|of|to|in|is|it|for)\b')) AS DOUBLE) AS stops,
+                         CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS punct,
+                         CAST(length(text) AS DOUBLE) AS chars
+                  FROM documents)"""))
+
+  // Content-defined fingerprint: md5 of whitespace-normalized lowercase text
+  // (oracle-checkable), plus an order-sensitive polynomial rolling hash
+  // (graft-native, rows-only check).
+  private val qFingerprint = GQuery(
+    "q_fingerprint",
+    (s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp")),
+    Some("""SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents"""))
+
+  private val qRollingFp = GQuery(
+    "q_rolling_fingerprint",
+    (s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        rollingHash(tokens(col("text"))).as("rfp")),
+    None)
+
+  val queries: Seq[GQuery] = Seq(qLangId, qTokens, qQuality, qFingerprint, qRollingFp)
+}
