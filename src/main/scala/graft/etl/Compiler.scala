@@ -1,0 +1,142 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Compiles an ETL [[Transform]] into a DataFrame program — the Spark
+  * replacement for the reference's YAML→Zed compiler + lake execution
+  * (ref: etl/build.go:20-216, ztests/etl-zed.yaml golden).
+  *
+  * Semantics reproduced exactly:
+  *  - per input topic, drop records already marked done in the output pool
+  *    (anti join on (topic, offset) — ref fromTemplate, etl/build.go:111-116)
+  *  - switch: each surviving record routes to the FIRST matching rule
+  *    (stateless case = where ∧ topic==in; denorm case = where)
+  *  - stateless rule emits user-transform(out) + a done record per input
+  *    (ref: buildStateless, etl/build.go:163-185)
+  *  - denorm rule inner-joins left/right topic streams on the join-on
+  *    field paths; emits user-transform(out) with left's kafka meta + done
+  *    records for BOTH sides of each joined pair — unjoined records stay
+  *    pending until their partner arrives (ref: buildDenorm, :187-216)
+  *  - output offsets are assigned densely per output topic in original
+  *    kafka.offset order, continuing from the output pool's next producer
+  *    offset (ref: insertOffsets, etl/pipeline.go:127-164 — the reference
+  *    rewrites ZSON text; here it is one window function)
+  *
+  * Scale: the entire program is one Catalyst plan — anti join and denorm
+  * join shuffle on their keys (or broadcast when the done-set is small),
+  * the renumbering window shuffles once on output topic. Nothing touches
+  * the driver.
+  */
+object Compiler {
+
+  /** Envelope column names every pool row carries. */
+  val TypeCol = "_type"
+  val Done = "done"
+
+  final case class Program(transform: Transform) {
+
+    /** @param input  envelope rows of the input pool(s), already restricted
+      *               to data rows (no done markers)
+      * @param doneSet (topic: string, offset: long) pairs already processed
+      * @param baseOffsets next producer offset per output topic (missing
+      *               topic = 0)
+      */
+    def run(input: DataFrame, doneSet: DataFrame, baseOffsets: Map[String, Long]): DataFrame = {
+      val t = transform
+      val inputTopics = t.inputs.map(_.topic)
+      val schema = input.schema
+
+      // -- anti join against the done set (exactly-once restart safety)
+      val undone = input
+        .filter(col("kafka.topic").isin(inputTopics: _*))
+        .join(doneSet.select(col("topic").as("_d_topic"), col("offset").as("_d_offset")),
+          col("kafka.topic") === col("_d_topic") && col("kafka.offset") === col("_d_offset"),
+          "left_anti")
+
+      // -- switch: first matching rule index per record
+      val ruleIdx = t.rules.zipWithIndex.foldRight(lit(-1): Column) {
+        case ((r, i), rest) =>
+          val cond = r.ruleType match {
+            case "stateless" =>
+              ZedExpr.predicate(r.where, schema) && col("kafka.topic") === r.in
+            case "denorm" => ZedExpr.predicate(r.where, schema)
+          }
+          when(cond, lit(i)).otherwise(rest)
+      }
+      val routed = undone.withColumn("_rule", ruleIdx)
+
+      // -- per rule: (data rows with out + original kafka, done rows)
+      val parts: Seq[(DataFrame, DataFrame)] = t.rules.zipWithIndex.map {
+        case (r, i) =>
+          val matched = routed.filter(col("_rule") === i).drop("_rule")
+          r.ruleType match {
+            case "stateless" =>
+              val outAst = ZedExpr.parseOutAssign(r.zed)
+              // `in` = the whole input record (ref: yield {in:this})
+              val wrapped = matched.select(struct(matched.columns.map(col): _*).as("in"))
+              val data = wrapped.select(
+                ZedExpr.toColumn(outAst, wrapped.schema).as("out"),
+                col("in.kafka").as("_inkafka"))
+                .withColumn("_outtopic", lit(r.out))
+              val doneRows = matched.select(
+                struct(col("kafka.topic").as("topic"),
+                  col("kafka.offset").as("offset")).as("kafka"))
+              (data, doneRows)
+
+            case "denorm" =>
+              val Array(lk, rk) = r.joinOn.split("=").map(_.trim)
+              require(lk.nonEmpty && rk.nonEmpty, s"join-on syntax error: ${r.joinOn}")
+              val lrows = matched.filter(col("kafka.topic") === r.left)
+                .select(struct(matched.columns.map(col): _*).as("left"))
+              val rrows = matched.filter(col("kafka.topic") === r.right)
+                .select(struct(matched.columns.map(col): _*).as("right"))
+              val joined = lrows.join(rrows, col(lk) === col(rk), "inner")
+              val data = joined.select(
+                ZedExpr.toColumn(ZedExpr.parseOutAssign(r.zed), joined.schema).as("out"),
+                col("left.kafka").as("_inkafka"))
+                .withColumn("_outtopic", lit(r.out))
+              val doneRows = joined.select(
+                struct(col("left.kafka.topic").as("topic"),
+                  col("left.kafka.offset").as("offset")).as("kafka"))
+                .unionByName(joined.select(
+                  struct(col("right.kafka.topic").as("topic"),
+                    col("right.kafka.offset").as("offset")).as("kafka")))
+              (data, doneRows)
+          }
+      }
+
+      // -- fuse rule outputs (heterogeneous out shapes → widened schema)
+      val allData = parts.map(_._1).reduce(_.unionByName(_, allowMissingColumns = true))
+      val allDone = parts.map(_._2).reduce(_.unionByName(_))
+
+      // -- dense offset assignment per output topic, continuing from the
+      //    pool high-water mark; ordered by original (offset, topic)
+      val w = Window.partitionBy(col("_outtopic"))
+        .orderBy(col("_inkafka.offset").asc, col("_inkafka.topic").asc)
+      val baseExpr = baseOffsets.foldLeft(lit(0L)) { case (acc, (topic, base)) =>
+        when(col("_outtopic") === topic, lit(base)).otherwise(acc)
+      }
+      val renumbered = allData
+        .withColumn("_newoff", row_number().over(w).cast("long") - 1L + baseExpr)
+        .select(
+          col("out.*"),
+          struct(col("_outtopic").as("topic"), col("_newoff").as("offset")).as("kafka"),
+          lit(null).cast("string").as(TypeCol))
+
+      val doneOut = allDone.select(
+        col("kafka"),
+        lit(Done).as(TypeCol))
+
+      renumbered
+        .unionByName(doneOut, allowMissingColumns = true)
+        .orderBy(col("kafka.offset"))
+    }
+  }
+
+  def compile(t: Transform): Program = {
+    Transform.validate(t)
+    Program(t)
+  }
+}

@@ -1,0 +1,136 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** A data pool: an append-only table sorted by a pool key, with atomic
+  * commits — the Spark-side equivalent of a Zed lake pool
+  * (ref: etl/pool.go:26-58, fifo/lake.go:24-60).
+  *
+  * Layout:
+  * {{{
+  *   <root>/<name>/
+  *     pool.json            — {"key": "kafka.offset"} (created once)
+  *     data/c<commit>-*.parquet
+  *     _commits/<seq>.txt   — newline-separated relative file list; a commit
+  *                            exists iff its manifest file exists (atomic
+  *                            via write-temp + ATOMIC_MOVE rename)
+  * }}}
+  *
+  * Readers union the files of all visible manifests with mergeSchema, so
+  * heterogeneous commits (data rows + done rows of different shapes) fuse
+  * into one wide schema — the marker-column strategy for Zed's per-record
+  * named types (SURVEY §7).
+  *
+  * Scale: one manifest per commit, O(1) listing per read via the _commits
+  * dir only; data files can be thousands of partitioned parquet parts. The
+  * single-writer assumption matches the reference
+  * (README.md:148-155,168-177); swap the manifest protocol for a
+  * transactional table format to lift it.
+  */
+final class Pool private (val spark: SparkSession, val name: String,
+    val root: Path, val key: String) {
+
+  private def commitsDir = root.resolve("_commits")
+  private def dataDir = root.resolve("data")
+
+  private def manifests(): Seq[Path] =
+    if (!Files.isDirectory(commitsDir)) Nil
+    else Files.list(commitsDir).iterator.asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".txt")).sortBy(_.getFileName.toString)
+
+  private def committedFiles(): Seq[String] =
+    manifests().flatMap(m => Files.readAllLines(m).asScala)
+      .map(rel => dataDir.resolve(rel).toString)
+
+  def isEmpty: Boolean = committedFiles().isEmpty
+
+  /** Read the full pool (fused schema across commits). */
+  def read(): DataFrame = {
+    val files = committedFiles()
+    if (files.isEmpty)
+      spark.emptyDataFrame
+    else
+      spark.read.option("mergeSchema", "true").parquet(files: _*)
+  }
+
+  /** Atomically append one batch: data files first, then one manifest
+    * rename makes them visible (ref: fifo/lake.go:58-60 LoadBatch).
+    * The batch is sorted within partitions by the pool key so parquet
+    * min/max stats make key-range scans cheap.
+    */
+  def append(df: DataFrame): String = {
+    Files.createDirectories(dataDir)
+    Files.createDirectories(commitsDir)
+    val commitId = f"${nextSeq()}%08d"
+    val staging = root.resolve(s"_staging-$commitId")
+    val sorted = scala.util.Try(df(key)).toOption
+      .map(df.sortWithinPartitions(_)).getOrElse(df)
+    sorted.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val parts = Files.list(staging).iterator.asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+    val names = parts.zipWithIndex.map { case (p, i) =>
+      val nm = s"c$commitId-$i.parquet"
+      Files.move(p, dataDir.resolve(nm), StandardCopyOption.ATOMIC_MOVE)
+      nm
+    }
+    // manifest last — the atomic commit point
+    val tmp = commitsDir.resolve(s".tmp-$commitId")
+    Files.write(tmp, names.mkString("\n").getBytes)
+    Files.move(tmp, commitsDir.resolve(s"$commitId.txt"), StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(staging)
+    commitId
+  }
+
+  private def nextSeq(): Int =
+    manifests().lastOption
+      .map(_.getFileName.toString.stripSuffix(".txt").toInt + 1).getOrElse(1)
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+
+  /** Per-topic next producer offsets: max(kafka.offset)+1 by kafka.topic
+    * (ref: etl/pool.go:60-81). Empty topics default to 0 at call sites.
+    */
+  def nextProducerOffsets(): Map[String, Long] = {
+    if (isEmpty) Map.empty
+    else read()
+      .groupBy(col("kafka.topic").as("topic"))
+      .agg(max("kafka.offset").as("off"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1) + 1L)).toMap
+  }
+}
+
+object Pool {
+  /** Create (idempotent) — validates the pool key on reopen like
+    * etl/pool.go:36-40.
+    */
+  def create(spark: SparkSession, root: String, name: String,
+      key: String = "kafka.offset"): Pool = {
+    val dir = Paths.get(root, name)
+    Files.createDirectories(dir)
+    val meta = dir.resolve("pool.json")
+    if (Files.exists(meta)) {
+      val existing = new String(Files.readAllBytes(meta))
+      require(existing.contains(s""""$key""""),
+        s"pool $name exists with different key: $existing")
+    } else {
+      Files.write(meta, s"""{"key": "$key"}""".getBytes)
+    }
+    new Pool(spark, name, dir, key)
+  }
+
+  def open(spark: SparkSession, root: String, name: String): Pool = {
+    val dir = Paths.get(root, name)
+    require(Files.exists(dir.resolve("pool.json")), s"no such pool: $name under $root")
+    val meta = new String(Files.readAllBytes(dir.resolve("pool.json")))
+    val key = "\"key\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(meta)
+      .map(_.group(1)).getOrElse("kafka.offset")
+    new Pool(spark, name, dir, key)
+  }
+}

@@ -1,0 +1,219 @@
+package graft.etl
+
+import graft.GraftSession
+import graft.lake.Pool
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** End-to-end golden test of the ETL pipeline against the reference's
+  * etl-demo scenario: same invoices.yaml transform, same 4 CDC batches,
+  * asserting the full Staging pool contents (incl. done records) after
+  * every run — derived from ztests/etl-demo.yaml:24-88 — plus idempotency
+  * (a re-run with no new input commits nothing).
+  */
+class EtlDemoSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  val invoicesYaml: String =
+    """inputs:
+      |  - topic: Invoices
+      |    pool: Raw
+      |  - topic: InvoiceStatus
+      |    pool: Raw
+      |output:
+      |  topic: NewInvoices
+      |  pool: Staging
+      |transforms:
+      |  - type: denorm
+      |    where: value.op in ["c", "r"]
+      |    left: Invoices
+      |    right: InvoiceStatus
+      |    join-on: left.value.after.ID=right.value.after.InvoiceID
+      |    out: NewInvoices
+      |    zed: |
+      |      | out:={
+      |          key: left.key,
+      |          value: {
+      |            ID: left.value.after.ID,
+      |            customer: left.value.after.customer,
+      |            item: left.value.after.item,
+      |            invoice_status: right.value.after.status
+      |          }
+      |        }
+      |  - type: stateless
+      |    where: value.op=="u"
+      |    in: InvoiceStatus
+      |    out: NewInvoices
+      |    zed: |
+      |      | out:={
+      |          key: {
+      |            ID: in.value.after.InvoiceID
+      |          },
+      |          value: {
+      |            ID: in.value.after.InvoiceID,
+      |            invoice_status: in.value.after.status
+      |          }
+      |        }
+      |  - type: stateless
+      |    where: value.op=="u"
+      |    in: Invoices
+      |    out: NewInvoices
+      |    zed: |
+      |      | out:={
+      |          key: in.key,
+      |          value: in.value.after
+      |        }
+      |  - type: stateless
+      |    where: value.op=="d"
+      |    in: Invoices
+      |    out: NewInvoices
+      |    zed: |
+      |      | out:={
+      |          key: in.key,
+      |          value: cast(null, typeof(in.value.before))
+      |        }
+      |""".stripMargin
+
+  // Debezium-style CDC envelope schema (before/after same shape, fused
+  // across the two topics — what a Connect schema would declare).
+  val rowSchema: StructType = {
+    val rec = StructType(Seq(
+      StructField("ID", LongType), StructField("customer", StringType),
+      StructField("item", StringType), StructField("InvoiceID", LongType),
+      StructField("status", StringType)))
+    StructType(Seq(
+      StructField("kafka", StructType(Seq(
+        StructField("topic", StringType), StructField("offset", LongType)))),
+      StructField("key", StructType(Seq(StructField("ID", LongType)))),
+      StructField("value", StructType(Seq(
+        StructField("op", StringType),
+        StructField("before", rec), StructField("after", rec))))))
+  }
+
+  def rec(id: java.lang.Long = null, customer: String = null, item: String = null,
+      invoiceId: java.lang.Long = null, status: String = null): Row =
+    Row(id, customer, item, invoiceId, status)
+
+  def cdc(topic: String, offset: Long, keyId: Long, op: String,
+      before: Row = null, after: Row = null): Row =
+    Row(Row(topic, offset), Row(keyId: java.lang.Long), Row(op, before, after))
+
+  val batches: Seq[Seq[Row]] = Seq(
+    // batch-1 (demo/batch-1.zson)
+    Seq(
+      cdc("Invoices", 1, 100, "r", after = rec(100L, "Alice", "taco")),
+      cdc("Invoices", 2, 101, "r", after = rec(101L, "Bob", "burrito")),
+      cdc("InvoiceStatus", 1, 80, "r", after = rec(80L, invoiceId = 101L, status = "pending")),
+      cdc("InvoiceStatus", 2, 32, "r", after = rec(32L, invoiceId = 100L, status = "pending"))),
+    // batch-2
+    Seq(
+      cdc("Invoices", 3, 102, "c", after = rec(102L, "Charlie", "enchilada")),
+      cdc("Invoices", 4, 103, "c", after = rec(103L, "Dan", "beans")),
+      cdc("InvoiceStatus", 3, 77, "c", after = rec(77L, invoiceId = 102L, status = "pending"))),
+    // batch-3
+    Seq(
+      cdc("InvoiceStatus", 4, 192, "c", after = rec(192L, invoiceId = 103L, status = "pending")),
+      cdc("InvoiceStatus", 5, 32, "u", after = rec(32L, invoiceId = 100L, status = "closed"))),
+    // batch-4
+    Seq(
+      cdc("InvoiceStatus", 6, 192, "u", after = rec(192L, invoiceId = 103L, status = "collections")),
+      cdc("InvoiceStatus", 7, 77, "u", after = rec(77L, invoiceId = 102L, status = "paid")),
+      cdc("InvoiceStatus", 8, 80, "u", after = rec(80L, invoiceId = 101L, status = "paid"))))
+
+  /** ZSON-ish canonical rendering, dropping null fields — absent fields in
+    * Zed's dynamic records become nulls in the fused Spark schema.
+    */
+  def render(row: Row, schema: StructType): String = {
+    def any(v: Any, dt: DataType): Option[String] = (v, dt) match {
+      case (null, _) => None
+      case (r: Row, st: StructType) =>
+        val fields = st.fields.toSeq.flatMap { f =>
+          any(r.get(st.fieldIndex(f.name)), f.dataType).map(s => s"${f.name}:$s")
+        }
+        if (fields.isEmpty) None else Some(fields.mkString("{", ",", "}"))
+      case (s: String, _) => Some("\"" + s + "\"")
+      case (other, _) => Some(other.toString)
+    }
+    val isDone = schema.fieldNames.contains("_type") &&
+      row.getAs[String]("_type") == "done"
+    val body = StructType(schema.filterNot(_.name == "_type")).fields.toSeq.flatMap { f =>
+      any(row.get(schema.fieldIndex(f.name)), f.dataType).map(s => s"${f.name}:$s")
+    }.mkString("{", ",", "}")
+    if (isDone) s"$body(=done)" else body
+  }
+
+  def poolContents(p: Pool): Seq[String] = {
+    val df = p.read()
+    val schema = df.schema
+    df.collect().toSeq.map(r => render(r, schema)).sorted
+  }
+
+  val goldenAfterRun: Seq[Seq[String]] = {
+    val run1 = Seq(
+      """{key:{ID:100},value:{ID:100,customer:"Alice",item:"taco",invoice_status:"pending"},kafka:{topic:"NewInvoices",offset:0}}""",
+      """{key:{ID:101},value:{ID:101,customer:"Bob",item:"burrito",invoice_status:"pending"},kafka:{topic:"NewInvoices",offset:1}}""",
+      """{kafka:{topic:"Invoices",offset:1}}(=done)""",
+      """{kafka:{topic:"InvoiceStatus",offset:1}}(=done)""",
+      """{kafka:{topic:"Invoices",offset:2}}(=done)""",
+      """{kafka:{topic:"InvoiceStatus",offset:2}}(=done)""")
+    val run2 = run1 ++ Seq(
+      """{key:{ID:102},value:{ID:102,customer:"Charlie",item:"enchilada",invoice_status:"pending"},kafka:{topic:"NewInvoices",offset:2}}""",
+      """{kafka:{topic:"Invoices",offset:3}}(=done)""",
+      """{kafka:{topic:"InvoiceStatus",offset:3}}(=done)""")
+    val run3 = run2 ++ Seq(
+      """{key:{ID:103},value:{ID:103,customer:"Dan",item:"beans",invoice_status:"pending"},kafka:{topic:"NewInvoices",offset:3}}""",
+      """{kafka:{topic:"Invoices",offset:4}}(=done)""",
+      """{kafka:{topic:"InvoiceStatus",offset:4}}(=done)""",
+      """{key:{ID:100},value:{ID:100,invoice_status:"closed"},kafka:{topic:"NewInvoices",offset:4}}""",
+      """{kafka:{topic:"InvoiceStatus",offset:5}}(=done)""")
+    val run4 = run3 ++ Seq(
+      """{key:{ID:103},value:{ID:103,invoice_status:"collections"},kafka:{topic:"NewInvoices",offset:5}}""",
+      """{kafka:{topic:"InvoiceStatus",offset:6}}(=done)""",
+      """{key:{ID:102},value:{ID:102,invoice_status:"paid"},kafka:{topic:"NewInvoices",offset:6}}""",
+      """{kafka:{topic:"InvoiceStatus",offset:7}}(=done)""",
+      """{key:{ID:101},value:{ID:101,invoice_status:"paid"},kafka:{topic:"NewInvoices",offset:7}}""",
+      """{kafka:{topic:"InvoiceStatus",offset:8}}(=done)""")
+    Seq(run1, run2, run3, run4)
+  }
+
+  test("etl-demo: 4 incremental batches reproduce the reference golden output") {
+    val root = Files.createTempDirectory("graft-etl-demo").toString
+    val transform = Transform.fromYaml(invoicesYaml)
+    val raw = Pool.create(spark, root, "Raw")
+    Pool.create(spark, root, "Staging")
+
+    batches.zipWithIndex.foreach { case (batch, i) =>
+      raw.append(spark.createDataFrame(
+        spark.sparkContext.parallelize(batch), rowSchema))
+      val pipeline = new Pipeline(spark, transform, root)
+      val n = pipeline.run()
+      assert(n > 0, s"run ${i + 1} wrote nothing")
+      val got = poolContents(pipeline.outputPool)
+      val want = goldenAfterRun(i).sorted
+      assert(got == want,
+        s"run ${i + 1} mismatch:\n got=${got.mkString("\n  ")}\nwant=${want.mkString("\n  ")}")
+    }
+
+    // idempotency: nothing new to do
+    val again = new Pipeline(spark, transform, root)
+    assert(again.run() == 0L, "re-run with no new input must commit nothing")
+  }
+
+  test("zed expression translator handles the demo corpus") {
+    import ZedExpr._
+    assert(parse("""value.op in ["c", "r"]""") ==
+      In(Path(Seq("value", "op")), Seq(StrLit("c"), StrLit("r"))))
+    assert(parse("""value.op=="u"""") == Cmp("=", Path(Seq("value", "op")), StrLit("u")))
+    val rec = parseOutAssign(
+      """| out:={ key: in.key, value: { ID: in.value.after.InvoiceID } }""")
+    assert(rec.isInstanceOf[RecordLit])
+    assert(parse("""cast(null, typeof(in.value.before))""") ==
+      CastNullTypeof(Path(Seq("in", "value", "before"))))
+    assert(parse("""(value.op=="u") and kafka.topic=="T"""") ==
+      And(Cmp("=", Path(Seq("value", "op")), StrLit("u")),
+        Cmp("=", Path(Seq("kafka", "topic")), StrLit("T"))))
+  }
+}
