@@ -76,5 +76,41 @@ object Connector {
                   FROM events)
             WHERE gap IS NOT NULL GROUP BY 1"""))
 
-  val queries: Seq[GQuery] = Seq(qEnvelope, qConnectJson, qOffsetGuard)
+  // ---- codec round-trips as identity checks ------------------------------
+  // encode→decode must be the identity; the oracle is the bare projection.
+  private val eventStruct = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+  }
+
+  private val qCodecConnect = GQuery(
+    "q_codec_connect",
+    (s, d) => {
+      import graft.codecs.ConnectJson
+      val src = events(s, d).select(
+        struct(col("event_id"), col("user_id"), col("event_type"), col("value")).as("v"))
+      src.select(ConnectJson.decode(ConnectJson.encode(col("v"), eventStruct),
+        eventStruct).as("v"))
+        .select("v.*")
+    },
+    Some("SELECT event_id, user_id, event_type, value FROM events"))
+
+  private val qCodecAvro = GQuery(
+    "q_codec_avro",
+    (s, d) => {
+      import graft.codecs.{InMemorySchemaRegistry, ZAvro}
+      val registry = new InMemorySchemaRegistry
+      val src = events(s, d).select(
+        struct(col("event_id"), col("user_id"), col("event_type"), col("value")).as("v"))
+      src.select(ZAvro.decodeColumn(
+        ZAvro.encodeColumn(col("v"), eventStruct, "graft", registry),
+        eventStruct, registry).as("v"))
+        .select("v.*")
+    },
+    Some("SELECT event_id, user_id, event_type, value FROM events"))
+
+  val queries: Seq[GQuery] =
+    Seq(qEnvelope, qConnectJson, qOffsetGuard, qCodecConnect, qCodecAvro)
 }
