@@ -40,22 +40,35 @@ object DedupOps {
       .withColumn("sig", minhashSignature(col("sh"), k))
 
   /** MinHash-LSH candidate pairs with exact-jaccard verification.
-    * Pipeline: shingle → minhash sig → band keys → explode → groupBy bucket
-    * → within-bucket pairs (distinct) → verify jaccard on shingle sets.
+    * Pipeline: shingle → minhash sig → band keys → explode → within-bucket
+    * candidate pairs → verify jaccard on shingle sets.
+    *
+    * Plan shape matters at scale:
+    *  - the signature base is persisted — without the barrier Catalyst
+    *    inlines the k-permutation minhash expression into all 8 band keys
+    *    on both sides of the self-join (a ~500× recompute measured at
+    *    sf0.1);
+    *  - band rows carry only (band, bucket, doc_id) — the shingle arrays
+    *    never enter the exploded self-join shuffle;
+    *  - verification re-joins the (doc_id, shingles) base once per side on
+    *    the deduped candidate pairs only.
     */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sigs = minhashed(docs)
-      .withColumn("band", explode(lshBands(col("sig"), 8, 4)))
-      .select(col("doc_id"), col("sh"), col("band.band").as("band"),
-        col("band.bucket").as("bucket"))
-    val l = sigs.select(col("band"), col("bucket"), col("doc_id").as("a"),
-      col("sh").as("sh_a"))
-    val r = sigs.select(col("band"), col("bucket"), col("doc_id").as("b"),
-      col("sh").as("sh_b"))
-    l.join(r, Seq("band", "bucket"))
+    val base = minhashed(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = base
+      .select(col("doc_id"), explode(lshBands(col("sig"), 8, 4)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val cand = bands.select(col("band"), col("bucket"), col("doc_id").as("a"))
+      .join(bands.select(col("band"), col("bucket"), col("doc_id").as("b")),
+        Seq("band", "bucket"))
       .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val shingleSets = base.select(col("doc_id"), col("sh"))
+    cand
+      .join(shingleSets.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(shingleSets.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
       .select(col("a"), col("b"), jaccard(col("sh_a"), col("sh_b")).as("sim"))
-      .groupBy("a", "b").agg(first("sim").as("sim")) // dedup multi-band hits
       .filter(col("sim") >= threshold)
   }
 
@@ -69,7 +82,10 @@ object DedupOps {
 
   // ---- SimHash near-dup: 64-bit signature, hamming ≤ 6 -------------------
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    // persist: the 64-bit-sum signature expression is expensive and feeds
+    // both sides of the block self-join
     val sigs = docs.select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Block on 4 x 16-bit chunks: two sigs within hamming 3 of each other
     // share at least one exact chunk (pigeonhole over 4 blocks); for
     // maxHamming 6 this is a recall-oriented heuristic blocking, the
