@@ -74,23 +74,37 @@ final class FromKafka(bus: Bus, keyCodec: EnvelopeCodec, valueCodec: EnvelopeCod
     } finally env.unpersist()
   }
 
-  /** Continuous sync via Structured Streaming (KafkaBus only): the decode/
-    * envelope/shape stages run inside foreachBatch, each micro-batch lands
-    * as one atomic pool commit (thresh/interval micro-batching of the
-    * reference maps to trigger + maxOffsetsPerTrigger).
+  /** Continuous sync from any streaming source with Bus.schema columns:
+    * decode/envelope/shape run inside foreachBatch, each micro-batch lands
+    * as one atomic pool commit (the reference's thresh/interval
+    * micro-batching maps to trigger + maxOffsetsPerTrigger).
     */
-  def stream(spark: SparkSession, kafka: KafkaBus, topics: Seq[String], pool: Pool,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val start = resumeOffsets(pool, topics)
-    kafka.readStream(spark, topics, start)
-      .writeStream
+  def streamFrom(records: DataFrame, pool: Pool,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    records.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val env = envelope(batch)
         if (!env.isEmpty) { pool.append(env); () }
       }
       .start()
-  }
+
+  /** Kafka flavor of [[streamFrom]] with pool-recovered start offsets. */
+  def stream(spark: SparkSession, kafka: KafkaBus, topics: Seq[String], pool: Pool,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    streamFrom(kafka.readStream(spark, topics, resumeOffsets(pool, topics)),
+      pool, checkpoint)
+
+  /** Topic→pool fan-out: one bounded sync per pool over its topics
+    * (ref: cmd/zync/from-kafka/command.go:93-119 poolToTopics routing +
+    * :150-215 per-pool loaders). Sequential here; in production each pool
+    * runs as its own streaming query.
+    */
+  def syncRoutes(spark: SparkSession,
+      routes: Seq[(Pool, Seq[String])]): Map[String, Long] =
+    routes.map { case (pool, topics) =>
+      pool.name -> syncOnce(spark, topics, pool)
+    }.toMap
 }
 
 /** Pool → Kafka sync (ref: fifo/to.go:31-55, BatchSize=200 fifo/to.go:29).

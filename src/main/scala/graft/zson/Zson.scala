@@ -1,0 +1,59 @@
+package graft.zson
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** ZSON text rendering of DataFrame rows — the output-format surface of
+  * `zync consume` (cmd/zync/consume/command.go:66-103 writes any Zed output
+  * format; ZSON is the human/golden-test format).
+  *
+  * Null-valued fields are dropped: the fused Spark schema represents
+  * Zed's per-record dynamic types, where absent fields simply don't exist
+  * (SURVEY §7 marker-column strategy). Rows whose `_type` marker is set
+  * render with the named-type decoration `(=name)`.
+  */
+object Zson {
+
+  def render(row: Row, schema: StructType): String = {
+    val named =
+      if (schema.fieldNames.contains("_type")) Option(row.getAs[String]("_type"))
+      else None
+    val body = schema.fields.toSeq.filterNot(_.name == "_type").flatMap { f =>
+      value(row.get(schema.fieldIndex(f.name)), f.dataType).map(s => s"${f.name}:$s")
+    }.mkString("{", ",", "}")
+    named.map(n => s"$body(=$n)").getOrElse(body)
+  }
+
+  private def value(v: Any, dt: DataType): Option[String] = (v, dt) match {
+    case (null, _) => None
+    case (r: Row, st: StructType) =>
+      val fields = st.fields.toSeq.flatMap { f =>
+        value(r.get(st.fieldIndex(f.name)), f.dataType).map(s => s"${f.name}:$s")
+      }
+      if (fields.isEmpty) None else Some(fields.mkString("{", ",", "}"))
+    case (s: String, _) => Some("\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c => c.toString
+    } + "\"")
+    case (seq: scala.collection.Seq[_], ArrayType(inner, _)) =>
+      Some(seq.flatMap(x => value(x, inner)).mkString("[", ",", "]"))
+    case (b: Array[Byte], BinaryType) =>
+      Some("0x" + b.map(x => f"$x%02x").mkString)
+    case (t: java.sql.Timestamp, _) => Some(t.toInstant.toString)
+    case (d: java.lang.Double, _) =>
+      Some(if (d == d.longValue().toDouble) s"${d.longValue()}." else d.toString)
+    case (f: java.lang.Float, _) =>
+      Some(if (f == f.longValue().toFloat) s"${f.longValue()}." else f.toString)
+    case (b: java.lang.Boolean, _) => Some(b.toString)
+    case (other, _) => Some(other.toString)
+  }
+
+  /** Render a whole DataFrame as ZSON lines (driver-side; for golden tests
+    * and CLI-style consume output, not bulk export).
+    */
+  def renderAll(df: DataFrame): Seq[String] = {
+    val schema = df.schema
+    df.collect().toSeq.map(r => render(r, schema))
+  }
+}

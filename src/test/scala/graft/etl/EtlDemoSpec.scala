@@ -123,33 +123,8 @@ class EtlDemoSpec extends AnyFunSuite {
       cdc("InvoiceStatus", 7, 77, "u", after = rec(77L, invoiceId = 102L, status = "paid")),
       cdc("InvoiceStatus", 8, 80, "u", after = rec(80L, invoiceId = 101L, status = "paid"))))
 
-  /** ZSON-ish canonical rendering, dropping null fields — absent fields in
-    * Zed's dynamic records become nulls in the fused Spark schema.
-    */
-  def render(row: Row, schema: StructType): String = {
-    def any(v: Any, dt: DataType): Option[String] = (v, dt) match {
-      case (null, _) => None
-      case (r: Row, st: StructType) =>
-        val fields = st.fields.toSeq.flatMap { f =>
-          any(r.get(st.fieldIndex(f.name)), f.dataType).map(s => s"${f.name}:$s")
-        }
-        if (fields.isEmpty) None else Some(fields.mkString("{", ",", "}"))
-      case (s: String, _) => Some("\"" + s + "\"")
-      case (other, _) => Some(other.toString)
-    }
-    val isDone = schema.fieldNames.contains("_type") &&
-      row.getAs[String]("_type") == "done"
-    val body = StructType(schema.filterNot(_.name == "_type")).fields.toSeq.flatMap { f =>
-      any(row.get(schema.fieldIndex(f.name)), f.dataType).map(s => s"${f.name}:$s")
-    }.mkString("{", ",", "}")
-    if (isDone) s"$body(=done)" else body
-  }
-
-  def poolContents(p: Pool): Seq[String] = {
-    val df = p.read()
-    val schema = df.schema
-    df.collect().toSeq.map(r => render(r, schema)).sorted
-  }
+  def poolContents(p: Pool): Seq[String] =
+    graft.zson.Zson.renderAll(p.read()).sorted
 
   val goldenAfterRun: Seq[Seq[String]] = {
     val run1 = Seq(

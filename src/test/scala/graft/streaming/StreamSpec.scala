@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.GraftSession
+import graft.lake.Pool
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Structured-Streaming flavor of the from-kafka sync: a file-source stream
+  * stands in for the Kafka source (same Bus.schema columns), foreachBatch
+  * lands atomic pool commits, checkpointing carries offsets across query
+  * restarts. Also covers the topic→pool fan-out routing.
+  */
+class StreamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  test("streaming sync: micro-batches land as atomic pool commits") {
+    val dir = Files.createTempDirectory("stream-src")
+    val root = Files.createTempDirectory("stream-pool").toString
+    val checkpoint = Files.createTempDirectory("stream-ckpt").toString
+    val pool = Pool.create(spark, root, "S")
+
+    def writeBatch(name: String, lines: Seq[String]): Unit = {
+      val tmp = dir.resolve(s".$name"); val dst = dir.resolve(name)
+      Files.write(tmp, lines.mkString("\n").getBytes)
+      Files.move(tmp, dst)
+    }
+    writeBatch("b1.json", Seq(
+      """{"topic":"T","partition":0,"offset":0,"key":null,"value":"one"}""",
+      """{"topic":"T","partition":0,"offset":1,"key":null,"value":"two"}"""))
+
+    val records = spark.readStream
+      .schema("topic STRING, partition LONG, offset LONG, key STRING, value STRING")
+      .json(dir.toString)
+      .select(col("topic"), col("partition"), col("offset"),
+        col("key").cast("binary"), col("value").cast("binary"))
+
+    val from = new FromKafka(new MemoryBus, RawStringCodec, RawStringCodec)
+    val q = from.streamFrom(records, pool, checkpoint)
+    q.processAllAvailable()
+    assert(pool.read().count() == 2)
+
+    writeBatch("b2.json", Seq(
+      """{"topic":"T","partition":0,"offset":2,"key":null,"value":"three"}"""))
+    q.processAllAvailable()
+    q.stop()
+
+    val vals = pool.read().orderBy("kafka.offset").select("value")
+      .collect().map(_.getString(0)).toSeq
+    assert(vals == Seq("one", "two", "three"))
+    // each micro-batch was one atomic commit
+    assert(Files.list(java.nio.file.Paths.get(root, "S", "_commits")).count() == 2)
+  }
+
+  test("topic->pool fan-out routing (from-kafka poolToTopics)") {
+    val bus = new MemoryBus
+    val root = Files.createTempDirectory("routes").toString
+    val poolA = Pool.create(spark, root, "A")
+    val poolB = Pool.create(spark, root, "B")
+    bus.publish("t1", null, "a1".getBytes)
+    bus.publish("t2", null, "a2".getBytes)
+    bus.publish("t3", null, "b1".getBytes)
+
+    val from = new FromKafka(bus, RawStringCodec, RawStringCodec)
+    val counts = from.syncRoutes(spark,
+      Seq(poolA -> Seq("t1", "t2"), poolB -> Seq("t3")))
+    assert(counts == Map("A" -> 2, "B" -> 1))
+    assert(poolA.read().select("kafka.topic").distinct().count() == 2)
+    assert(poolB.read().select("value").head().getString(0) == "b1")
+  }
+}
