@@ -26,7 +26,8 @@ object Registry {
       graft.ml.DedupOps.queries ++
       graft.ml.AnnOps.queries ++
       graft.ml.MultimodalOps.queries ++
-      graft.etl.EtlOps.queries)
+      graft.etl.EtlOps.queries ++
+      graft.streaming.StreamQueries.queries)
       .sortBy(_.name)
 
   lazy val byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap

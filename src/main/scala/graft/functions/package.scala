@@ -130,15 +130,18 @@ package object functions {
       acc => acc.getField("h"))
 
   /** Random-hyperplane signature for cosine LSH: `planes` pseudo-random ±1
-    * hyperplanes (derived from xxhash64 of (plane,dim) — deterministic, no
-    * broadcast of plane matrices needed), packed into a LongType bit-sig.
+    * hyperplanes (derived from xxhash64 of (table,plane,dim) —
+    * deterministic, no broadcast of plane matrices needed), packed into a
+    * LongType bit-sig. `table` seeds independent hash tables for
+    * multi-table LSH.
     */
-  def hyperplaneSignature(vec: Column, planes: Int): Column = {
+  def hyperplaneSignature(vec: Column, planes: Int, table: Int = 0): Column = {
     require(planes <= 64)
     val bits = (0 until planes).map { p =>
       val dotp = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
-          x * when(xxhash64(concat_ws("_", lit(p), i)).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
+          x * when(xxhash64(concat_ws("_", lit(table), lit(p), i)).bitwiseAND(1) === 1, 1.0)
+            .otherwise(-1.0)),
         lit(0.0), (acc, v) => acc + v)
       when(dotp > 0, lit(1L << p)).otherwise(lit(0L))
     }

@@ -56,23 +56,35 @@ object AnnOps {
             SELECT q_id, n_id, sim, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5"""),
     headline = true)
 
-  /** Hyperplane-LSH top-k: bucket corpus by 16-bit signature, search the
-    * query's bucket plus hamming-1 neighbor buckets (multi-probe).
+  /** Multi-table hyperplane-LSH top-k: `tables` independent sign-random
+    * projections of `planes` bits each; a query probes its bucket and all
+    * 1-bit flips (multi-probe) in every table. Candidate generation is
+    * narrow — only (table, sig, id) shuffles; vectors re-join on the
+    * deduped candidate pairs. Recall/efficiency tunes with (tables, planes)
+    * per the standard cosine-LSH collision model.
     */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 12): DataFrame = {
-    val sigd = corpus.withColumn("sig", hyperplaneSignature(col("v"), planes))
-    // multi-probe: each query probes its own signature and all 1-bit flips
-    val probes = array((lit(0L) +: (0 until planes).map(b => lit(1L << b))): _*)
-    val q = queries
-      .withColumn("sig0", hyperplaneSignature(col("v"), planes))
-      .withColumn("sig", explode(transform(probes, f => col("sig0").bitwiseXOR(f))))
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("sig"))
-    val c = sigd.select(col("vec_id").as("n_id"), col("v").as("nv"), col("sig"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
-    c.join(broadcast(q), Seq("sig"))
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      planes: Int = 8, tables: Int = 16): DataFrame = {
+    val corpusSigs = (0 until tables).map { t =>
+      corpus.select(lit(t).as("tbl"), hyperplaneSignature(col("v"), planes, t).as("sig"),
+        col("vec_id").as("n_id"))
+    }.reduce(_.unionByName(_))
+    val flips = lit(0L) +: (0 until planes).map(b => lit(1L << b))
+    val querySigs = (0 until tables).map { t =>
+      queries
+        .select(lit(t).as("tbl"), hyperplaneSignature(col("v"), planes, t).as("sig0"),
+          col("vec_id").as("q_id"))
+        .withColumn("sig", explode(array(flips.map(f => col("sig0").bitwiseXOR(f)): _*)))
+        .select(col("tbl"), col("sig"), col("q_id"))
+    }.reduce(_.unionByName(_))
+    val cand = corpusSigs.join(broadcast(querySigs), Seq("tbl", "sig"))
       .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id").distinct()
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+    cand
+      .join(queries.select(col("vec_id").as("q_id"), col("v").as("qv")), Seq("q_id"))
+      .join(corpus.select(col("vec_id").as("n_id"), col("v").as("nv")), Seq("n_id"))
       .select(col("q_id"), col("n_id"), stableRound(cosine(col("qv"), col("nv")), 4).as("sim"))
-      .distinct()
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("n_id"), col("sim"), col("rk").cast("long").as("rk"))

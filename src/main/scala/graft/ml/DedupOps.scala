@@ -84,7 +84,8 @@ object DedupOps {
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     // persist: the 64-bit-sum signature expression is expensive and feeds
     // both sides of the block self-join
-    val sigs = docs.select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.SimHash64Expr.simhash64Native(tokens(col("text"))).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Block on 4 x 16-bit chunks: two sigs within hamming 3 of each other
     // share at least one exact chunk (pigeonhole over 4 blocks); for
