@@ -133,7 +133,8 @@ object EtlOps {
             UNION ALL
             SELECT NULL, NULL, NULL, 'purchase', CAST(lo AS BIGINT), 'done' FROM j
             UNION ALL
-            SELECT NULL, NULL, NULL, 'signup', CAST(ro AS BIGINT), 'done' FROM j"""))
+            SELECT NULL, NULL, NULL, 'signup', CAST(ro AS BIGINT), 'done' FROM j"""),
+    headline = true)
 
   val queries: Seq[GQuery] = Seq(qEtlStateless, qEtlDenorm)
 }

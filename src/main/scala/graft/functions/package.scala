@@ -129,19 +129,28 @@ package object functions {
         pmod(acc.getField("pw") * 1000003L, lit(MersennePrime)).as("pw")),
       acc => acc.getField("h"))
 
-  /** Random-hyperplane signature for cosine LSH: `planes` pseudo-random ±1
-    * hyperplanes (derived from xxhash64 of (table,plane,dim) —
-    * deterministic, no broadcast of plane matrices needed), packed into a
-    * LongType bit-sig. `table` seeds independent hash tables for
-    * multi-table LSH.
+  /** Deterministic ±1 sign matrix for one LSH hyperplane (splitmix64 over
+    * (table, plane, dim) — same on every JVM, no broadcast needed).
     */
-  def hyperplaneSignature(vec: Column, planes: Int, table: Int = 0): Column = {
+  def planeSigns(table: Int, plane: Int, dims: Int): Array[Double] =
+    Array.tabulate(dims) { i =>
+      var z = (table.toLong << 40) ^ (plane.toLong << 20) ^ i.toLong ^ 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      if (((z ^ (z >>> 31)) & 1L) == 1L) 1.0 else -1.0
+    }
+
+  /** Random-hyperplane signature for cosine LSH: `planes` ±1 hyperplanes
+    * materialized as literal sign vectors (computed once on the driver —
+    * NOT per row), packed into a LongType bit-sig. `table` seeds
+    * independent hash tables for multi-table LSH.
+    */
+  def hyperplaneSignature(vec: Column, planes: Int, table: Int = 0,
+      dims: Int = 64): Column = {
     require(planes <= 64)
     val bits = (0 until planes).map { p =>
       val dotp = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
-          x * when(xxhash64(concat_ws("_", lit(table), lit(p), i)).bitwiseAND(1) === 1, 1.0)
-            .otherwise(-1.0)),
+        zip_with(vec, typedlit(planeSigns(table, p, dims).toSeq), (x, s) => x * s),
         lit(0.0), (acc, v) => acc + v)
       when(dotp > 0, lit(1L << p)).otherwise(lit(0L))
     }

@@ -65,18 +65,16 @@ object AnnOps {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Int = 8, tables: Int = 16): DataFrame = {
-    val corpusSigs = (0 until tables).map { t =>
-      corpus.select(lit(t).as("tbl"), hyperplaneSignature(col("v"), planes, t).as("sig"),
-        col("vec_id").as("n_id"))
-    }.reduce(_.unionByName(_))
+    // all tables' signatures in ONE pass over each side (posexplode), not
+    // `tables` separate scans
+    def allSigs(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs),
+        posexplode(array((0 until tables).map(t =>
+          hyperplaneSignature(col("v"), planes, t)): _*)).as(Seq("tbl", "sig")))
+    val corpusSigs = allSigs(corpus, "n_id")
     val flips = lit(0L) +: (0 until planes).map(b => lit(1L << b))
-    val querySigs = (0 until tables).map { t =>
-      queries
-        .select(lit(t).as("tbl"), hyperplaneSignature(col("v"), planes, t).as("sig0"),
-          col("vec_id").as("q_id"))
-        .withColumn("sig", explode(array(flips.map(f => col("sig0").bitwiseXOR(f)): _*)))
-        .select(col("tbl"), col("sig"), col("q_id"))
-    }.reduce(_.unionByName(_))
+    val querySigs = allSigs(queries, "q_id")
+      .withColumn("sig", explode(array(flips.map(f => col("sig").bitwiseXOR(f)): _*)))
     val cand = corpusSigs.join(broadcast(querySigs), Seq("tbl", "sig"))
       .filter(col("q_id") =!= col("n_id"))
       .select("q_id", "n_id").distinct()
@@ -96,7 +94,8 @@ object AnnOps {
       val all = corpus(s, d)
       lshTopK(all, all.filter(col("vec_id") < 20), 5)
     },
-    None)
+    None,
+    headline = true)
 
   /** IVF: centroid per cell (label), probe the `nprobe` nearest cells. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {

@@ -109,7 +109,8 @@ object DedupOps {
   private val qDedupSimhash = GQuery(
     "q_dedup_simhash",
     (s, d) => simhashPairs(documents(s, d), 6),
-    None)
+    None,
+    headline = true)
 
   // ---- n-gram Jaccard (exact, blocked) -----------------------------------
   // Exact trigram-set jaccard over candidate pairs blocked by (lang, source)

@@ -80,7 +80,8 @@ object TextOps {
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
                      AS n_bpeish,
                    CAST(length(text) AS BIGINT) AS len_chars
-            FROM documents"""))
+            FROM documents"""),
+    headline = true)
 
   // Quality score: stopword ratio, punctuation ratio, mean word length —
   // the length/punct/stopword heuristics of C4-style corpus filtering.

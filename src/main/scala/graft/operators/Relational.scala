@@ -346,7 +346,8 @@ object Relational {
         .agg(count(lit(1)).as("n"), stableRound(sum("value"), 2).as("total")),
     Some("""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
                    count(*) AS n, floor(sum(value) * 100 + 0.5) / 100 AS total
-            FROM events GROUP BY 1, 2"""))
+            FROM events GROUP BY 1, 2"""),
+    headline = true)
 
   val queries: Seq[GQuery] = Seq(
     qScanFilter, qAgg, qGroupbyMax, qAntiJoin, qSemiJoin, qInnerJoin,

@@ -47,7 +47,8 @@ object StreamQueries {
             SELECT user_id, epoch_us(min(ts)) AS ss,
                    epoch_us(max(ts) + INTERVAL 30 MINUTE) AS se,
                    count(*) AS n, floor(sum(value) * 100 + 0.5) / 100 AS total
-            FROM sess GROUP BY user_id, sid"""))
+            FROM sess GROUP BY user_id, sid"""),
+    headline = true)
 
   val queries: Seq[GQuery] = Seq(qStreamWindow, qSessionWindow)
 }
