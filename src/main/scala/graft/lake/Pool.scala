@@ -41,8 +41,22 @@ final class Pool private (val spark: SparkSession, val name: String,
     else Files.list(commitsDir).iterator.asScala.toSeq
       .filter(_.getFileName.toString.endsWith(".txt")).sortBy(_.getFileName.toString)
 
+  /** A manifest whose first line is `#compact` supersedes all earlier
+    * manifests (it lists the rewritten files of the whole pool up to that
+    * commit). Readers start from the latest compact manifest.
+    */
+  private def visibleManifests(): Seq[Path] = {
+    val all = manifests()
+    val lastCompact = all.lastIndexWhere { m =>
+      val r = Files.newBufferedReader(m)
+      try r.readLine() == "#compact" finally r.close()
+    }
+    if (lastCompact < 0) all else all.drop(lastCompact)
+  }
+
   private def committedFiles(): Seq[String] =
-    manifests().flatMap(m => Files.readAllLines(m).asScala)
+    visibleManifests()
+      .flatMap(m => Files.readAllLines(m).asScala.filterNot(_.startsWith("#")))
       .map(rel => dataDir.resolve(rel).toString)
 
   def isEmpty: Boolean = committedFiles().isEmpty
@@ -87,6 +101,48 @@ final class Pool private (val spark: SparkSession, val name: String,
   private def nextSeq(): Int =
     manifests().lastOption
       .map(_.getFileName.toString.stripSuffix(".txt").toInt + 1).getOrElse(1)
+
+  /** Compact: rewrite the current pool contents (globally sorted by the
+    * pool key) into a fresh file set behind one `#compact` manifest —
+    * bounding file count as incremental commits accumulate. Readers are
+    * never blocked: the compact manifest lands with the same atomic rename
+    * as any commit; superseded data files become garbage (collected by
+    * `vacuum`). Single-writer, like every other mutation.
+    */
+  def compact(): String = {
+    val files = committedFiles()
+    if (files.isEmpty) return "empty"
+    val df = read()
+    val sorted = scala.util.Try(df(key)).toOption
+      .map(c => df.repartitionByRange(df.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt, c).sortWithinPartitions(c))
+      .getOrElse(df)
+    val commitId = f"${nextSeq()}%08d"
+    val staging = root.resolve(s"_staging-$commitId")
+    sorted.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val parts = Files.list(staging).iterator.asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+    val names = parts.zipWithIndex.map { case (p, i) =>
+      val nm = s"c$commitId-$i.parquet"
+      Files.move(p, dataDir.resolve(nm), StandardCopyOption.ATOMIC_MOVE)
+      nm
+    }
+    val tmp = commitsDir.resolve(s".tmp-$commitId")
+    Files.write(tmp, ("#compact" +: names).mkString("\n").getBytes)
+    Files.move(tmp, commitsDir.resolve(s"$commitId.txt"), StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(staging)
+    commitId
+  }
+
+  /** Delete data files no longer referenced by any visible manifest. */
+  def vacuum(): Int = {
+    val live = committedFiles().map(Paths.get(_).getFileName.toString).toSet
+    if (!Files.isDirectory(dataDir)) return 0
+    val dead = Files.list(dataDir).iterator.asScala.toSeq
+      .filterNot(p => live(p.getFileName.toString))
+    dead.foreach(Files.deleteIfExists(_))
+    dead.size
+  }
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

@@ -1,0 +1,57 @@
+package graft.lake
+
+import graft.GraftSession
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+class PoolSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  val schema: StructType = StructType(Seq(
+    StructField("kafka", StructType(Seq(
+      StructField("topic", StringType), StructField("offset", LongType)))),
+    StructField("v", LongType)))
+
+  def batch(topic: String, offsets: Range): org.apache.spark.sql.DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(
+      offsets.map(o => Row(Row(topic, o.toLong), o.toLong * 10))), schema)
+
+  test("append commits are atomic and accumulate; offsets tracked per topic") {
+    val root = Files.createTempDirectory("pool").toString
+    val p = Pool.create(spark, root, "P")
+    assert(p.isEmpty)
+    p.append(batch("a", 0 until 5))
+    p.append(batch("b", 0 until 3))
+    p.append(batch("a", 5 until 8))
+    assert(p.read().count() == 11)
+    assert(p.nextProducerOffsets() == Map("a" -> 8L, "b" -> 3L))
+    // key mismatch on reopen rejected
+    assertThrows[IllegalArgumentException](
+      Pool.create(spark, root, "P", key = "other"))
+  }
+
+  test("compact supersedes prior commits; vacuum removes dead files") {
+    val root = Files.createTempDirectory("pool-c").toString
+    val p = Pool.create(spark, root, "P")
+    (0 until 5).foreach(i => p.append(batch("t", i * 10 until (i * 10 + 10))))
+    val before = p.read().orderBy("kafka.offset").collect().map(_.toString).toSeq
+    val dataDir = Paths.get(root, "P", "data")
+    val filesBefore = Files.list(dataDir).iterator.asScala.size
+
+    p.compact()
+    val after = p.read().orderBy("kafka.offset").collect().map(_.toString).toSeq
+    assert(after == before, "compaction must preserve contents")
+
+    val removed = p.vacuum()
+    assert(removed > 0, s"vacuum should remove superseded files (had $filesBefore)")
+    assert(p.read().orderBy("kafka.offset").collect().map(_.toString).toSeq == before)
+
+    // appends after compaction still visible
+    p.append(batch("t", 50 until 55))
+    assert(p.read().count() == 55)
+  }
+}
