@@ -70,6 +70,28 @@ final class Pool private (val spark: SparkSession, val name: String,
       spark.read.option("mergeSchema", "true").parquet(files: _*)
   }
 
+  /** Commit ids in order (visible history). */
+  def commits(): Seq[String] =
+    manifests().map(_.getFileName.toString.stripSuffix(".txt"))
+
+  /** Snapshot read as of a commit id (inclusive) — manifests are immutable,
+    * so any historical prefix of the log is a consistent snapshot as long
+    * as vacuum hasn't collected its files.
+    */
+  def readAsOf(commitId: String): DataFrame = {
+    val upTo = manifests().filter(_.getFileName.toString.stripSuffix(".txt") <= commitId)
+    val lastCompact = upTo.lastIndexWhere { m =>
+      val r = Files.newBufferedReader(m)
+      try r.readLine() == "#compact" finally r.close()
+    }
+    val visible = if (lastCompact < 0) upTo else upTo.drop(lastCompact)
+    val files = visible
+      .flatMap(m => Files.readAllLines(m).asScala.filterNot(_.startsWith("#")))
+      .map(rel => dataDir.resolve(rel).toString)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.option("mergeSchema", "true").parquet(files: _*)
+  }
+
   /** Atomically append one batch: data files first, then one manifest
     * rename makes them visible (ref: fifo/lake.go:58-60 LoadBatch).
     * The batch is sorted within partitions by the pool key so parquet

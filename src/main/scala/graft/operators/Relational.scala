@@ -349,9 +349,29 @@ object Relational {
             FROM events GROUP BY 1, 2"""),
     headline = true)
 
+  // ---- skew-safe two-phase aggregation (salting) -------------------------
+  // event_type has 5 hot keys across all partitions; the salted plan
+  // pre-aggregates on (key, salt) so no reducer sees a whole hot key, then
+  // combines the partials. Identical results to the direct groupBy — which
+  // is exactly what the oracle checks.
+  private val qSaltedAgg = GQuery(
+    "q_salted_agg",
+    (s, d) => {
+      val salted = events(s, d)
+        .withColumn("_salt", pmod(col("event_id"), lit(16)))
+        .groupBy(col("event_type"), col("_salt"))
+        .agg(count(lit(1)).as("pn"), sum("value").as("pv"))
+      salted.groupBy("event_type")
+        .agg(sum("pn").cast("long").as("n"),
+          graft.functions.stableRound(sum("pv"), 2).as("total"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+                   floor(sum(value) * 100 + 0.5) / 100 AS total
+            FROM events GROUP BY 1"""))
+
   val queries: Seq[GQuery] = Seq(
     qScanFilter, qAgg, qGroupbyMax, qAntiJoin, qSemiJoin, qInnerJoin,
     qSortHead, qTail1, qCollect, qBoolOr, qYield, qCut, qSwitch, qFuse,
     qRangeCursor, qOffsetAssign, qDoneMarker, qMapLookup, qStringFuns,
-    qWithField, qWindowDay)
+    qWithField, qWindowDay, qSaltedAgg)
 }

@@ -54,4 +54,16 @@ class PoolSpec extends AnyFunSuite {
     p.append(batch("t", 50 until 55))
     assert(p.read().count() == 55)
   }
+
+  test("readAsOf returns consistent historical snapshots") {
+    val root = Files.createTempDirectory("pool-t").toString
+    val p = Pool.create(spark, root, "P")
+    val c1 = p.append(batch("t", 0 until 4))
+    val c2 = p.append(batch("t", 4 until 9))
+    p.append(batch("t", 9 until 12))
+    assert(p.commits().size == 3)
+    assert(p.readAsOf(c1).count() == 4)
+    assert(p.readAsOf(c2).count() == 9)
+    assert(p.read().count() == 12)
+  }
 }
