@@ -369,9 +369,37 @@ object Relational {
                    floor(sum(value) * 100 + 0.5) / 100 AS total
             FROM events GROUP BY 1"""))
 
+  // ---- shaper scalar-function breadth ------------------------------------
+  // the wider scalar surface a shaper script can use (beyond the
+  // documented to_upper/split): string, conditional, null-handling, math.
+  private val qScalarFuns = GQuery(
+    "q_scalar_funs",
+    (s, d) =>
+      part(s, d).select(
+        col("p_partkey"),
+        lower(col("p_name")).as("lname"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        length(col("p_brand")).cast("long").as("brand_len"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("bt"),
+        coalesce(nullif(col("p_type"), lit("unknown")), lit("n/a")).as("typ"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        abs(col("p_retailprice") - 1000.0).as("dist1000"),
+        greatest(col("p_size"), lit(25)).cast("long").as("gsize"),
+        when(col("p_size") % 2 === 0, lit("even")).otherwise(lit("odd")).as("parity")),
+    Some("""SELECT p_partkey, lower(p_name) AS lname,
+                   substr(p_type, 1, 5) AS type5,
+                   CAST(length(p_brand) AS BIGINT) AS brand_len,
+                   concat_ws('-', p_brand, p_type) AS bt,
+                   coalesce(nullif(p_type, 'unknown'), 'n/a') AS typ,
+                   regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+                   abs(p_retailprice - 1000.0) AS dist1000,
+                   CAST(greatest(p_size, 25) AS BIGINT) AS gsize,
+                   CASE WHEN p_size % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
+            FROM part"""))
+
   val queries: Seq[GQuery] = Seq(
     qScanFilter, qAgg, qGroupbyMax, qAntiJoin, qSemiJoin, qInnerJoin,
     qSortHead, qTail1, qCollect, qBoolOr, qYield, qCut, qSwitch, qFuse,
     qRangeCursor, qOffsetAssign, qDoneMarker, qMapLookup, qStringFuns,
-    qWithField, qWindowDay, qSaltedAgg)
+    qWithField, qWindowDay, qSaltedAgg, qScalarFuns)
 }

@@ -50,5 +50,24 @@ object StreamQueries {
             FROM sess GROUP BY user_id, sid"""),
     headline = true)
 
-  val queries: Seq[GQuery] = Seq(qStreamWindow, qSessionWindow)
+  // transaction reassembly (design.md:96-131): bundle events per txn,
+  // emit only transactions whose done marker arrived
+  private val qTxnBundle = GQuery(
+    "q_txn_bundle",
+    (s, d) => {
+      val ev = events(s, d).select(
+        col("user_id").as("txn"),
+        col("event_id").cast("long").as("seqno"),
+        col("event_type").as("payload"),
+        (col("event_type") === "error").as("done"))
+      TxnOps.assembleBatch(ev).select("txn", "records", "n")
+    },
+    Some("""WITH e AS (SELECT user_id AS txn, event_id AS seqno,
+                              event_type AS payload, event_type = 'error' AS done
+                       FROM events)
+            SELECT txn, string_agg(payload, ',' ORDER BY seqno) AS records,
+                   count(*) AS n
+            FROM e GROUP BY txn HAVING bool_or(done)"""))
+
+  val queries: Seq[GQuery] = Seq(qStreamWindow, qSessionWindow, qTxnBundle)
 }
