@@ -224,39 +224,104 @@ object ZAvro {
 
   private def rowTypeOf(row: Row): StructType = row.schema
 
-  /** Avro binary → JSON text (bytes → base64) ready for `from_json` with
-    * the matching Spark schema.
+  /** Decode-direction schema translation: Avro schema → Spark type
+    * (ref DecodeSchema, zavro/schema.go:174-244). Two-way null unions
+    * collapse to the nullable inner type (isOptional, :211-224); general
+    * unions become a tagged struct {tag, u0..uN} — the Spark stand-in for
+    * Zed's union type (SURVEY §7 hard part 5).
+    */
+  def avroToSpark(schema: ASchema): DataType = schema.getType match {
+    case ASchema.Type.RECORD =>
+      StructType(schema.getFields.asScala.toSeq.map(f =>
+        StructField(f.name, avroToSpark(f.schema()))))
+    case ASchema.Type.ARRAY => ArrayType(avroToSpark(schema.getElementType))
+    case ASchema.Type.UNION =>
+      optionalOf(schema) match {
+        case Some(inner) => avroToSpark(inner)
+        case None =>
+          StructType(StructField("tag", IntegerType) +:
+            schema.getTypes.asScala.toSeq.zipWithIndex.map { case (t, i) =>
+              StructField(s"u$i", avroToSpark(t))
+            })
+      }
+    case ASchema.Type.NULL => NullType
+    case ASchema.Type.BOOLEAN => BooleanType
+    case ASchema.Type.INT => IntegerType
+    case ASchema.Type.LONG =>
+      if (schema.getLogicalType != null &&
+        schema.getLogicalType.getName == "timestamp-micros") TimestampType
+      else LongType
+    case ASchema.Type.FLOAT => FloatType
+    case ASchema.Type.DOUBLE => DoubleType
+    case ASchema.Type.BYTES => BinaryType
+    case ASchema.Type.STRING | ASchema.Type.ENUM => StringType
+    case other => throw new IllegalArgumentException(s"unsupported avro type: $other")
+  }
+
+  /** A 2-way union with null → the non-null branch (zavro isOptional). */
+  private def optionalOf(u: ASchema): Option[ASchema] = {
+    val ts = u.getTypes.asScala
+    if (ts.size == 2 && ts.exists(_.getType == ASchema.Type.NULL))
+      ts.find(_.getType != ASchema.Type.NULL)
+    else None
+  }
+
+  /** Avro binary → JSON text (bytes → base64, general unions → tagged
+    * objects) ready for `from_json` with the matching Spark schema.
     */
   def decodeToJson(body: Array[Byte], schema: ASchema): String = {
     val dec = DecoderFactory.get().binaryDecoder(body, null)
     val rec = new GenericDatumReader[GenericRecord](schema).read(null, dec)
     val sb = new StringBuilder
-    writeJson(sb, rec)
+    writeJson(sb, rec, schema)
     sb.toString
   }
 
-  private def writeJson(sb: StringBuilder, v: Any): Unit = v match {
-    case null => sb.append("null")
-    case r: GenericRecord =>
-      sb.append('{')
-      val fields = r.getSchema.getFields.asScala
-      fields.zipWithIndex.foreach { case (f, i) =>
-        if (i > 0) sb.append(',')
-        sb.append('"').append(jesc(f.name)).append("\":")
-        writeJson(sb, r.get(f.pos))
-      }
-      sb.append('}')
-    case s: CharSequence => sb.append('"').append(jesc(s.toString)).append('"')
-    case b: ByteBuffer =>
-      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr)
-      sb.append('"').append(java.util.Base64.getEncoder.encodeToString(arr)).append('"')
-    case l: java.util.List[_] =>
-      sb.append('[')
-      l.asScala.zipWithIndex.foreach { case (x, i) =>
-        if (i > 0) sb.append(','); writeJson(sb, x)
-      }
-      sb.append(']')
-    case other => sb.append(other.toString)
+  private def writeJson(sb: StringBuilder, v: Any, schema: ASchema): Unit = {
+    if (v == null) { sb.append("null"); return }
+    schema.getType match {
+      case ASchema.Type.UNION =>
+        optionalOf(schema) match {
+          case Some(inner) => writeJson(sb, v, inner)
+          case None =>
+            // general union → tagged object (Zed-union stand-in)
+            val idx = GenericData.get().resolveUnion(schema, v)
+            sb.append("{\"tag\":").append(idx).append(",\"u").append(idx).append("\":")
+            writeJson(sb, v, schema.getTypes.get(idx))
+            sb.append('}')
+        }
+      case ASchema.Type.RECORD =>
+        val r = v.asInstanceOf[GenericRecord]
+        sb.append('{')
+        r.getSchema.getFields.asScala.zipWithIndex.foreach { case (f, i) =>
+          if (i > 0) sb.append(',')
+          sb.append('"').append(jesc(f.name)).append("\":")
+          writeJson(sb, r.get(f.pos), f.schema())
+        }
+        sb.append('}')
+      case ASchema.Type.ARRAY =>
+        val l = v.asInstanceOf[java.util.List[_]]
+        sb.append('[')
+        l.asScala.zipWithIndex.foreach { case (x, i) =>
+          if (i > 0) sb.append(',')
+          writeJson(sb, x, schema.getElementType)
+        }
+        sb.append(']')
+      case ASchema.Type.BYTES =>
+        val b = v.asInstanceOf[ByteBuffer]
+        val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr)
+        sb.append('"').append(java.util.Base64.getEncoder.encodeToString(arr)).append('"')
+      case ASchema.Type.STRING | ASchema.Type.ENUM =>
+        sb.append('"').append(jesc(v.toString)).append('"')
+      case ASchema.Type.LONG if schema.getLogicalType != null &&
+          schema.getLogicalType.getName == "timestamp-micros" =>
+        // ISO-8601 so from_json lands it in TimestampType at full precision
+        val micros = v.asInstanceOf[java.lang.Long].longValue()
+        val inst = java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
+        sb.append('"').append(inst.toString).append('"')
+      case _ => sb.append(v.toString)
+    }
   }
 
   // ----------------------------------------------------------- wire frame

@@ -65,12 +65,12 @@ object AnnOps {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Int = 8, tables: Int = 16): DataFrame = {
-    // all tables' signatures in ONE pass over each side (posexplode), not
-    // `tables` separate scans
+    // all tables' signatures in ONE pass over each side via the native
+    // HyperplaneSigsExpr (one expression, no 128-literal codegen)
     def allSigs(df: DataFrame, idAs: String): DataFrame =
       df.select(col("vec_id").as(idAs),
-        posexplode(array((0 until tables).map(t =>
-          hyperplaneSignature(col("v"), planes, t)): _*)).as(Seq("tbl", "sig")))
+        posexplode(graft.functions.HyperplaneSigsExpr
+          .hyperplaneSigs(col("v"), planes, tables)).as(Seq("tbl", "sig")))
     val corpusSigs = allSigs(corpus, "n_id")
     val flips = lit(0L) +: (0 until planes).map(b => lit(1L << b))
     val querySigs = allSigs(queries, "q_id")

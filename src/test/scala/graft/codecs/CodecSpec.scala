@@ -170,6 +170,51 @@ class CodecSpec extends AnyFunSuite {
       df.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("general avro unions decode to tagged structs; timestamps to micros") {
+    import org.apache.avro.{Schema => AS, SchemaBuilder}
+    import org.apache.avro.generic.GenericData
+    // {id: long, v: union[string, long], ts: timestamp-micros}
+    val union = AS.createUnion(AS.create(AS.Type.STRING), AS.create(AS.Type.LONG))
+    val ts = org.apache.avro.LogicalTypes.timestampMicros()
+      .addToSchema(AS.create(AS.Type.LONG))
+    val rec = AS.createRecord("r", null, "ns", false)
+    rec.setFields(java.util.List.of(
+      new AS.Field("id", AS.create(AS.Type.LONG), null, null),
+      new AS.Field("v", union, null, null),
+      new AS.Field("ts", ts, null, null)))
+
+    val target = ZAvro.avroToSpark(rec).asInstanceOf[StructType]
+    assert(target("v").dataType == StructType(Seq(
+      StructField("tag", IntegerType), StructField("u0", StringType),
+      StructField("u1", LongType))))
+    assert(target("ts").dataType == TimestampType)
+
+    def enc(id: Long, v: AnyRef, micros: Long): Array[Byte] = {
+      val r = new GenericData.Record(rec)
+      r.put("id", Long.box(id)); r.put("v", v); r.put("ts", Long.box(micros))
+      val out = new java.io.ByteArrayOutputStream()
+      val e = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
+      new org.apache.avro.generic.GenericDatumWriter[GenericData.Record](rec).write(r, e)
+      e.flush(); out.toByteArray
+    }
+    val t0 = 1700000000123456L
+    val msgs = Seq(
+      ZAvro.frame(1, enc(1, "hello", t0)),
+      ZAvro.frame(1, enc(2, Long.box(42L), t0 + 1)))
+    val reg = new InMemorySchemaRegistry
+    // seed the registry so id 1 resolves to this schema
+    assert(reg.createSchema("s", rec.toString) == 1)
+
+    import spark.implicits._
+    val df = msgs.toDF("msg")
+    val got = df.select(ZAvro.decodeColumn(col("msg"), target, reg).as("v"))
+      .select("v.*").orderBy("id").collect()
+    assert(got(0).getAs[Row]("v") == Row(0, "hello", null))
+    assert(got(1).getAs[Row]("v") == Row(1, null, 42L))
+    val inst = got(0).getAs[java.sql.Timestamp]("ts").toInstant
+    assert(inst == java.time.Instant.ofEpochSecond(t0 / 1000000, (t0 % 1000000) * 1000))
+  }
+
   test("connect-json decode shapes/reorders inferred payloads (ref :214-226)") {
     import spark.implicits._
     val declared = StructType(Seq(
