@@ -54,6 +54,36 @@ class StreamSpec extends AnyFunSuite {
     assert(Files.list(java.nio.file.Paths.get(root, "S", "_commits")).count() == 2)
   }
 
+  test("streaming sync recovers from checkpoint across query restarts") {
+    val dir = Files.createTempDirectory("rst-src")
+    val root = Files.createTempDirectory("rst-pool").toString
+    val checkpoint = Files.createTempDirectory("rst-ckpt").toString
+    val pool = Pool.create(spark, root, "R")
+    def records = spark.readStream
+      .schema("topic STRING, partition LONG, offset LONG, key STRING, value STRING")
+      .json(dir.toString)
+      .select(col("topic"), col("partition"), col("offset"),
+        col("key").cast("binary"), col("value").cast("binary"))
+    def write(name: String, lines: Seq[String]): Unit = {
+      val tmp = dir.resolve(s".$name"); Files.write(tmp, lines.mkString("\n").getBytes)
+      Files.move(tmp, dir.resolve(name))
+    }
+    val from = new FromKafka(new MemoryBus, RawStringCodec, RawStringCodec)
+
+    write("b1.json", Seq("""{"topic":"T","partition":0,"offset":0,"key":null,"value":"one"}"""))
+    val q1 = from.streamFrom(records, pool, checkpoint)
+    q1.processAllAvailable(); q1.stop()
+    assert(pool.read().count() == 1)
+
+    // new query instance, same checkpoint: only the new file is processed
+    write("b2.json", Seq("""{"topic":"T","partition":0,"offset":1,"key":null,"value":"two"}"""))
+    val q2 = from.streamFrom(records, pool, checkpoint)
+    q2.processAllAvailable(); q2.stop()
+    val vals = pool.read().orderBy("kafka.offset").select("value")
+      .collect().map(_.getString(0)).toSeq
+    assert(vals == Seq("one", "two"), "no duplicates, no gaps after restart")
+  }
+
   test("topic->pool fan-out routing (from-kafka poolToTopics)") {
     val bus = new MemoryBus
     val root = Files.createTempDirectory("routes").toString
