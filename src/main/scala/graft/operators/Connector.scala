@@ -111,6 +111,31 @@ object Connector {
     },
     Some("SELECT event_id, user_id, event_type, value FROM events"))
 
+  // ---- dynamic typing via Spark 4 Variant ---------------------------------
+  // Zed values are dynamically typed per record; Spark 4's VariantType is
+  // the native analogue for payloads whose shape isn't declared up front.
+  // parse_json keeps the payload opaque until a typed extraction.
+  private val qVariant = GQuery(
+    "q_variant",
+    (s, d) =>
+      events(s, d).select(
+        col("event_id"),
+        try_variant_get(parse_json(col("props")), "$.k", "long").as("k")),
+    Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events"""))
+
+  private val qDistinctAgg = GQuery(
+    "q_distinct_agg",
+    (s, d) =>
+      graft.sources.Tables.documents(s, d)
+        .groupBy("source")
+        .agg(countDistinct(col("lang")).cast("long").as("n_langs"),
+          count(lit(1)).as("n_docs")),
+    Some("""SELECT source, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1"""))
+
   val queries: Seq[GQuery] =
-    Seq(qEnvelope, qConnectJson, qOffsetGuard, qCodecConnect, qCodecAvro)
+    Seq(qEnvelope, qConnectJson, qOffsetGuard, qCodecConnect, qCodecAvro,
+      qVariant, qDistinctAgg)
 }
