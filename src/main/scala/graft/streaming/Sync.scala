@@ -43,7 +43,8 @@ final class RegistryAvroCodec(schema: StructType, namespace: String,
   * stages into foreachBatch with Spark checkpointing on top.
   */
 final class FromKafka(bus: Bus, keyCodec: EnvelopeCodec, valueCodec: EnvelopeCodec,
-    shaper: Option[DataFrame => DataFrame] = None) {
+    shaper: Option[DataFrame => DataFrame] = None,
+    maxRecordsPerCommit: Long = 1L << 20) {
 
   /** Recover per-topic resume offsets from the pool: max(kafka.offset)+1. */
   def resumeOffsets(pool: Pool, topics: Seq[String]): Map[String, Long] = {
@@ -62,16 +63,30 @@ final class FromKafka(bus: Bus, keyCodec: EnvelopeCodec, valueCodec: EnvelopeCod
     shaper.map(f => f(env)).getOrElse(env)
   }
 
-  /** One bounded sync pass; returns records committed. */
+  /** One bounded sync pass; returns records committed. A backlog larger
+    * than `maxRecordsPerCommit` lands as multiple atomic commits in offset
+    * order (the reference's `-thresh` micro-batching,
+    * cmd/zync/from-kafka/command.go:79,246-294) so restart loses at most
+    * one commit's worth of progress, never the whole backlog.
+    */
   def syncOnce(spark: SparkSession, topics: Seq[String], pool: Pool): Long = {
-    val start = resumeOffsets(pool, topics)
-    val batch = bus.readBatch(spark, topics, start)
-    val env = envelope(batch).cache()
-    try {
-      val n = env.count()
-      if (n > 0) pool.append(env)
-      n
-    } finally env.unpersist()
+    var total = 0L
+    var continue = true
+    while (continue) {
+      val start = resumeOffsets(pool, topics)
+      val capped = bus.readBatch(spark, topics, start)
+        .orderBy("topic", "offset")
+        .limit(if (maxRecordsPerCommit > Int.MaxValue) Int.MaxValue
+          else maxRecordsPerCommit.toInt)
+      val env = envelope(capped).cache()
+      try {
+        val n = env.count()
+        if (n > 0) pool.append(env)
+        total += n
+        continue = n >= maxRecordsPerCommit
+      } finally env.unpersist()
+    }
+    total
   }
 
   /** Continuous sync from any streaming source with Bus.schema columns:
@@ -95,16 +110,21 @@ final class FromKafka(bus: Bus, keyCodec: EnvelopeCodec, valueCodec: EnvelopeCod
     streamFrom(kafka.readStream(spark, topics, resumeOffsets(pool, topics)),
       pool, checkpoint)
 
-  /** Topic→pool fan-out: one bounded sync per pool over its topics
-    * (ref: cmd/zync/from-kafka/command.go:93-119 poolToTopics routing +
-    * :150-215 per-pool loaders). Sequential here; in production each pool
-    * runs as its own streaming query.
+  /** Topic→pool fan-out: one bounded sync per pool over its topics,
+    * submitted concurrently — Spark schedules the independent jobs in
+    * parallel, the analogue of the reference's per-pool loader goroutines
+    * (cmd/zync/from-kafka/command.go:93-119 routing, :150-215 loaders).
     */
   def syncRoutes(spark: SparkSession,
-      routes: Seq[(Pool, Seq[String])]): Map[String, Long] =
-    routes.map { case (pool, topics) =>
-      pool.name -> syncOnce(spark, topics, pool)
-    }.toMap
+      routes: Seq[(Pool, Seq[String])]): Map[String, Long] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futures = routes.map { case (pool, topics) =>
+      Future(pool.name -> syncOnce(spark, topics, pool))
+    }
+    Await.result(Future.sequence(futures), Duration.Inf).toMap
+  }
 }
 
 /** Pool → Kafka sync (ref: fifo/to.go:31-55, BatchSize=200 fifo/to.go:29).

@@ -177,6 +177,26 @@ class EtlDemoSpec extends AnyFunSuite {
     assert(again.run() == 0L, "re-run with no new input must commit nothing")
   }
 
+  test("compiled plan has the reference scaffold shape (etl-zed golden)") {
+    // the structural equivalent of ztests/etl-zed.yaml: the compiled
+    // program contains the anti-join scaffold, the per-rule branches
+    // unioned, and the offset-renumbering window
+    val transform = Transform.fromYaml(invoicesYaml)
+    val input = spark.createDataFrame(
+      spark.sparkContext.parallelize(batches.head), rowSchema)
+    val done = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("topic", StringType),
+        StructField("offset", LongType))))
+    val plan = Compiler.compile(transform)
+      .run(input, done, Map.empty).queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftAnti"), "anti-join scaffold")
+    assert(plan.contains("Join Inner"), "denorm join")
+    assert(plan.contains("Union"), "fork/branch union")
+    assert(plan.contains("row_number"), "offset renumbering window")
+    assert(plan.contains("Sort"), "trailing sort by kafka.offset")
+  }
+
   test("zed expression translator handles the demo corpus") {
     import ZedExpr._
     assert(parse("""value.op in ["c", "r"]""") ==

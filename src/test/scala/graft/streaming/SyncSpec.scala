@@ -67,6 +67,24 @@ class SyncSpec extends AnyFunSuite {
     assert(pool.read().select("value.op").head().getString(0) == "C")
   }
 
+  test("from-kafka: thresh cap splits a backlog into multiple atomic commits") {
+    val bus = new MemoryBus
+    val root = Files.createTempDirectory("sync-thresh").toString
+    val pool = Pool.create(spark, root, "PoolT")
+    (0 until 10).foreach(i => bus.publish("T",
+      connectMsg(keySchema, s"""{"ID":$i}"""),
+      connectMsg(valueSchema, s"""{"op":"c","n":$i}""")))
+    val from = new FromKafka(bus, new ConnectJsonCodec(keySchema),
+      new ConnectJsonCodec(valueSchema), maxRecordsPerCommit = 4)
+    assert(from.syncOnce(spark, Seq("T"), pool) == 10)
+    // ceil(10/4) = 3 commits, offsets contiguous
+    assert(java.nio.file.Files.list(
+      java.nio.file.Paths.get(root, "PoolT", "_commits")).count() == 3)
+    val offs = pool.read().select("kafka.offset").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(offs == (0L until 10L))
+  }
+
   test("to-kafka: produce from pool with high-water-mark resume") {
     val bus = new MemoryBus
     val root = Files.createTempDirectory("sync-to").toString
