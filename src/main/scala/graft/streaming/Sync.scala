@@ -141,9 +141,13 @@ final class ToKafka(bus: Bus, keyCodec: EnvelopeCodec, valueCodec: EnvelopeCodec
     var cursor = bus.endOffsets(spark, Seq(topic)).getOrElse(topic, 0L)
     var continue = true
     while (continue) {
-      val batch = pool.read()
-        .filter(col("kafka.topic") === topic && col("kafka.offset") >= cursor &&
-          col("_type").isNull)
+      val all = pool.read()
+      val dataOnly = // done markers never produce; pools without the
+        // marker column are all data
+        if (all.columns.contains("_type")) all.filter(col("_type").isNull)
+        else all
+      val batch = dataOnly
+        .filter(col("kafka.topic") === topic && col("kafka.offset") >= cursor)
         .orderBy(col("kafka.offset"))
         .limit(batchSize)
         .cache()
