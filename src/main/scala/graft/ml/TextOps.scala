@@ -132,5 +132,50 @@ object TextOps {
         rollingHash(tokens(col("text"))).as("rfp")),
     None)
 
-  val queries: Seq[GQuery] = Seq(qLangId, qTokens, qQuality, qFingerprint, qRollingFp)
+  /** C4-style corpus cleaning: length + stopword + punctuation gates as a
+    * reusable DataFrame stage (composes with dedup stages downstream).
+    */
+  def filterCorpus(docs: org.apache.spark.sql.DataFrame, minWords: Long = 10,
+      maxCharsPerWord: Double = 12.0, minStopRatio: Double = 0.0): org.apache.spark.sql.DataFrame = {
+    val words = size(regexp_extract_all(col("text"), lit("\\w+"), lit(0))).cast("double")
+    val stops = size(regexp_extract_all(lower(col("text")),
+      lit("\\b(the|a|an|and|of|to|in|is|it|for)\\b"), lit(0))).cast("double")
+    val chars = length(col("text")).cast("double")
+    docs.filter(words >= minWords &&
+      (chars / words) <= maxCharsPerWord &&
+      (stops / words) >= minStopRatio)
+  }
+
+  private val qCorpusFilter = GQuery(
+    "q_corpus_filter",
+    (s, d) =>
+      filterCorpus(documents(s, d), minWords = 12, maxCharsPerWord = 6.0)
+        .select("doc_id", "lang", "n_chars"),
+    Some("""SELECT doc_id, lang, n_chars
+            FROM (SELECT *,
+                         CAST(len(regexp_extract_all(text, '\w+')) AS DOUBLE) AS words,
+                         CAST(length(text) AS DOUBLE) AS chars
+                  FROM documents)
+            WHERE words >= 12 AND chars / words <= 6.0"""))
+
+  // whole-corpus summary: the one-row health check of a pipeline stage
+  private val qCorpusStats = GQuery(
+    "q_corpus_stats",
+    (s, d) =>
+      documents(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).cast("long").as("n_unique"),
+        sum(size(regexp_extract_all(col("text"), lit("\\w+"), lit(0))).cast("long"))
+          .cast("long").as("n_tokens"),
+        countDistinct(col("lang")).cast("long").as("n_langs"),
+        max(length(col("text"))).cast("long").as("max_chars")),
+    Some("""SELECT count(*) AS n_docs,
+                   CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+                   CAST(sum(len(regexp_extract_all(text, '\w+'))) AS BIGINT) AS n_tokens,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(max(length(text)) AS BIGINT) AS max_chars
+            FROM documents"""))
+
+  val queries: Seq[GQuery] = Seq(qLangId, qTokens, qQuality, qFingerprint,
+    qRollingFp, qCorpusFilter, qCorpusStats)
 }
