@@ -210,5 +210,25 @@ class EtlDemoSpec extends AnyFunSuite {
     assert(parse("""(value.op=="u") and kafka.topic=="T"""") ==
       And(Cmp("=", Path(Seq("value", "op")), StrLit("u")),
         Cmp("=", Path(Seq("kafka", "topic")), StrLit("T"))))
+    // arithmetic + array indexing (demo/etl.zed: qty * price, records[0])
+    assert(parse("value.qty * value.price + 1") ==
+      Arith("+", Arith("*", Path(Seq("value", "qty")), Path(Seq("value", "price"))),
+        NumLit("1")))
+    assert(parse("records[0]") == Index(Path(Seq("records")), 0))
+    assert(parse("value.total / 2 >= 10") ==
+      Cmp(">=", Arith("/", Path(Seq("value", "total")), NumLit("2")), NumLit("10")))
+    // indexing does not break in-lists
+    assert(parse("""value.op in ["c"]""") ==
+      In(Path(Seq("value", "op")), Seq(StrLit("c"))))
+  }
+
+  test("arithmetic and indexing evaluate in transforms") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((3L, 4L, Seq("a", "b"))).toDF("qty", "price", "records")
+    val out = df.select(
+      ZedExpr.toColumn(ZedExpr.parse("qty * price + 1"), df.schema).as("v"),
+      ZedExpr.toColumn(ZedExpr.parse("records[1]"), df.schema).as("second"))
+    assert(out.head() == org.apache.spark.sql.Row(13L, "b"))
   }
 }
