@@ -97,15 +97,58 @@ object AnnOps {
     None,
     headline = true)
 
-  /** IVF: centroid per cell (label), probe the `nprobe` nearest cells. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    // elementwise mean per label → centroid vectors
-    val cents = corpus
-      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("label", "pos").agg(avg("x").as("m"))
-      .groupBy("label")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        p => p.getField("m")).as("cent"))
+  /** Train a coarse quantizer: Lloyd's k-means over cosine similarity,
+    * deterministic init (the k lowest vec_ids), all in DataFrame ops —
+    * each iteration is one broadcast-join assign + one mean-reduce.
+    */
+  def kmeansCells(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
+    var cents = corpus.orderBy("vec_id").limit(k)
+      .select(row_number().over(Window.orderBy("vec_id")).cast("int").as("cell"),
+        col("v").as("cent"))
+    for (_ <- 0 until iters) {
+      val assigned = corpus
+        .join(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("cell"),
+          cosine(col("v"), col("cent")).as("csim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+      cents = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          p => p.getField("m")).as("cent"))
+    }
+    cents
+  }
+
+  /** Assign each corpus vector to its trained cell. */
+  def assignCells(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
+    corpus.join(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cell"), cosine(col("v"), col("cent")).as("csim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("vec_id", "v", "cell")
+  }
+
+  /** IVF with a trained quantizer: probe the `nprobe` nearest cells. At
+    * scale the cell assignment is precomputed and the corpus is stored
+    * partitioned by cell, so a probe reads only those partitions.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+      cells: Int = 10, trainIters: Int = 3): DataFrame = {
+    val cents = kmeansCells(corpus, cells, trainIters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = assignCells(corpus, cents)
+      .withColumnRenamed("cell", "label")
+    ivfSearch(assigned, cents.withColumnRenamed("cell", "label"), queries, k, nprobe)
+  }
+
+  private def ivfSearch(corpusWithCells: DataFrame, cents: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val corpus = corpusWithCells
     val probe = Window.partitionBy("q_id").orderBy(col("csim").desc, col("label").asc)
     val cells = queries.select(col("vec_id").as("q_id"), col("v").as("qv"))
       .join(broadcast(cents))
