@@ -105,8 +105,13 @@ object Commands {
     val p = Pool.open(spark, root, pool)
     val rows = if (p.isEmpty) 0L else p.read().count()
     import scala.jdk.CollectionConverters._
-    val commits = Files.list(Paths.get(root, pool, "_commits"))
-      .iterator.asScala.count(_.getFileName.toString.endsWith(".txt")).toLong
+    // _commits only appears on first append; a created-but-never-appended
+    // pool has rows=0, commits=0.
+    val commitsDir = Paths.get(root, pool, "_commits")
+    val commits =
+      if (!Files.isDirectory(commitsDir)) 0L
+      else Files.list(commitsDir)
+        .iterator.asScala.count(_.getFileName.toString.endsWith(".txt")).toLong
     Map("rows" -> rows, "commits" -> commits)
   }
 }

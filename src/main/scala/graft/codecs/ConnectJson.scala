@@ -100,12 +100,48 @@ object ConnectJson {
     }
 
   // ---------------------------------------------------------------- value
-  /** Encode a struct column into the Connect envelope string. */
-  def encode(value: Column, dt: DataType): Column =
+  /** Encode a struct column into the Connect envelope string.
+    *
+    * Timestamp columns go over the wire as int64 nanoseconds — matching
+    * both our own schemaJson ("int64") and the reference, which encodes
+    * Zed time as int64 ns (connectjson.go:119 via marshalPayload) — rather
+    * than `to_json`'s default ISO-8601 string rendering.
+    */
+  def encode(value: Column, dt: DataType): Column = {
+    val wired = if (hasTimestamp(dt)) toWire(value, dt) else value
     concat(
       lit("""{"schema":""" + schemaJson(dt) + ""","payload":"""),
-      when(value.isNull, lit("null")).otherwise(to_json(value)),
+      when(value.isNull, lit("null")).otherwise(to_json(wired)),
       lit("}"))
+  }
+
+  private def hasTimestamp(dt: DataType): Boolean = dt match {
+    case TimestampType | TimestampNTZType => true
+    case st: StructType => st.fields.exists(f => hasTimestamp(f.dataType))
+    case ArrayType(inner, _) => hasTimestamp(inner)
+    case _ => false
+  }
+
+  /** StructType with every timestamp leaf replaced by LongType (ns). */
+  private def wireType(dt: DataType): DataType = dt match {
+    case TimestampType | TimestampNTZType => LongType
+    case st: StructType =>
+      StructType(st.fields.map(f => StructField(f.name, wireType(f.dataType))))
+    case ArrayType(inner, n) => ArrayType(wireType(inner), n)
+    case other => other
+  }
+
+  /** Recursively rewrite timestamp leaves to int64 ns for the wire. */
+  private def toWire(c: Column, dt: DataType): Column = dt match {
+    case TimestampType => unix_micros(c) * 1000L
+    case TimestampNTZType => unix_micros(c.cast(TimestampType)) * 1000L
+    case st: StructType if hasTimestamp(st) =>
+      when(c.isNull, lit(null).cast(wireType(st))).otherwise(
+        struct(st.fields.toSeq.map(f => toWire(c.getField(f.name), f.dataType).as(f.name)): _*))
+    case ArrayType(inner, _) if hasTimestamp(inner) =>
+      transform(c, x => toWire(x, inner))
+    case _ => c
+  }
 
   /** Decode the payload of a Connect envelope string into `schema`,
     * reproducing the reference's shaper (connectjson.go:214-226): the
@@ -136,6 +172,14 @@ object ConnectJson {
         struct(st.fields.toSeq.map(f => shape(c.getField(f.name), f.dataType).as(f.name)): _*))
     case ArrayType(inner, _) => transform(c, x => shape(x, inner))
     case BinaryType => unbase64(c)
+    case TimestampType | TimestampNTZType =>
+      // Reference wire format carries time as int64 ns; a numeric string
+      // cast straight to timestamp yields null. Parse the ns long and
+      // truncate to µs (decimal division truncates toward zero, like Go);
+      // fall back to an ISO-8601 string cast for non-numeric payloads.
+      val ns = c.cast(LongType)
+      val us = ns.cast(DecimalType(20, 0)).divide(lit(1000)).cast(LongType)
+      coalesce(timestamp_micros(us), c.cast(TimestampType)).cast(dt)
     case other => c.cast(other)
   }
 

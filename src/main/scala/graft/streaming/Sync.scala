@@ -137,6 +137,9 @@ final class ToKafka(bus: Bus, keyCodec: EnvelopeCodec, valueCodec: EnvelopeCodec
     batchSize: Int = 200) {
 
   def syncOnce(spark: SparkSession, pool: Pool, topic: String): Long = {
+    // An empty pool reads as a zero-column DataFrame; the kafka.* column
+    // references below would fail to resolve. Nothing to produce anyway.
+    if (pool.isEmpty) return 0L
     var produced = 0L
     var cursor = bus.endOffsets(spark, Seq(topic)).getOrElse(topic, 0L)
     var continue = true

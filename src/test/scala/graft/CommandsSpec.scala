@@ -83,4 +83,10 @@ class CommandsSpec extends AnyFunSuite {
     assert(Commands.toKafka(spark, bus, root, "Staging", "Out",
       new ConnectJsonCodec(keySchema), new ConnectJsonCodec(outSchema)) == 0)
   }
+
+  test("info on a created-but-never-appended pool reports zeros") {
+    val root = Files.createTempDirectory("cmd-empty").toString
+    graft.lake.Pool.create(spark, root, "Fresh")
+    assert(Commands.info(spark, root, "Fresh") == Map("rows" -> 0L, "commits" -> 0L))
+  }
 }

@@ -170,6 +170,31 @@ class CodecSpec extends AnyFunSuite {
       df.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("connect-json timestamps travel as int64 ns and round-trip") {
+    // Reference encodes Zed time as int64 nanoseconds (connectjson.go:119);
+    // the schema declares "int64", so the payload must be numeric — an
+    // ISO-8601 string there would be self-inconsistent on the wire.
+    val st = StructType(Seq(
+      StructField("id", LongType),
+      StructField("ts", TimestampType),
+      StructField("nested", StructType(Seq(StructField("seen", TimestampType))))))
+    val t1 = java.sql.Timestamp.from(java.time.Instant.parse("2023-12-03T10:15:30.123456Z"))
+    val t2 = java.sql.Timestamp.from(java.time.Instant.parse("1970-01-02T00:00:00Z"))
+    val rows = Seq(Row(1L, t1, Row(t2)), Row(2L, null, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), st)
+
+    val enc = df.select(ConnectJson.encode(struct(df.columns.map(col): _*), st).as("msg"))
+    val sample = enc.orderBy(get_json_object(col("msg"), "$.payload.id")).head().getString(0)
+    val expectedNs =
+      t1.toInstant.getEpochSecond * 1000000000L + t1.toInstant.getNano
+    assert(sample.contains(s""""ts":$expectedNs"""), sample)
+    assert(!sample.contains("2023-12-03"), sample) // no ISO strings on the wire
+
+    val dec = enc.select(ConnectJson.decode(col("msg"), st).as("v")).select("v.*")
+    assert(dec.collect().map(_.toString).sorted.toSeq ==
+      df.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("general avro unions decode to tagged structs; timestamps to micros") {
     import org.apache.avro.{Schema => AS, SchemaBuilder}
     import org.apache.avro.generic.GenericData

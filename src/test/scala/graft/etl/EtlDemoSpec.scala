@@ -222,6 +222,16 @@ class EtlDemoSpec extends AnyFunSuite {
       In(Path(Seq("value", "op")), Seq(StrLit("c"))))
   }
 
+  test("string literal escapes translate (\\n is a newline, not 'n')") {
+    import ZedExpr._
+    assert(parse("""value.s=="a\nb"""") ==
+      Cmp("=", Path(Seq("value", "s")), StrLit("a\nb")))
+    assert(parse("\"t\\tab\"") == StrLit("t\tab"))
+    assert(parse("\"q\\\"uote\\\\back\"") == StrLit("q\"uote\\back"))
+    assert(parse("\"u\\u0041\"") == StrLit("uA"))
+    intercept[IllegalArgumentException](parse("\"bad\\zescape\""))
+  }
+
   test("arithmetic and indexing evaluate in transforms") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

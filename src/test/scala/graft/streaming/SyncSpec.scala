@@ -115,6 +115,15 @@ class SyncSpec extends AnyFunSuite {
     assert(back == Seq("[c,10]", "[u,20]"))
   }
 
+  test("to-kafka: empty pool is a no-op, not an error") {
+    val bus = new MemoryBus
+    val root = Files.createTempDirectory("sync-to-empty").toString
+    val pool = Pool.create(spark, root, "Empty")
+    val to = new ToKafka(bus, new ConnectJsonCodec(keySchema),
+      new ConnectJsonCodec(valueSchema))
+    assert(to.syncOnce(spark, pool, "Out") == 0L)
+  }
+
   test("from-kafka: registry-avro codec end to end") {
     val bus = new MemoryBus
     val registry = new InMemorySchemaRegistry
