@@ -34,6 +34,10 @@ object Zson {
     case (s: String, _) => Some("\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\t' => "\\t"
+      case '\r' => "\\r"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\"")
     case (seq: scala.collection.Seq[_], ArrayType(inner, _)) =>

@@ -84,6 +84,25 @@ class CommandsSpec extends AnyFunSuite {
       new ConnectJsonCodec(keySchema), new ConnectJsonCodec(outSchema)) == 0)
   }
 
+  test("produce accepts ZSON input files (zync produce parity)") {
+    val bus = new MemoryBus
+    val file = Files.createTempFile("recs", ".zson")
+    Files.write(file,
+      """// two records
+        |{op:"c",n:1}
+        |{op:"u",n:2}
+        |""".stripMargin.getBytes)
+    val valueSchema = StructType(Seq(
+      StructField("op", StringType), StructField("n", LongType)))
+    val produced = Commands.produce(spark, bus, "Z", file.toString,
+      RawStringCodec, new ConnectJsonCodec(valueSchema),
+      valueExpr = "struct(op, n)")
+    assert(produced == Map("Z" -> 2))
+    val lines = Commands.consume(spark, bus, "Z",
+      RawStringCodec, new ConnectJsonCodec(valueSchema))
+    assert(lines.map(_.contains("op:\"c\"")).head)
+  }
+
   test("info on a created-but-never-appended pool reports zeros") {
     val root = Files.createTempDirectory("cmd-empty").toString
     graft.lake.Pool.create(spark, root, "Fresh")

@@ -1,10 +1,14 @@
 package graft.zson
 
+import graft.GraftSession
 import graft.codecs.ZAvro
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
 class ZsonSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.local(4)
 
   test("parses the reference's done/cursor/envelope types") {
     // etl/pipeline.go:29
@@ -39,5 +43,61 @@ class ZsonSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](ZsonType.parse("{a:int64"))
     assertThrows[IllegalArgumentException](ZsonType.parse("{a:frob}"))
     assertThrows[IllegalArgumentException](ZsonType.parse("{a:int64}trailing"))
+  }
+
+  // ------------------------------------------------------ value reader
+
+  test("reads the reference demo batch fixtures (demo/batch-1.zson)") {
+    val path = "/root/reference/demo/batch-1.zson"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+    val df = ZsonValue.read(spark, path)
+    // batch-1: 4 Invoices rows + 2 InvoiceStatus rows (file comments list
+    // 4 status seeds but the values section carries offsets 1-2 per topic)
+    assert(df.columns.toSeq == Seq("kafka", "key", "value"))
+    val invoices = df.filter(col("kafka.topic") === "Invoices")
+    val byOffset = invoices.orderBy("kafka.offset").collect()
+    assert(byOffset.head.getAs[org.apache.spark.sql.Row]("value")
+      .getAs[org.apache.spark.sql.Row]("after")
+      .getAs[String]("customer") == "Alice")
+    // fused schema: Invoices carries customer/item, InvoiceStatus carries
+    // InvoiceID/status — one wide `after` struct
+    val after = df.schema("value").dataType.asInstanceOf[StructType]("after")
+      .dataType.asInstanceOf[StructType].fieldNames.toSet
+    assert(Set("customer", "item").subsetOf(after) ||
+      Set("InvoiceID", "status").subsetOf(after))
+  }
+
+  test("named decorations become the _type marker (demo/staging-1.zson shape)") {
+    val text =
+      """{seqno:3,kafka:{topic:"order",offset:1},row:{qty:2,total:3.98}}
+        |{seqno:2}(=cursor)
+        |""".stripMargin
+    val df = ZsonValue.toDataFrame(spark, text)
+    assert(df.columns.contains("_type"))
+    assert(df.filter(col("_type") === "cursor").select("seqno")
+      .head().getLong(0) == 2L)
+    val data = df.filter(col("_type").isNull)
+    assert(data.select("row.total").head().getDouble(0) == 3.98)
+  }
+
+  test("value reader round-trips Zson rendering") {
+    val text =
+      """{a:1,s:"x\ny",t:2023-12-03T10:15:30.123456Z,arr:[1,2,3],f:2.5,ok:true,raw:0xdeadbeef}
+        |{a:2,missing:"later"}
+        |""".stripMargin
+    val df = ZsonValue.toDataFrame(spark, text)
+    val rendered = Zson.renderAll(df.orderBy("a"))
+    assert(rendered.head ==
+      """{a:1,s:"x\ny",t:2023-12-03T10:15:30.123456Z,arr:[1,2,3],f:2.5,ok:true,raw:0xdeadbeef}""",
+      rendered.head)
+    // re-parse what we rendered: fixpoint
+    val again = ZsonValue.toDataFrame(spark, rendered.mkString("\n"))
+    assert(Zson.renderAll(again.orderBy("a")) == rendered)
+  }
+
+  test("value reader rejects garbage") {
+    assertThrows[IllegalArgumentException](ZsonValue.parseAll("{a:frob}"))
+    assertThrows[IllegalArgumentException](
+      ZsonValue.toDataFrame(spark, """[1,2]"""))
   }
 }
