@@ -67,4 +67,56 @@ object TxnOps {
           }
       }
   }
+
+  final case class TimedTxnEvent(txn: Long, seqno: Long, payload: String,
+      done: Boolean, ts: java.sql.Timestamp)
+  /** `complete=false` rows are the dead-letter channel: transactions whose
+    * done marker never arrived within the TTL.
+    */
+  final case class TxnResult(txn: Long, records: Seq[String], n: Long,
+      complete: Boolean)
+
+  /** Streaming assembly with an event-time TTL: a transaction that stays
+    * incomplete for `ttlMs` past the watermark emits on the dead-letter
+    * channel (`complete=false`) and its state drops — bounded state for
+    * abandoned transactions instead of buffering forever.
+    *
+    * Caller must set a watermark on `ts` before calling (event-time
+    * timeouts require one); at 100 TB scale this is what keeps the state
+    * store from accreting every crashed producer's half-finished txn.
+    */
+  def assembleStreamWithTtl(events: Dataset[TimedTxnEvent], ttlMs: Long): Dataset[TxnResult] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.txn)
+      .flatMapGroupsWithState[TxnBuf, TxnResult](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (txn: Long, it: Iterator[TimedTxnEvent], state: GroupState[TxnBuf]) =>
+          if (state.hasTimedOut) {
+            val buf = state.get
+            state.remove()
+            val sorted = buf.records.sortBy(_.seqno).map(_.payload)
+            Iterator.single(TxnResult(txn, sorted, sorted.size.toLong, complete = false))
+          } else {
+            val prev = state.getOption.getOrElse(TxnBuf(Nil, done = false))
+            val evs = it.toList
+            val buf = TxnBuf(
+              prev.records ++ evs.map(e => TxnRec(e.seqno, e.payload)),
+              prev.done || evs.exists(_.done))
+            if (buf.done) {
+              state.remove()
+              val sorted = buf.records.sortBy(_.seqno).map(_.payload)
+              Iterator.single(TxnResult(txn, sorted, sorted.size.toLong, complete = true))
+            } else {
+              state.update(buf)
+              // Deadline = newest event in this txn + TTL, kept strictly
+              // ahead of the watermark (setTimeoutTimestamp requires it).
+              val maxTs = evs.map(_.ts.getTime).foldLeft(0L)(math.max)
+              state.setTimeoutTimestamp(
+                math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
+              Iterator.empty
+            }
+          }
+      }
+  }
 }
