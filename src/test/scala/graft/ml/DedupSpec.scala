@@ -65,6 +65,34 @@ class DedupSpec extends AnyFunSuite {
     assert(ivfRecall >= 0.6, s"IVF recall too low: $ivfRecall")
   }
 
+  test("ivf index on disk: probes prune to their cell partitions") {
+    val corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = corpus.filter(col("vec_id") < 20)
+    val path = java.nio.file.Files.createTempDirectory("ivf").toString
+    val idx = IvfIndex.build(corpus, path, cells = 10, trainIters = 3)
+
+    // the probed scan reads only nprobe-worth of cell directories (a small
+    // query set — a broad one legitimately touches every cell)
+    val (_, scan) = idx.probedScan(corpus.filter(col("vec_id") < 3), nprobe = 2)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "cell#\\d+ IN".r.findFirstIn(plan).isDefined, plan)
+    val totalCells = idx.centroids.count()
+    val scannedCells = scan.select("cell").distinct().count()
+    assert(scannedCells < totalCells,
+      s"probe should not touch all $totalCells cells (touched $scannedCells)")
+
+    // results match the in-memory IVF quality bar
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(AnnOps.bruteForceTopK(corpus, queries, 5))
+    val fromDisk = pairs(idx.search(queries, 5, nprobe = 4))
+    val recall = (brute & fromDisk).size.toDouble / brute.size
+    info(f"disk-IVF recall=$recall%.2f")
+    assert(recall >= 0.6, s"disk-IVF recall too low: $recall")
+  }
+
   test("exact dedup keeps one representative per content hash") {
     val out = graft.Registry.byName("q_dedup_exact").run(spark, dir)
     val total = out.agg(sum("n_copies")).head().getLong(0)
