@@ -24,6 +24,7 @@ object Registry {
       graft.operators.Connector.queries ++
       graft.ml.TextOps.queries ++
       graft.ml.DedupOps.queries ++
+      graft.ml.ClusterOps.queries ++
       graft.ml.AnnOps.queries ++
       graft.ml.MultimodalOps.queries ++
       graft.etl.EtlOps.queries ++

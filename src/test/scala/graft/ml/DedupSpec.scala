@@ -93,6 +93,33 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"disk-IVF recall too low: $recall")
   }
 
+  test("connected components match union-find (chains, stars, singletons)") {
+    import spark.implicits._
+    // chain 1-2-3-4, triangle 10-11-12 + pendant 13, pair 20-21,
+    // adversarial long chain 30..39 (worst case for star contraction)
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (12L, 13L),
+      (20L, 21L)) ++ (30L until 39L).map(i => (i, i + 1))
+    val pairs = edges.toDF("a", "b")
+    val got = ClusterOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // reference: driver-side union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val want = nodes.map(n => n -> find(n)).toMap
+    assert(got == want)
+  }
+
   test("exact dedup keeps one representative per content hash") {
     val out = graft.Registry.byName("q_dedup_exact").run(spark, dir)
     val total = out.agg(sum("n_copies")).head().getLong(0)
