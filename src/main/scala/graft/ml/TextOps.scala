@@ -132,6 +132,60 @@ object TextOps {
         rollingHash(tokens(col("text"))).as("rfp")),
     None)
 
+  /** PII redaction: URLs, then emails, then long digit runs (ids/phones)
+    * replace with typed placeholder tokens. Pure codegen'd regexp chain —
+    * scan-speed at 100 TB; URL first so an address inside a URL can't
+    * partially survive.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, lit("https?://[^\\s]+"), lit("<URL>")),
+        lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>")),
+      lit("\\b\\d{6,}\\b"), lit("<NUM>"))
+
+  /** Whitespace/case normalization: collapse runs, trim, lowercase. */
+  def normalizeText(c: Column): Column =
+    lower(trim(regexp_replace(c, lit("\\s+"), lit(" "))))
+
+  // The synthetic corpus carries no PII, so the gate query plants a
+  // deterministic email/URL/id per row (pure function of doc_id, rebuilt
+  // identically in the oracle) and asserts the full redact+normalize chain.
+  private val qRedact = GQuery(
+    "q_redact",
+    (s, d) => {
+      val synth = concat(col("text"),
+        lit(" Contact user"), col("doc_id"),
+        lit("@mail.example.com via https://ex.org/d/"), col("doc_id"),
+        lit(" ref "), (col("doc_id") * 1000003L + 7000000L).cast("long"))
+      documents(s, d).select(
+        col("doc_id"),
+        normalizeText(redactPii(synth)).as("clean"),
+        size(regexp_extract_all(synth,
+          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(synth, lit("https?://[^\\s]+"), lit(0)))
+          .cast("long").as("n_urls"),
+        size(regexp_extract_all(synth, lit("\\b\\d{6,}\\b"), lit(0)))
+          .cast("long").as("n_nums"))
+    },
+    Some("""SELECT doc_id,
+                   lower(trim(regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(synth, 'https?://[^\s]+', '<URL>', 'g'),
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b\d{6,}\b', '<NUM>', 'g'),
+                     '\s+', ' ', 'g'))) AS clean,
+                   CAST(len(regexp_extract_all(synth, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(synth, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+                   CAST(len(regexp_extract_all(synth, '\b\d{6,}\b')) AS BIGINT) AS n_nums
+            FROM (SELECT doc_id,
+                         text || ' Contact user' || doc_id ||
+                         '@mail.example.com via https://ex.org/d/' || doc_id ||
+                         ' ref ' || CAST(doc_id * 1000003 + 7000000 AS BIGINT) AS synth
+                  FROM documents)"""))
+
   /** C4-style corpus cleaning: length + stopword + punctuation gates as a
     * reusable DataFrame stage (composes with dedup stages downstream).
     */
@@ -177,5 +231,5 @@ object TextOps {
             FROM documents"""))
 
   val queries: Seq[GQuery] = Seq(qLangId, qTokens, qQuality, qFingerprint,
-    qRollingFp, qCorpusFilter, qCorpusStats)
+    qRollingFp, qCorpusFilter, qCorpusStats, qRedact)
 }
