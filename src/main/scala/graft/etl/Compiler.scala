@@ -83,6 +83,7 @@ object Compiler {
               val doneRows = matched.select(
                 struct(col("kafka.topic").as("topic"),
                   col("kafka.offset").as("offset")).as("kafka"))
+                .withColumn("_outtopic", lit(r.out))
               (data, doneRows)
 
             case "denorm" =>
@@ -103,6 +104,7 @@ object Compiler {
                 .unionByName(joined.select(
                   struct(col("right.kafka.topic").as("topic"),
                     col("right.kafka.offset").as("offset")).as("kafka")))
+                .withColumn("_outtopic", lit(r.out))
               (data, doneRows)
           }
       }
@@ -118,16 +120,21 @@ object Compiler {
       val baseExpr = baseOffsets.foldLeft(lit(0L)) { case (acc, (topic, base)) =>
         when(col("_outtopic") === topic, lit(base)).otherwise(acc)
       }
+      // `_outtopic` survives into the result so a multi-pool pipeline can
+      // split rows (data AND done markers) by their destination pool; the
+      // pipeline drops it before append.
       val renumbered = allData
         .withColumn("_newoff", row_number().over(w).cast("long") - 1L + baseExpr)
         .select(
           col("out.*"),
           struct(col("_outtopic").as("topic"), col("_newoff").as("offset")).as("kafka"),
-          lit(null).cast("string").as(TypeCol))
+          lit(null).cast("string").as(TypeCol),
+          col("_outtopic"))
 
       val doneOut = allDone.select(
         col("kafka"),
-        lit(Done).as(TypeCol))
+        lit(Done).as(TypeCol),
+        col("_outtopic"))
 
       renumbered
         .unionByName(doneOut, allowMissingColumns = true)

@@ -8,10 +8,28 @@ import org.apache.spark.sql.functions._
 /** Runs a compiled ETL transform between pools with exactly-once,
   * restartable semantics (ref: etl/pipeline.go:27-125).
   *
-  * One run: scan input pool → anti-join the output pool's done records →
-  * apply rules → renumber offsets from the output pool's high-water mark →
-  * single atomic append (data + done rows together — the transactional
-  * consistency trick of the reference design).
+  * One run: scan input pool → anti-join the output pools' done records →
+  * apply rules → renumber offsets from each output topic's high-water mark
+  * → one atomic append per output pool (data + done rows together — the
+  * transactional consistency trick of the reference design).
+  *
+  * Two capabilities past the reference:
+  *  - **multi-output pools** (the reference panics on more than one
+  *    compiled program, etl/pipeline.go:66-68): out topics may route to
+  *    different pools via `outputs:`; all rules share one input scan and
+  *    the result splits per pool. Atomicity is per pool — same contract as
+  *    the reference, which never commits across pools at all.
+  *  - **persistent cursor range-limiting** (designed in etl/build.go:9-18
+  *    but never implemented): per topic, the largest done-offset prefix
+  *    CONTIGUOUS from the topic's first input offset is provably
+  *    processed, so the input scan skips it (the literal predicate pushes
+  *    into parquet min/max pruning — incremental runs read only new
+  *    files). The cursor persists in pool metadata with its anchoring
+  *    base; a later run distrusts it if the input min drops below the
+  *    anchor (late data below the cursor), falling back to the full
+  *    done-set computation — a pure scan reduction, never a correctness
+  *    change. The anti-join still covers out-of-order gaps above the
+  *    cursor.
   */
 final class Pipeline(spark: SparkSession, transform: Transform, root: String) {
 
@@ -22,11 +40,51 @@ final class Pipeline(spark: SparkSession, transform: Transform, root: String) {
     "all input topics must route through one pool (matches reference constraint)")
 
   val inputPool: Pool = Pool.open(spark, root, inputPoolNames.head)
-  val outputPool: Pool = Pool.create(spark, root, transform.output.pool)
+
+  /** Out-topic → pool name (unlisted topics land in the primary pool). */
+  private val topicPoolName: Map[String, String] =
+    transform.rules.map(_.out).distinct
+      .map(t => t -> transform.poolForTopic(t)).toMap
+
+  val outputPools: Map[String, Pool] =
+    topicPoolName.values.toSeq.distinct
+      .map(p => p -> Pool.create(spark, root, p)).toMap
+
+  /** Primary output pool (single-output view). */
+  val outputPool: Pool = outputPools(transform.output.pool)
 
   private val program = Compiler.compile(transform)
 
-  /** Returns number of records written (data + done). */
+  private def emptyDone: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("topic",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("offset",
+          org.apache.spark.sql.types.LongType))))
+
+  private def doneSetOf(pool: Pool): DataFrame = {
+    val out = pool.read()
+    if (out.columns.isEmpty || !out.columns.contains(Compiler.TypeCol)) emptyDone
+    else out.filter(col(Compiler.TypeCol) === Compiler.Done)
+      .select(col("kafka.topic").as("topic"), col("kafka.offset").as("offset"))
+  }
+
+  /** Max contiguous done prefix per topic, anchored at `base(topic)`. */
+  private def contiguousPrefix(done: DataFrame, bases: Map[String, Long]): Map[String, Long] = {
+    if (bases.isEmpty) return Map.empty
+    import spark.implicits._
+    val baseDf = bases.toSeq.toDF("topic", "base")
+    val w = Window.partitionBy("topic").orderBy("offset")
+    done.select("topic", "offset").distinct()
+      .join(broadcast(baseDf), Seq("topic"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("offset") === col("base") + col("rn") - 1)
+      .groupBy("topic").agg(max("offset").as("cursor"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** Returns number of records written (data + done), across all pools. */
   def run(): Long = {
     val in = inputPool.read()
     if (in.columns.isEmpty) return 0L
@@ -35,53 +93,83 @@ final class Pipeline(spark: SparkSession, transform: Transform, root: String) {
       if (in.columns.contains(Compiler.TypeCol)) in.filter(col(Compiler.TypeCol).isNull)
       else in
 
-    val doneSet: DataFrame = {
-      val out = outputPool.read()
-      if (out.columns.isEmpty || !out.columns.contains(Compiler.TypeCol))
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("topic",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("offset",
-              org.apache.spark.sql.types.LongType))))
-      else out.filter(col(Compiler.TypeCol) === Compiler.Done)
-        .select(col("kafka.topic").as("topic"), col("kafka.offset").as("offset"))
+    val doneSetAll = outputPools.values.map(doneSetOf)
+      .reduceOption(_.unionByName(_)).getOrElse(emptyDone)
+
+    // per-topic input min offsets — a parquet-stats-only aggregation
+    val minMap: Map[String, Long] = dataIn
+      .groupBy(col("kafka.topic").as("topic")).agg(min("kafka.offset").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // persisted cursors, validated against their anchoring base
+    val persisted: Map[String, (Long, Long)] =
+      outputPools.values.map(_.readCursors())
+        .foldLeft(Map.empty[String, (Long, Long)]) { (acc, m) =>
+          m.foldLeft(acc) { case (a, (t, cb)) =>
+            a.get(t) match {
+              case Some(prev) if prev._1 >= cb._1 => a
+              case _ => a + (t -> cb)
+            }
+          }
+        }
+    val trusted: Map[String, (Long, Long)] = persisted.filter {
+      case (t, (_, base)) => minMap.get(t).forall(_ >= base)
     }
 
-    // Cursor range-limiting — designed but never implemented in the
-    // reference (etl/build.go:9-18, design.md:1-7): per topic, compute the
-    // largest done-offset prefix that is CONTIGUOUS from the topic's first
-    // input offset; everything at or below that cursor is provably
-    // processed, so the input scan can skip it (the filter pushes into
-    // parquet min/max pruning — at scale, incremental runs read only new
-    // files). The anti-join still covers out-of-order gaps above the
-    // cursor, so this is purely a scan reduction, never a correctness
-    // change.
-    // Tiny per-topic metadata queries (same pattern as the reference's
-    // NextProducerOffsets) whose results inline as LITERAL predicates —
-    // that's what lets Catalyst push them into parquet min/max pruning.
-    val cursorMap: Map[String, Long] = {
-      val mins = dataIn.groupBy(col("kafka.topic").as("topic"))
-        .agg(min("kafka.offset").as("base"))
-      val w = Window.partitionBy("topic").orderBy("offset")
-      doneSet.join(mins, Seq("topic"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("offset") === col("base") + col("rn") - 1)
-        .groupBy("topic").agg(max("offset").as("cursor"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // contiguity anchor per topic: past the trusted cursor, else input min
+    val contBases: Map[String, Long] = minMap.map { case (t, m) =>
+      t -> trusted.get(t).map(_._1 + 1L).getOrElse(m)
     }
-    val prunedIn = cursorMap.foldLeft(dataIn) { case (df, (t, c)) =>
+    val storeBases: Map[String, Long] = minMap.map { case (t, m) =>
+      t -> trusted.get(t).map(_._2).getOrElse(m)
+    }
+
+    // the trusted cursor shrinks the done-set scan before the window
+    val doneReduced = trusted.foldLeft(doneSetAll) { case (df, (t, (c, _))) =>
+      df.filter(!(col("topic") === t && col("offset") <= c))
+    }
+    val advanced = contiguousPrefix(doneReduced, contBases)
+    val cursors: Map[String, Long] = contBases.keys.map { t =>
+      t -> math.max(advanced.getOrElse(t, Long.MinValue),
+        trusted.get(t).map(_._1).getOrElse(Long.MinValue))
+    }.filter(_._2 != Long.MinValue).toMap
+
+    val prunedIn = cursors.foldLeft(dataIn) { case (df, (t, c)) =>
       df.filter(!(col("kafka.topic") === t && col("kafka.offset") <= c))
     }
-    val prunedDone = cursorMap.foldLeft(doneSet) { case (df, (t, c)) =>
+    val prunedDone = cursors.foldLeft(doneReduced) { case (df, (t, c)) =>
       df.filter(!(col("topic") === t && col("offset") <= c))
     }
 
-    val bases = outputPool.nextProducerOffsets()
+    // next producer offsets per out topic, from each topic's own pool
+    val bases: Map[String, Long] = outputPools.values
+      .flatMap(_.nextProducerOffsets()).toMap
+
     val result = program.run(prunedIn, prunedDone, bases).cache()
     try {
       val n = result.count()
-      if (n > 0) outputPool.append(result)
+      if (n > 0) {
+        // split by destination pool; per-pool append stays atomic
+        outputPools.foreach { case (poolName, pool) =>
+          val topics = topicPoolName.collect {
+            case (t, p) if p == poolName => t
+          }.toSeq
+          val part = result.filter(col("_outtopic").isin(topics: _*))
+            .drop("_outtopic")
+          if (!part.isEmpty) pool.append(part)
+        }
+        // advance + persist cursors from what is now provably done
+        val newDone = result.filter(col(Compiler.TypeCol) === Compiler.Done)
+          .select(col("kafka.topic").as("topic"), col("kafka.offset").as("offset"))
+        val finalPrefix = contiguousPrefix(prunedDone.unionByName(newDone), contBases)
+        val toStore: Map[String, (Long, Long)] = contBases.keys.flatMap { t =>
+          val c = math.max(finalPrefix.getOrElse(t, Long.MinValue),
+            cursors.getOrElse(t, Long.MinValue))
+          if (c == Long.MinValue) None else Some(t -> (c, storeBases(t)))
+        }.toMap
+        val merged = persisted ++ toStore
+        if (merged.nonEmpty) outputPools.values.foreach(_.writeCursors(merged))
+      }
       n
     } finally result.unpersist()
   }

@@ -19,8 +19,17 @@ final case class Rule(
 
 final case class Transform(
     inputs: Seq[TopicPool],
-    output: TopicPool,
-    rules: Seq[Rule])
+    outputs: Seq[TopicPool],
+    rules: Seq[Rule]) {
+  /** Primary output (reference-parity single-output view). */
+  def output: TopicPool = outputs.head
+  /** Out-topic → pool routing; rule out-topics not listed under `outputs`
+    * land in the primary pool (reference behavior, where every out topic
+    * goes to the single output pool).
+    */
+  def poolForTopic(topic: String): String =
+    outputs.find(_.topic == topic).map(_.pool).getOrElse(output.pool)
+}
 
 object Transform {
 
@@ -30,15 +39,24 @@ object Transform {
       Option(m.get(k)).map(_.toString).getOrElse("")
     val inputs = y.get("inputs").asInstanceOf[java.util.List[java.util.Map[String, Object]]]
       .asScala.toSeq.map(m => TopicPool(str(m, "topic"), str(m, "pool")))
-    val outM = y.get("output").asInstanceOf[java.util.Map[String, Object]]
-    val output = TopicPool(str(outM, "topic"), str(outM, "pool"))
+    // `output:` (reference-compatible single) and/or `outputs:` (the lifted
+    // multi-pool form); the first entry is the primary/default pool
+    val single = Option(y.get("output"))
+      .map(_.asInstanceOf[java.util.Map[String, Object]])
+      .map(m => TopicPool(str(m, "topic"), str(m, "pool"))).toSeq
+    val multi = Option(y.get("outputs"))
+      .map(_.asInstanceOf[java.util.List[java.util.Map[String, Object]]])
+      .map(_.asScala.toSeq.map(m => TopicPool(str(m, "topic"), str(m, "pool"))))
+      .getOrElse(Nil)
+    val outputs = single ++ multi
+    require(outputs.nonEmpty, "transform needs `output:` or `outputs:`")
     val rules = y.get("transforms").asInstanceOf[java.util.List[java.util.Map[String, Object]]]
       .asScala.toSeq.map { m =>
         Rule(str(m, "type"), str(m, "where"), str(m, "in"),
           str(m, "left"), str(m, "right"), str(m, "join-on"),
           str(m, "out"), str(m, "zed"))
       }
-    Transform(inputs, output, rules)
+    Transform(inputs, outputs, rules)
   }
 
   /** Route validation mirroring etl/routes.go:53-73 + build.go:29-57:

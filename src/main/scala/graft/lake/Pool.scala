@@ -171,6 +171,39 @@ final class Pool private (val spark: SparkSession, val name: String,
       Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     }
 
+  /** Persisted per-topic ETL cursors (derived metadata — safe to lose,
+    * recomputed from the done-set when absent). `cursor` = highest offset
+    * provably processed via a contiguous done prefix; `base` = the input
+    * min-offset that contiguity was anchored at. A reader must distrust
+    * the cursor when current input min < base (late arrival below the
+    * anchor), which keeps persistence safe even without the reference's
+    * monotone-offset consumer guard.
+    */
+  def writeCursors(cursors: Map[String, (Long, Long)]): Unit = {
+    if (cursors.isEmpty) return
+    val json = cursors.toSeq.sortBy(_._1).map { case (t, (c, b)) =>
+      s""""${t.replace("\"", "\\\"")}": {"cursor": $c, "base": $b}"""
+    }.mkString("{", ", ", "}")
+    val tmp = root.resolve(".cursors-tmp")
+    Files.write(tmp, json.getBytes)
+    Files.move(tmp, root.resolve("cursors.json"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def readCursors(): Map[String, (Long, Long)] = {
+    val f = root.resolve("cursors.json")
+    if (!Files.exists(f)) return Map.empty
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(Files.readAllBytes(f))
+    val it = node.fields()
+    val buf = scala.collection.mutable.Map[String, (Long, Long)]()
+    while (it.hasNext) {
+      val e = it.next()
+      buf(e.getKey) = (e.getValue.get("cursor").asLong(), e.getValue.get("base").asLong())
+    }
+    buf.toMap
+  }
+
   /** Per-topic next producer offsets: max(kafka.offset)+1 by kafka.topic
     * (ref: etl/pool.go:60-81). Empty topics default to 0 at call sites.
     */

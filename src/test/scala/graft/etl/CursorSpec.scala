@@ -49,11 +49,17 @@ class CursorSpec extends AnyFunSuite {
 
     raw.append(rows(Seq(1L, 2L, 3L)))
     assert(new Pipeline(spark, transform, root).run() == 6) // 3 data + 3 done
+    // cursor persisted: contiguous done prefix 1..3 anchored at base 1
+    val staging = Pool.open(spark, root, "Staging")
+    assert(staging.readCursors() == Map("T" -> (3L, 1L)))
 
-    // out-of-order arrival BELOW the previous max: offset 0 lands late
+    // out-of-order arrival BELOW the previous anchor: offset 0 lands late —
+    // the persisted cursor must be distrusted, not skip offset 0
     raw.append(rows(Seq(0L, 4L)))
     val p2 = new Pipeline(spark, transform, root)
     assert(p2.run() == 4, "late offset 0 and new offset 4 both process")
+    // cursor re-anchored at the new min and advanced over 0..4
+    assert(staging.readCursors() == Map("T" -> (4L, 0L)))
 
     // re-run: nothing left
     assert(new Pipeline(spark, transform, root).run() == 0)
@@ -66,5 +72,59 @@ class CursorSpec extends AnyFunSuite {
     val doneOffsets = out.filter("_type = 'done'")
       .select("kafka.offset").collect().map(_.getLong(0)).sorted.toSeq
     assert(doneOffsets == Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
+  val multiYaml: String =
+    """inputs:
+      |  - topic: T
+      |    pool: Raw
+      |output:
+      |  topic: O1
+      |  pool: StagingA
+      |outputs:
+      |  - topic: O2
+      |    pool: StagingB
+      |transforms:
+      |  - type: stateless
+      |    where: value.x == 20 or value.x == 40
+      |    in: T
+      |    out: O1
+      |    zed: |
+      |      | out:={ key: in.key, value: { x: in.value.x } }
+      |  - type: stateless
+      |    in: T
+      |    out: O2
+      |    zed: |
+      |      | out:={ key: in.key, value: { y: in.value.x } }
+      |""".stripMargin
+
+  test("multi-output pools: one scan, rows and done markers split per pool") {
+    val root = Files.createTempDirectory("cursor-multi").toString
+    val raw = Pool.create(spark, root, "Raw")
+    val transform = Transform.fromYaml(multiYaml)
+
+    raw.append(rows(Seq(1L, 2L, 3L, 4L))) // x = 10,20,30,40: evens → O1
+    assert(new Pipeline(spark, transform, root).run() == 8) // 4 data + 4 done
+
+    val a = Pool.open(spark, root, "StagingA").read()
+    val b = Pool.open(spark, root, "StagingB").read()
+    // data rows split by rule out topic
+    assert(a.filter("_type IS NULL").select("value.x")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(20L, 40L))
+    assert(a.filter("_type IS NULL").select("kafka.topic").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("O1"))
+    assert(b.filter("_type IS NULL").select("value.y")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 30L))
+    // done markers live in the pool of the rule that consumed the record
+    assert(a.filter("_type = 'done'").select("kafka.offset")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 4L))
+    assert(b.filter("_type = 'done'").select("kafka.offset")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+
+    // idempotency needs the UNION of both pools' done sets
+    assert(new Pipeline(spark, transform, root).run() == 0)
+    // cursor over the union reaches 4, persisted on both pools
+    assert(Pool.open(spark, root, "StagingA").readCursors() == Map("T" -> (4L, 1L)))
+    assert(Pool.open(spark, root, "StagingB").readCursors() == Map("T" -> (4L, 1L)))
   }
 }
