@@ -25,6 +25,7 @@ object Registry {
       graft.ml.TextOps.queries ++
       graft.ml.DedupOps.queries ++
       graft.ml.ClusterOps.queries ++
+      graft.ml.PackOps.queries ++
       graft.ml.AnnOps.queries ++
       graft.ml.MultimodalOps.queries ++
       graft.etl.EtlOps.queries ++

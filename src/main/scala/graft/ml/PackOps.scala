@@ -1,0 +1,113 @@
+package graft.ml
+
+import graft.GQuery
+import graft.functions._
+import graft.sources.Tables._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus→training-batch operators: sequence packing (concat-then-chunk
+  * into fixed token budgets) and deterministic sampling.
+  *
+  * The packing prefix-sum is the scale-critical piece: a naive
+  * `Window.orderBy(id)` is a single-partition sort — the whole corpus
+  * through one task. [[prefixSum]] instead range-partitions on the order
+  * key, cumsums within each partition in parallel, and offsets each
+  * partition by the (tiny, driver-side) running total of partition sums —
+  * the classic two-phase distributed scan. Identical result, no
+  * single-task bottleneck at 100 TB.
+  */
+object PackOps {
+
+  /** Adds `cum` = running sum of `valueCol` in `orderCol` order. */
+  def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
+      partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = df.repartitionByRange(n, col(orderCol))
+      .withColumn("_part", spark_partition_id())
+    // per-partition running sum — parallel windows, one per range slice
+    val local = parted.withColumn("_local",
+      sum(col(valueCol)).over(
+        Window.partitionBy("_part").orderBy(orderCol)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // partition totals → driver-side exclusive scan (numPartitions rows)
+    val totals = local.groupBy("_part").agg(max("_local").as("_total"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = totals.scanLeft((0, 0L)) { case ((_, acc), (p, t)) => (p, acc + t) }
+      .sliding(2).collect { case Array((_, acc), (p, _)) => (p, acc) }.toMap
+    val baseExpr = bases.foldLeft(lit(0L)) { case (acc, (p, b)) =>
+      when(col("_part") === p, lit(b)).otherwise(acc)
+    }
+    local.withColumn("cum", col("_local") + baseExpr).drop("_part", "_local")
+  }
+
+  /** Concat-then-chunk packing: documents in `orderCol` order fill
+    * fixed-size token windows; each doc gets its sequence id and offset.
+    * (A doc longer than `budget` spans sequences — same as LLM training
+    * packing, where the chunker splits at the context boundary.)
+    */
+  def packSequences(docs: DataFrame, budget: Long, orderCol: String = "doc_id",
+      tokenCol: String = "n_tokens"): DataFrame =
+    prefixSum(docs, orderCol, tokenCol)
+      .withColumn("seq_id", floor((col("cum") - col(tokenCol)) / budget).cast("long"))
+      .withColumn("seq_off", ((col("cum") - col(tokenCol)) % budget).cast("long"))
+      .drop("cum")
+
+  private val qPack = GQuery(
+    "q_pack",
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      packSequences(docs, budget = 512L)
+        .select("doc_id", "n_tokens", "seq_id", "seq_off")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+                              CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                                   x -> len(x) > 0)) AS BIGINT) AS n_tokens
+                       FROM documents),
+                 c AS (SELECT doc_id, n_tokens,
+                              sum(n_tokens) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                       FROM t)
+            SELECT doc_id, n_tokens,
+                   CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
+                   CAST((cum - n_tokens) % 512 AS BIGINT) AS seq_off
+            FROM c"""))
+
+  // Deterministic sampling: md5-of-id keys are uniform, engine-independent,
+  // and stable across runs — a rerun selects the SAME sample (unlike
+  // rand()), which is what reproducible corpus construction needs.
+  //  - uniform: hex-threshold filter, no shuffle at all (scan-speed gate)
+  //  - stratified: fixed fraction per language via row_number over the
+  //    md5 order within each stratum
+  private val qSample = GQuery(
+    "q_sample",
+    (s, d) => {
+      val docs = documents(s, d)
+      val key = md5(col("doc_id").cast("string"))
+      val uniform = docs.filter(key < "1a")
+        .select(col("doc_id"), col("lang"), lit("uniform").as("method"))
+      val w = Window.partitionBy("lang").orderBy("_k")
+      val stratified = docs.select(col("doc_id"), col("lang"), key.as("_k"))
+        .withColumn("_rn", row_number().over(w))
+        .withColumn("_n", count(lit(1)).over(Window.partitionBy("lang")))
+        .filter(col("_rn") <= ceil(col("_n") * 0.2))
+        .select(col("doc_id"), col("lang"), lit("stratified").as("method"))
+      uniform.unionByName(stratified)
+    },
+    Some("""SELECT doc_id, lang, 'uniform' AS method FROM documents
+            WHERE md5(CAST(doc_id AS VARCHAR)) < '1a'
+            UNION ALL
+            SELECT doc_id, lang, 'stratified' FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM documents)
+            WHERE rn <= ceil(n * 0.2)"""))
+
+  val queries: Seq[GQuery] = Seq(qPack, qSample)
+}

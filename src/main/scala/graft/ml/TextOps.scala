@@ -186,6 +186,35 @@ object TextOps {
                          ' ref ' || CAST(doc_id * 1000003 + 7000000 AS BIGINT) AS synth
                   FROM documents)"""))
 
+  // Vocabulary with document frequency + idf — the wordcount shape:
+  // explode is map-side, the groupBy partial-aggregates before the one
+  // shuffle on word, top-k under a total order (df desc, word) so the cut
+  // is deterministic.
+  private val qVocab = GQuery(
+    "q_vocab",
+    (s, d) => {
+      val docs = documents(s, d)
+      val total = docs.count().toDouble
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .groupBy("word")
+        .agg(countDistinct("doc_id").cast("long").as("df"),
+          count(lit(1)).as("tf"))
+        .withColumn("idf", stableRound(log(lit(total) / col("df")), 4))
+        .orderBy(col("df").desc, col("word").asc)
+        .limit(50)
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                            x -> len(x) > 0)) AS word
+              FROM documents),
+            v AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+                         count(*) AS tf
+                  FROM toks GROUP BY word)
+            SELECT word, df, tf,
+                   floor(ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / df) * 10000 + 0.5) / 10000 AS idf
+            FROM v ORDER BY df DESC, word LIMIT 50"""))
+
   /** C4-style corpus cleaning: length + stopword + punctuation gates as a
     * reusable DataFrame stage (composes with dedup stages downstream).
     */
@@ -231,5 +260,5 @@ object TextOps {
             FROM documents"""))
 
   val queries: Seq[GQuery] = Seq(qLangId, qTokens, qQuality, qFingerprint,
-    qRollingFp, qCorpusFilter, qCorpusStats, qRedact)
+    qRollingFp, qCorpusFilter, qCorpusStats, qRedact, qVocab)
 }
