@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** SparkSessionExtensions entry point: exposes graft's function surface to
+  * SQL (`spark.sql("SELECT simhash64(tokens(text)) ...")`), so the engine
+  * is usable from pure-SQL contexts (thrift server, notebooks, `spark.sql`
+  * pipelines) exactly like from the DataFrame API.
+  *
+  * Wire it at session build time:
+  * {{{ spark.sql.extensions=graft.GraftExtensions }}}
+  * or onto a live session with [[GraftExtensions.install]] (what
+  * [[GraftSession.tune]] does).
+  *
+  * The two native Catalyst expressions (simhash64, hyperplane_sigs)
+  * register directly; the rest are Column compositions bridged back to
+  * expressions — they stay fully codegen-able either way.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.GraftExtensions", name), builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def c(e: Expression): Column = Bridge.column(e)
+  private def e(cl: Column): Expression = Bridge.analyzedExpression(cl)
+
+  private def litInt(ex: Expression, fn: String, pos: Int): Int = ex match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument $pos must be an integer literal, got $other")
+  }
+
+  /** name → SQL builder for every registered function. */
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "simhash64" -> ((args: Seq[Expression]) =>
+      e(graft.functions.SimHash64Expr.simhash64Native(c(args.head)))),
+    "hyperplane_sigs" -> ((args: Seq[Expression]) =>
+      e(graft.functions.HyperplaneSigsExpr.hyperplaneSigs(c(args(0)),
+        litInt(args(1), "hyperplane_sigs", 1), litInt(args(2), "hyperplane_sigs", 2)))),
+    "graft_tokens" -> ((args: Seq[Expression]) => e(tokens(c(args.head)))),
+    "shingles" -> ((args: Seq[Expression]) =>
+      e(shingles(c(args(0)), litInt(args(1), "shingles", 1)))),
+    "shingle_hashes" -> ((args: Seq[Expression]) => e(shingleHashes(c(args.head)))),
+    "minhash_sig" -> ((args: Seq[Expression]) =>
+      e(minhashSignature(c(args(0)), litInt(args(1), "minhash_sig", 1)))),
+    "lsh_bands" -> ((args: Seq[Expression]) =>
+      e(lshBands(c(args(0)), litInt(args(1), "lsh_bands", 1),
+        litInt(args(2), "lsh_bands", 2)))),
+    "jaccard" -> ((args: Seq[Expression]) => e(jaccard(c(args(0)), c(args(1))))),
+    "cosine" -> ((args: Seq[Expression]) => e(cosine(c(args(0)), c(args(1))))),
+    "hamming64" -> ((args: Seq[Expression]) => e(hamming64(c(args(0)), c(args(1))))),
+    "rolling_hash" -> ((args: Seq[Expression]) => e(rollingHash(c(args.head)))),
+    "bpeish_token_count" -> ((args: Seq[Expression]) =>
+      e(bpeishTokenCount(c(args.head)))),
+    "stable_round" -> ((args: Seq[Expression]) =>
+      e(stableRound(c(args(0)), litInt(args(1), "stable_round", 1)))))
+
+  /** Register everything on a live session (idempotent). */
+  def install(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      Bridge.registerFunction(spark, name, builder)
+    }
+}

@@ -12,4 +12,31 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly convert a Column to a catalyst expression via the active
+    * session's ColumnNode converter. Required when the expression embeds
+    * into an already-running analysis (e.g. a FunctionRegistry builder):
+    * the lazy ColumnNodeExpression from [[expression]] would never get
+    * converted there and fails at execution with INTERNAL_ERROR.
+    */
+  def analyzedExpression(c: Column): Expression =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].expression(c)
+      case None => ExpressionUtils.expression(c)
+    }
+
+  /** Register a SQL function on a live session (sessionState is
+    * `private[sql]`); same registry path SparkSessionExtensions uses at
+    * build time. Idempotent — re-registration overwrites.
+    */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.GraftExtensions", name),
+      builder)
+  }
 }

@@ -1,0 +1,62 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL surface parity: every registered function returns exactly what its
+  * DataFrame-API form returns, both through `spark.sql` text and through
+  * `selectExpr`. Also checks session-build-time injection via
+  * spark.sql.extensions.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark = {
+    val s = GraftSession.local(4)
+    GraftExtensions.install(s)
+    s
+  }
+
+  test("SQL functions match their DataFrame forms") {
+    import spark.implicits._
+    val df = Seq(
+      ("The quick brown fox jumps over the lazy dog", Seq(1.0, 2.0, 3.0), Seq(0.5, 2.5, 2.0)),
+      ("pack my box with five dozen liquor jugs!!", Seq(-1.0, 0.0, 4.0), Seq(1.0, 1.0, 1.0)))
+      .toDF("text", "va", "vb")
+    df.createOrReplaceTempView("ext_t")
+
+    val viaSql = spark.sql(
+      """SELECT simhash64(graft_tokens(text)) AS sh,
+                minhash_sig(shingle_hashes(shingles(graft_tokens(text), 3)), 16) AS mh,
+                stable_round(cosine(va, vb), 4) AS cos,
+                stable_round(jaccard(graft_tokens(text), graft_tokens(text)), 4) AS jac,
+                bpeish_token_count(text) AS bpe,
+                rolling_hash(graft_tokens(text)) AS rh,
+                hyperplane_sigs(va, 8, 4) AS hp
+         FROM ext_t""").collect()
+    val viaDf = df.select(
+      SimHash64Expr.simhash64Native(tokens(col("text"))).as("sh"),
+      minhashSignature(shingleHashes(shingles(tokens(col("text")), 3)), 16).as("mh"),
+      stableRound(cosine(col("va"), col("vb")), 4).as("cos"),
+      stableRound(jaccard(tokens(col("text")), tokens(col("text"))), 4).as("jac"),
+      bpeishTokenCount(col("text")).as("bpe"),
+      rollingHash(tokens(col("text"))).as("rh"),
+      HyperplaneSigsExpr.hyperplaneSigs(col("va"), 8, 4).as("hp")).collect()
+    assert(viaSql.map(_.toString).toSeq == viaDf.map(_.toString).toSeq)
+    assert(viaSql.head.getSeq[Long](6).size == 4) // 4 tables' signatures
+  }
+
+  test("non-literal table/band counts are rejected with a clear error") {
+    val err = intercept[Exception](
+      spark.sql("SELECT hyperplane_sigs(array(1.0), cast(rand()*4 AS INT), 2)").collect())
+    assert(err.getMessage.contains("integer literal"))
+  }
+
+  test("spark.sql.extensions wiring injects at session build") {
+    // verify the extension class instantiates and registers without error
+    // against a throwaway builder config (same JVM session reuse means we
+    // exercise apply() directly rather than a second live session)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+  }
+}
