@@ -25,10 +25,12 @@ import scala.jdk.CollectionConverters._
   * named types (SURVEY §7).
   *
   * Scale: one manifest per commit, O(1) listing per read via the _commits
-  * dir only; data files can be thousands of partitioned parquet parts. The
-  * single-writer assumption matches the reference
-  * (README.md:148-155,168-177); swap the manifest protocol for a
-  * transactional table format to lift it.
+  * dir only; data files can be thousands of partitioned parquet parts.
+  * Appends are multi-writer safe (nonce'd file names + create-exclusive
+  * manifest publication, see [[append]]) — past the reference's
+  * single-writer decree (README.md:148-155,168-177); compaction aborts if
+  * it loses the race (see [[compact]]). On object stores without hard
+  * links, swap the publish primitive for a conditional PUT.
   */
 final class Pool private (val spark: SparkSession, val name: String,
     val root: Path, val key: String) {
@@ -93,31 +95,60 @@ final class Pool private (val spark: SparkSession, val name: String,
   }
 
   /** Atomically append one batch: data files first, then one manifest
-    * rename makes them visible (ref: fifo/lake.go:58-60 LoadBatch).
+    * publication makes them visible (ref: fifo/lake.go:58-60 LoadBatch).
     * The batch is sorted within partitions by the pool key so parquet
     * min/max stats make key-range scans cheap.
+    *
+    * Concurrent-writer safe: data files carry a per-writer nonce (no name
+    * collisions), and the manifest publishes via create-exclusive hard
+    * link — the CAS a plain rename can't provide, since POSIX rename
+    * silently REPLACES an existing target and would drop the losing
+    * writer's commit. A loser re-reads the log, takes the next sequence
+    * number, and republishes the same file list.
     */
   def append(df: DataFrame): String = {
     Files.createDirectories(dataDir)
     Files.createDirectories(commitsDir)
-    val commitId = f"${nextSeq()}%08d"
-    val staging = root.resolve(s"_staging-$commitId")
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val staging = root.resolve(s"_staging-$nonce")
     val sorted = scala.util.Try(df(key)).toOption
       .map(df.sortWithinPartitions(_)).getOrElse(df)
     sorted.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     val parts = Files.list(staging).iterator.asScala.toSeq
       .filter(_.getFileName.toString.endsWith(".parquet"))
     val names = parts.zipWithIndex.map { case (p, i) =>
-      val nm = s"c$commitId-$i.parquet"
+      val nm = s"c$nonce-$i.parquet"
       Files.move(p, dataDir.resolve(nm), StandardCopyOption.ATOMIC_MOVE)
       nm
     }
-    // manifest last — the atomic commit point
-    val tmp = commitsDir.resolve(s".tmp-$commitId")
-    Files.write(tmp, names.mkString("\n").getBytes)
-    Files.move(tmp, commitsDir.resolve(s"$commitId.txt"), StandardCopyOption.ATOMIC_MOVE)
+    val id = publishManifest(names, nonce)
     deleteRecursively(staging)
-    commitId
+    id
+  }
+
+  /** Write the manifest under the next free sequence number; retry on
+    * publish races. Returns the winning commit id.
+    */
+  private def publishManifest(lines: Seq[String], nonce: String,
+      maxAttempts: Int = 50): String = {
+    val tmp = commitsDir.resolve(s".tmp-$nonce")
+    Files.write(tmp, lines.mkString("\n").getBytes)
+    var attempt = 0
+    try {
+      while (attempt < maxAttempts) {
+        val commitId = f"${nextSeq()}%08d"
+        try {
+          // hard link = atomic create-exclusive on POSIX: fails (rather
+          // than replaces) if another writer took this sequence number
+          Files.createLink(commitsDir.resolve(s"$commitId.txt"), tmp)
+          return commitId
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => attempt += 1
+        }
+      }
+      throw new IllegalStateException(
+        s"pool $name: lost $maxAttempts commit races, giving up")
+    } finally Files.deleteIfExists(tmp)
   }
 
   private def nextSeq(): Int =
@@ -134,26 +165,39 @@ final class Pool private (val spark: SparkSession, val name: String,
   def compact(): String = {
     val files = committedFiles()
     if (files.isEmpty) return "empty"
+    // A compact manifest supersedes the log before it, so it must publish
+    // at EXACTLY the sequence number observed when the file list was read:
+    // if a concurrent append wins that number, retrying at a later one
+    // would hide the appended commit. Lose the race → abort and clean up
+    // (the caller can re-run; appends are never blocked or lost).
+    val expected = f"${nextSeq()}%08d"
     val df = read()
     val sorted = scala.util.Try(df(key)).toOption
       .map(c => df.repartitionByRange(df.sparkSession.conf
         .get("spark.sql.shuffle.partitions").toInt, c).sortWithinPartitions(c))
       .getOrElse(df)
-    val commitId = f"${nextSeq()}%08d"
-    val staging = root.resolve(s"_staging-$commitId")
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val staging = root.resolve(s"_staging-$nonce")
     sorted.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     val parts = Files.list(staging).iterator.asScala.toSeq
       .filter(_.getFileName.toString.endsWith(".parquet"))
     val names = parts.zipWithIndex.map { case (p, i) =>
-      val nm = s"c$commitId-$i.parquet"
+      val nm = s"c$nonce-$i.parquet"
       Files.move(p, dataDir.resolve(nm), StandardCopyOption.ATOMIC_MOVE)
       nm
     }
-    val tmp = commitsDir.resolve(s".tmp-$commitId")
+    val tmp = commitsDir.resolve(s".tmp-$nonce")
     Files.write(tmp, ("#compact" +: names).mkString("\n").getBytes)
-    Files.move(tmp, commitsDir.resolve(s"$commitId.txt"), StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(staging)
-    commitId
+    try {
+      Files.createLink(commitsDir.resolve(s"$expected.txt"), tmp)
+      deleteRecursively(staging)
+      expected
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        names.foreach(n => Files.deleteIfExists(dataDir.resolve(n)))
+        deleteRecursively(staging)
+        "conflict"
+    } finally Files.deleteIfExists(tmp)
   }
 
   /** Delete data files no longer referenced by any visible manifest. */

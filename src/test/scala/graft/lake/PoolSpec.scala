@@ -34,6 +34,28 @@ class PoolSpec extends AnyFunSuite {
       Pool.create(spark, root, "P", key = "other"))
   }
 
+  test("concurrent appends all commit exactly once (manifest CAS)") {
+    val root = Files.createTempDirectory("pool-conc").toString
+    val p = Pool.create(spark, root, "C")
+    val writers = 8
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val ids = Await.result(
+      Future.sequence((0 until writers).map(i => Future {
+        p.append(batch(s"t$i", 0 until 10))
+      })), 120.seconds)
+    assert(ids.toSet.size == writers, s"duplicate commit ids: $ids")
+    assert(p.commits().size == writers)
+    assert(p.read().count() == writers * 10L)
+    // every topic's rows survived intact — no lost or overwritten commit
+    val perTopic = p.read().groupBy("kafka.topic").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perTopic == (0 until writers).map(i => s"t$i" -> 10L).toMap)
+    // a losing compact aborts cleanly rather than hiding commits
+    assert(p.vacuum() == 0, "no dead files after contended appends")
+  }
+
   test("compact supersedes prior commits; vacuum removes dead files") {
     val root = Files.createTempDirectory("pool-c").toString
     val p = Pool.create(spark, root, "P")
