@@ -39,6 +39,8 @@ object ZAvro {
     * identity for record names (`zson.FormatType` in the reference).
     */
   def zsonType(dt: DataType): String = dt match {
+    case st: StructType if isTaggedUnion(st) =>
+      st.fields.drop(1).map(f => zsonType(f.dataType)).mkString("(", ",", ")")
     case st: StructType =>
       st.fields.map(f => s"${f.name}:${zsonType(f.dataType)}").mkString("{", ",", "}")
     case ArrayType(inner, _) => s"[${zsonType(inner)}]"
@@ -55,6 +57,15 @@ object ZAvro {
     case NullType => "null"
     case other => throw new IllegalArgumentException(s"unsupported type: $other")
   }
+
+  /** The tagged-struct stand-in for Zed/Avro union types: {tag:int,
+    * u0..uN}. [[avroToSpark]] produces this shape on decode; recognizing
+    * it on encode closes the round trip (the reference is decode-only).
+    */
+  private[codecs] def isTaggedUnion(st: StructType): Boolean =
+    st.fields.length >= 3 && st.fields.head.name == "tag" &&
+      st.fields.head.dataType == IntegerType &&
+      st.fields.drop(1).zipWithIndex.forall { case (f, i) => f.name == s"u$i" }
 
   def recordName(dt: DataType): String = {
     val md = MessageDigest.getInstance("MD5")
@@ -101,6 +112,8 @@ object ZAvro {
     private val seen = scala.collection.mutable.Map[String, String]() // zson -> name
 
     def gen(dt: DataType): J = dt match {
+      case st: StructType if isTaggedUnion(st) =>
+        JArr(st.fields.toSeq.drop(1).map(f => gen(f.dataType)))
       case st: StructType =>
         val zson = zsonType(st)
         seen.get(zson) match {
@@ -112,9 +125,16 @@ object ZAvro {
               val inner = gen(f.dataType)
               val typ = inner match {
                 case JStr("null") => inner // null-typed fields are not unioned
+                case JArr(_) => inner // union fields embed as-is (no nesting)
                 case _ => JArr(Seq(JStr("null"), inner))
               }
-              JObj(Seq("name" -> JStr(f.name), "type" -> typ, "default" -> JNull))
+              // a null default is only legal when the first branch is null
+              val nullOk = typ match {
+                case JArr(items) => items.headOption.contains(JStr("null"))
+                case _ => true
+              }
+              JObj(Seq("name" -> JStr(f.name), "type" -> typ) ++
+                (if (nullOk) Seq("default" -> JNull) else Nil))
             }
             JObj(Seq(
               "type" -> JStr("record"),
@@ -150,6 +170,8 @@ object ZAvro {
   def avroSchema(st: StructType, namespace: String): ASchema = {
     val seen = scala.collection.mutable.Map[String, ASchema]()
     def go(dt: DataType): ASchema = dt match {
+      case s: StructType if isTaggedUnion(s) =>
+        ASchema.createUnion(s.fields.toSeq.drop(1).map(f => go(f.dataType)).asJava)
       case s: StructType =>
         val zson = zsonType(s)
         seen.getOrElse(zson, {
@@ -158,10 +180,18 @@ object ZAvro {
           seen(zson) = rec
           val fields = s.fields.toSeq.map { f =>
             val inner = go(f.dataType)
-            val typ =
-              if (inner.getType == ASchema.Type.NULL) inner
-              else ASchema.createUnion(ASchema.create(ASchema.Type.NULL), inner)
-            new ASchema.Field(f.name, typ, null, ASchema.Field.NULL_DEFAULT_VALUE)
+            val typ = inner.getType match {
+              case ASchema.Type.NULL => inner
+              // union fields embed as-is: Avro forbids nested unions, and
+              // a decode-produced union already carries its null branch
+              case ASchema.Type.UNION => inner
+              case _ => ASchema.createUnion(ASchema.create(ASchema.Type.NULL), inner)
+            }
+            val dflt =
+              if (typ.getType == ASchema.Type.UNION &&
+                typ.getTypes.get(0).getType != ASchema.Type.NULL) null
+              else ASchema.Field.NULL_DEFAULT_VALUE
+            new ASchema.Field(f.name, typ, null, dflt)
           }
           rec.setFields(fields.asJava)
           rec
@@ -185,6 +215,16 @@ object ZAvro {
   // --------------------------------------------------------- row ⇄ binary
   private def toAvro(v: Any, dt: DataType, schema: ASchema): AnyRef = {
     if (v == null) return null
+    // tagged-union value: route to the branch the tag names
+    dt match {
+      case st: StructType if isTaggedUnion(st) &&
+          schema.getType == ASchema.Type.UNION =>
+        val r = v.asInstanceOf[Row]
+        val tag = r.getInt(0)
+        return toAvro(r.get(tag + 1), st.fields(tag + 1).dataType,
+          schema.getTypes.get(tag))
+      case _ =>
+    }
     // unwrap the nullable union for the value side
     val s = if (schema.getType == ASchema.Type.UNION)
       schema.getTypes.asScala.find(_.getType != ASchema.Type.NULL).get

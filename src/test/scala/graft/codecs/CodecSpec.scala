@@ -195,6 +195,31 @@ class CodecSpec extends AnyFunSuite {
       df.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("tagged structs encode back to avro general unions (round trip)") {
+    // encode direction for the union stand-in — the reference is
+    // decode-only (zavro/schema.go:234-244); this closes the loop
+    val unionT = StructType(Seq(
+      StructField("tag", IntegerType),
+      StructField("u0", StringType), StructField("u1", LongType)))
+    val st = StructType(Seq(StructField("id", LongType), StructField("v", unionT)))
+    assert(ZAvro.zsonType(st) == "{id:int64,v:(string,int64)}")
+
+    val avro = ZAvro.avroSchema(st, "ns")
+    val vField = avro.getField("v").schema()
+    assert(vField.getType == org.apache.avro.Schema.Type.UNION)
+    assert(vField.getTypes.size() == 2) // [string, long] — no null nesting
+
+    val rows = Seq(Row(1L, Row(0, "hello", null)), Row(2L, Row(1, null, 42L)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), st)
+    val reg = new InMemorySchemaRegistry
+    val enc = df.select(
+      ZAvro.encodeColumn(struct(col("id"), col("v")), st, "ns", reg).as("msg"))
+    val back = enc.select(ZAvro.decodeColumn(col("msg"), st, reg).as("r"))
+      .select("r.*").orderBy("id").collect()
+    assert(back(0) == Row(1L, Row(0, "hello", null)))
+    assert(back(1) == Row(2L, Row(1, null, 42L)))
+  }
+
   test("general avro unions decode to tagged structs; timestamps to micros") {
     import org.apache.avro.{Schema => AS, SchemaBuilder}
     import org.apache.avro.generic.GenericData
