@@ -72,12 +72,36 @@ object DedupOps {
       .filter(col("sim") >= threshold)
   }
 
+  // Oracle note: the DuckDB side computes EXACT all-pairs jaccard over the
+  // same trigram shingles (string sets; the Spark side's 64-bit shingle
+  // hashes are collision-free at corpus scale, so the set algebra agrees).
+  // The hash-match therefore also certifies LSH recall = 1.0 on the gate
+  // corpus — at its 8-band/4-row setting, a pair at the 0.5 threshold
+  // collides with probability 1-(1-0.5^4)^8 ≈ 0.4, but every actual
+  // near-dup in the synthetic corpus sits at sim ≥ 0.9 where collision
+  // probability is ≈ 1.
   private val qDedupMinhash = GQuery(
     "q_dedup_minhash",
     (s, d) =>
       minhashPairs(documents(s, d), 0.5)
-        .select(col("a"), col("b"), round(col("sim"), 4).as("sim")),
-    None,
+        .select(col("a"), col("b"), stableRound(col("sim"), 4).as("sim")),
+    Some("""WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0) AS w
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+                       ELSE list_transform(generate_series(1, len(w) - 2),
+                              i -> array_to_string(w[i:i+2], ' ')) END) AS grams
+              FROM d),
+            p AS (
+              SELECT l.doc_id AS a, r.doc_id AS b,
+                     CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE) /
+                     len(list_distinct(l.grams || r.grams)) AS rawsim
+              FROM g l JOIN g r ON l.doc_id < r.doc_id)
+            SELECT a, b, floor(rawsim * 10000 + 0.5) / 10000 AS sim
+            FROM p WHERE rawsim >= 0.5"""),
     headline = true)
 
   // ---- SimHash near-dup: 64-bit signature, hamming ≤ 6 -------------------
@@ -124,10 +148,26 @@ object DedupOps {
       val r = docs.select(col("lang"), col("source"), col("doc_id").as("b"), col("grams").as("gb"))
       l.join(r, Seq("lang", "source"))
         .filter(col("a") < col("b"))
-        .select(col("a"), col("b"), round(jaccard(col("ga"), col("gb")), 4).as("sim"))
+        .select(col("a"), col("b"), stableRound(jaccard(col("ga"), col("gb")), 4).as("sim"))
         .filter(col("sim") >= 0.3)
     },
-    None)
+    Some("""WITH d AS (
+              SELECT doc_id, lang, source,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0) AS w
+              FROM documents),
+            g AS (
+              SELECT doc_id, lang, source,
+                     list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+                       ELSE list_transform(generate_series(1, len(w) - 2),
+                              i -> array_to_string(w[i:i+2], ' ')) END) AS grams
+              FROM d),
+            p AS (
+              SELECT l.doc_id AS a, r.doc_id AS b,
+                     floor((CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE) /
+                            len(list_distinct(l.grams || r.grams))) * 10000 + 0.5) / 10000 AS sim
+              FROM g l JOIN g r
+                ON l.lang = r.lang AND l.source = r.source AND l.doc_id < r.doc_id)
+            SELECT a, b, sim FROM p WHERE sim >= 0.3"""))
 
   // ---- embedding-cosine near-dup pairs ----------------------------------
   // Exact within label blocks (cheap blocking on provided cluster labels).
