@@ -1,7 +1,9 @@
 package graft
 
-import graft.streaming.{ConnectJsonCodec, MemoryBus, RawStringCodec}
+import graft.codecs.ConnectJson
+import graft.streaming.{ConnectJsonCodec, FileBus, RawStringCodec}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructType
 
 /** CLI entry point mirroring the zync command set (`zync <cmd> ...`):
   *
@@ -12,11 +14,17 @@ import org.apache.spark.sql.SparkSession
   *   graft.Main info <lakeRoot> <pool>
   *   graft.Main compact <lakeRoot> <pool>
   *   graft.Main consume-pool <lakeRoot> <pool>     # ZSON to stdout
+  *   graft.Main produce <busRoot> <topic> <file>   # JSON-lines or .zson
+  *   graft.Main consume <busRoot> <topic>          # ZSON to stdout
+  *   graft.Main from-kafka <busRoot> <lakeRoot> <pool> <topic[,topic...]>
+  *   graft.Main to-kafka <busRoot> <lakeRoot> <pool> <topic>
   * }}}
   *
-  * Kafka-backed produce/consume/from-kafka/to-kafka need the Kafka
-  * connector jars at runtime; they are exposed via [[Commands]] and wired
-  * here once a broker classpath exists.
+  * The bus commands run against a durable [[graft.streaming.FileBus]]
+  * directory, so the full zync workflow works across process invocations
+  * without a broker; swap in [[graft.streaming.KafkaBus]] when connector
+  * jars and brokers exist. Message values travel as Connect-JSON, so
+  * consumers recover schemas from the self-describing envelope.
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -28,7 +36,34 @@ object Main {
 
   private def usage(): Unit =
     System.err.println(
-      "usage: graft.Main <etl|etl-plan|ls|info|compact|consume-pool> args...")
+      "usage: graft.Main <etl|etl-plan|ls|info|compact|consume-pool|" +
+        "produce|consume|from-kafka|to-kafka> args...")
+
+  /** Value schema of a topic's first message (Connect-JSON is
+    * self-describing — the reference's inline-schema authority).
+    */
+  private def sniffTopic(spark: SparkSession, bus: FileBus, topic: String): Option[StructType] = {
+    import org.apache.spark.sql.functions.col
+    bus.readBatch(spark, Seq(topic), Map.empty)
+      .orderBy("offset").select(col("value").cast("string")).limit(1)
+      .collect().headOption
+      .map(r => ConnectJson.sniffSchema(r.getString(0)).asInstanceOf[StructType])
+  }
+
+  /** Key codec from the first non-null key: Connect-JSON when the bytes
+    * carry an envelope, raw string otherwise (produce writes null keys).
+    */
+  private def sniffKeyCodec(spark: SparkSession, bus: FileBus,
+      topic: String): graft.streaming.EnvelopeCodec = {
+    import org.apache.spark.sql.functions.col
+    val first = bus.readBatch(spark, Seq(topic), Map.empty)
+      .filter(col("key").isNotNull)
+      .orderBy("offset").select(col("key").cast("string")).limit(1)
+      .collect().headOption.map(_.getString(0))
+    first.flatMap(k => scala.util.Try(
+      new ConnectJsonCodec(ConnectJson.sniffSchema(k))).toOption)
+      .getOrElse(RawStringCodec)
+  }
 
   private[graft] def run(spark: SparkSession, args: List[String]): Unit = args match {
     case "etl" :: root :: yamlPath :: Nil =>
@@ -54,6 +89,46 @@ object Main {
       val p = graft.lake.Pool.open(spark, root, pool)
       if (!p.isEmpty)
         graft.zson.Zson.renderAll(p.read().orderBy(p.key)).foreach(println)
+    case "produce" :: busRoot :: topic :: file :: Nil =>
+      // infer the value schema from the file so the Connect envelope is
+      // self-describing downstream
+      val df = if (file.endsWith(".zson")) graft.zson.ZsonValue.read(spark, file)
+        else spark.read.json(file)
+      val n = Commands.produce(spark, new FileBus(busRoot), topic, file,
+        RawStringCodec, new ConnectJsonCodec(df.schema))
+      println(s"produced ${n.values.sum} records to $topic")
+    case "consume" :: busRoot :: topic :: Nil =>
+      val bus = new FileBus(busRoot)
+      sniffTopic(spark, bus, topic) match {
+        case None => // empty topic, nothing to print
+        case Some(schema) =>
+          Commands.consume(spark, bus, topic, sniffKeyCodec(spark, bus, topic),
+            new ConnectJsonCodec(schema)).foreach(println)
+      }
+    case "from-kafka" :: busRoot :: lakeRoot :: pool :: topicsArg :: Nil =>
+      val bus = new FileBus(busRoot)
+      val counts = topicsArg.split(',').toSeq.map { topic =>
+        sniffTopic(spark, bus, topic) match {
+          case None => topic -> 0L
+          case Some(schema) =>
+            topic -> Commands.fromKafka(spark, bus, lakeRoot,
+              Map(pool -> Seq(topic)), RawStringCodec,
+              new ConnectJsonCodec(schema)).values.sum
+        }
+      }
+      counts.foreach { case (t, n) => println(s"synced $n records from $t into $pool") }
+    case "to-kafka" :: busRoot :: lakeRoot :: pool :: topic :: Nil =>
+      val p = graft.lake.Pool.open(spark, lakeRoot, pool)
+      if (p.isEmpty) println(s"produced 0 records to $topic")
+      else {
+        val schema = p.read().schema
+        def structOf(name: String): StructType =
+          schema.find(_.name == name).map(_.dataType.asInstanceOf[StructType])
+            .getOrElse(new StructType())
+        val n = Commands.toKafka(spark, new FileBus(busRoot), lakeRoot, pool, topic,
+          new ConnectJsonCodec(structOf("key")), new ConnectJsonCodec(structOf("value")))
+        println(s"produced $n records to $topic")
+      }
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
       usage()

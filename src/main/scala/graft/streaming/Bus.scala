@@ -98,6 +98,101 @@ final class KafkaBus(bootstrapServers: String,
   }
 }
 
+/** Durable file-backed transport: per-topic directories of offset-named
+  * record files, standing in for a broker so the full
+  * produce → from-kafka → etl → to-kafka → consume CLI workflow survives
+  * process restarts (the reference needs a live Kafka for this; zero-egress
+  * environments here cannot run one).
+  *
+  * Record file `<offset>.rec` = 4-byte big-endian key length (-1 = null
+  * key) + key bytes + value bytes. Offsets publish create-exclusively
+  * (hard link), so concurrent producers serialize per topic instead of
+  * overwriting each other — the same CAS as pool manifests.
+  *
+  * Driver-side I/O at CLI scale by design; [[KafkaBus]] is the production
+  * path.
+  */
+final class FileBus(root: String) extends Bus {
+  import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+  import scala.jdk.CollectionConverters._
+
+  private def dir(t: String): Path = Paths.get(root, t)
+
+  private def recFiles(t: String): Seq[Path] =
+    if (!Files.isDirectory(dir(t))) Nil
+    else Files.list(dir(t)).iterator.asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".rec"))
+      .sortBy(_.getFileName.toString)
+
+  private def encodeRec(key: Array[Byte], value: Array[Byte]): Array[Byte] = {
+    val klen = if (key == null) -1 else key.length
+    val vlen = if (value == null) 0 else value.length
+    val buf = java.nio.ByteBuffer.allocate(4 + math.max(klen, 0) + vlen)
+    buf.putInt(klen)
+    if (key != null) buf.put(key)
+    if (value != null) buf.put(value)
+    buf.array()
+  }
+
+  private def decodeRec(bytes: Array[Byte]): (Array[Byte], Array[Byte]) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val klen = buf.getInt()
+    val key = if (klen < 0) null else { val k = new Array[Byte](klen); buf.get(k); k }
+    val value = new Array[Byte](buf.remaining()); buf.get(value)
+    (key, value)
+  }
+
+  def publish(topic: String, key: Array[Byte], value: Array[Byte]): Long = {
+    Files.createDirectories(dir(topic))
+    val tmp = dir(topic).resolve(s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, encodeRec(key, value))
+    try {
+      var attempt = 0
+      while (attempt < 1000) {
+        val off = endOffset(topic)
+        try {
+          Files.createLink(dir(topic).resolve(f"$off%012d.rec"), tmp)
+          return off
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => attempt += 1
+        }
+      }
+      throw new IllegalStateException(s"FileBus: lost 1000 publish races on $topic")
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  private def endOffset(t: String): Long =
+    recFiles(t).lastOption
+      .map(_.getFileName.toString.stripSuffix(".rec").toLong + 1).getOrElse(0L)
+
+  override def readBatch(spark: SparkSession, topics: Seq[String],
+      startOffsets: Map[String, Long]): DataFrame = {
+    val rows = topics.flatMap { t =>
+      val start = startOffsets.getOrElse(t, 0L)
+      recFiles(t).flatMap { p =>
+        val off = p.getFileName.toString.stripSuffix(".rec").toLong
+        if (off < start) None
+        else {
+          val (k, v) = decodeRec(Files.readAllBytes(p))
+          Some(org.apache.spark.sql.Row(t, 0L, off, k, v))
+        }
+      }
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), Bus.schema)
+  }
+
+  override def write(df: DataFrame): Map[String, Long] = {
+    val rows = df.select(col("topic"),
+      col("key").cast("binary"), col("value").cast("binary")).collect()
+    rows.foreach(r => publish(r.getString(0),
+      r.getAs[Array[Byte]](1), r.getAs[Array[Byte]](2)))
+    rows.groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+  }
+
+  override def endOffsets(spark: SparkSession, topics: Seq[String]): Map[String, Long] =
+    topics.map(t => t -> endOffset(t)).toMap
+}
+
 /** In-memory transport for tests and local pipelines: per-topic append-only
   * buffers with Kafka offset semantics.
   */

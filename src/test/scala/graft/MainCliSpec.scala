@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The full zync CLI workflow against the durable FileBus — each step is a
+  * separate Main.run invocation (fresh bus instance each time, as separate
+  * processes would see), no broker required.
+  */
+class MainCliSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  def capture(args: String*): Seq[String] = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Main.run(spark, args.toList)
+    }
+    new String(out.toByteArray).linesIterator.toSeq
+  }
+
+  test("produce -> from-kafka -> etl -> to-kafka -> consume, all via CLI") {
+    val bus = Files.createTempDirectory("cli-bus").toString
+    val lake = Files.createTempDirectory("cli-lake").toString
+    val recs = Files.createTempFile("recs", ".zson")
+    Files.write(recs,
+      """{op:"c",n:1}
+        |{op:"c",n:2}
+        |{op:"x",n:3}
+        |""".stripMargin.getBytes)
+    val yaml = Files.createTempFile("transform", ".yaml")
+    Files.write(yaml,
+      """inputs:
+        |  - topic: T
+        |    pool: Raw
+        |output:
+        |  topic: Out
+        |  pool: Staging
+        |transforms:
+        |  - type: stateless
+        |    where: value.op=="c"
+        |    in: T
+        |    out: Out
+        |    zed: |
+        |      | out:={ key: {n: in.value.n}, value: { doubled: sql:(in.value.n * 2) } }
+        |""".stripMargin.getBytes)
+
+    assert(capture("produce", bus, "T", recs.toString)
+      == Seq("produced 3 records to T"))
+    assert(capture("from-kafka", bus, lake, "Raw", "T")
+      == Seq("synced 3 records from T into Raw"))
+    assert(capture("etl", lake, yaml.toString) == Seq("ETL'd 4 records"))
+    assert(capture("to-kafka", bus, lake, "Staging", "Out")
+      == Seq("produced 2 records to Out"))
+    assert(capture("consume", bus, "Out") == Seq(
+      """{kafka:{topic:"Out",partition:0,offset:0},key:{n:1},value:{doubled:2}}""",
+      """{kafka:{topic:"Out",partition:0,offset:1},key:{n:2},value:{doubled:4}}"""))
+
+    // idempotent re-sync: nothing new anywhere
+    assert(capture("from-kafka", bus, lake, "Raw", "T")
+      == Seq("synced 0 records from T into Raw"))
+    assert(capture("etl", lake, yaml.toString) == Seq("ETL'd 0 records"))
+    assert(capture("to-kafka", bus, lake, "Staging", "Out")
+      == Seq("produced 0 records to Out"))
+
+    // inventory commands
+    assert(capture("ls", lake) == Seq("Raw", "Staging"))
+    assert(capture("info", lake, "Staging") == Seq("commits: 1", "rows: 4"))
+  }
+}
