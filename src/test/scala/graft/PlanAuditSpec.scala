@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape audit over the gate queries: the scale claims in SURVEY §8
+  * as executable assertions, so a regression that silently de-optimizes a
+  * plan (lost pushdown, accidental cartesian, sort-merge where a broadcast
+  * belongs, single-partition global windows) fails CI rather than only
+  * showing up at the next 100× data jump.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(8)
+  val dir = "/root/testdata/sf0.001"
+
+  private def execPlan(name: String) =
+    Registry.byName(name).run(spark, dir).queryExecution.executedPlan
+
+  private def planOf(name: String): String = execPlan(name).toString
+
+  test("no gate query plans a cartesian product or single-partition window") {
+    Registry.all.foreach { q =>
+      val exec = execPlan(q.name)
+      val plan = exec.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"${q.name} plans a cartesian product")
+      // a window with an empty partition spec funnels the whole input
+      // through one task — the q_pack prefix sum exists precisely to
+      // avoid this; nothing in the inventory may reintroduce it
+      val globalWindows = exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWindows.isEmpty,
+        s"${q.name}: global (unpartitioned) window — single-task bottleneck")
+    }
+  }
+
+  test("filters and projections reach the parquet scans") {
+    val scan = planOf("q_scan_filter")
+    assert(scan.contains("PushedFilters: [IsNotNull"), scan.take(2000))
+    // projection pruned to the selected + filtered columns only
+    assert("ReadSchema: [^\n]*l_orderkey".r.findFirstIn(scan).isDefined)
+    assert(!scan.contains("l_comment"), "unused column read from parquet")
+
+    val cursor = planOf("q_range_cursor")
+    assert(cursor.contains("PushedFilters") && cursor.contains("GreaterThan"),
+      cursor.take(2000))
+  }
+
+  test("joins against small sides broadcast (no sort-merge, no shuffle of the dim)") {
+    // q_etl_denorm is deliberately absent: its join pairs two halves of
+    // the same CDC stream — both sides scale with the data, so broadcast
+    // is only right when runtime stats (AQE) say one side stayed small
+    Seq("q_inner_join", "q_anti_join", "q_semi_join").foreach { n =>
+      val plan = planOf(n)
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+        s"$n: expected a broadcast join\n${plan.take(1500)}")
+      assert(!plan.contains("SortMergeJoin"), s"$n: sort-merge join crept in")
+    }
+  }
+
+  test("aggregations are two-phase (map-side partial before the shuffle)") {
+    Seq("q_agg", "q_groupby_max", "q_corpus_stats").foreach { n =>
+      val plan = planOf(n)
+      val partials = "partial".r.findAllIn(plan.toLowerCase).size
+      assert(partials >= 1, s"$n: no partial aggregation phase\n${plan.take(1500)}")
+    }
+  }
+
+  test("LSH candidate generation shuffles only narrow band keys") {
+    val plan = planOf("q_dedup_minhash")
+    // the exploded band join must not carry the shingle arrays; the
+    // persisted signature base is re-joined only for verification
+    assert(plan.contains("InMemoryTableScan"),
+      "signature base should come from the persisted cache")
+  }
+}
