@@ -1,0 +1,148 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Product quantization: the vector-compression path for ANN at 100 TB.
+  *
+  * A D-dim float vector becomes M small integer codes (one per subspace,
+  * each the id of the nearest of K trained centroids) — 64 dims × 8 bytes
+  * → 8 codes, a 64× memory cut — and search runs against the codes with
+  * asymmetric distance (query stays exact; per-query M×K lookup tables
+  * replace the D-dim dot products).
+  *
+  * Everything is DataFrame-shaped: training explodes vectors into
+  * (vec_id, subspace, subvector) rows so all M subspace k-means runs
+  * proceed concurrently in one plan per Lloyd round (keyed shuffles, no
+  * driver loops over data); only the trained codebook — M×K subvectors,
+  * metadata scale — ever reaches the driver, where it becomes the literal
+  * lookup tables that keep ADC scoring inside WholeStageCodegen.
+  */
+object Pq {
+
+  /** Explode vectors into (vec_id, m, sv) subvector rows. */
+  private def subvectors(corpus: DataFrame, m: Int, dsub: Int): DataFrame =
+    corpus.select(col("vec_id"), explode(array((0 until m).map(i =>
+      struct(lit(i).as("m"), slice(col("v"), i * dsub + 1, dsub).as("sv"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+
+  private def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** Train codebooks: Lloyd's k-means per subspace, deterministic init
+    * (the K lowest vec_ids' subvectors). Returns (m, k, cent).
+    */
+  def train(corpus: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 3): DataFrame = {
+    val dim = corpus.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+    val dsub = dim / m
+    val sub = subvectors(corpus, m, dsub)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wInit = Window.partitionBy("m").orderBy("vec_id")
+    var cents = sub.withColumn("k", row_number().over(wInit) - 1)
+      .filter(col("k") < k)
+      .select(col("m"), col("k"), col("sv").as("cent"))
+    for (_ <- 0 until iters) {
+      val assigned = sub.join(broadcast(cents), Seq("m"))
+        .select(col("vec_id"), col("m"), col("sv"),
+          struct(l2sq(col("sv"), col("cent")).as("d2"), col("k").as("k")).as("dk"))
+        .groupBy("vec_id", "m")
+        .agg(first("sv").as("sv"), min("dk").as("best"))
+        .select(col("m"), col("best.k").as("k"), col("sv"))
+      cents = assigned
+        .select(col("m"), col("k"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("m", "k", "pos").agg(avg("x").as("c"))
+        .groupBy("m", "k")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          p => p.getField("c")).as("cent"))
+    }
+    val out = cents.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    sub.unpersist()
+    out
+  }
+
+  /** Encode every vector as its M nearest-centroid codes: (vec_id, codes). */
+  def encode(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    val m = cents.agg(max("m")).head().getInt(0) + 1
+    val dim = corpus.select(size(col("v"))).head().getInt(0)
+    val sub = subvectors(corpus, m, dim / m)
+    sub.join(broadcast(cents), Seq("m"))
+      .select(col("vec_id"), col("m"),
+        struct(l2sq(col("sv"), col("cent")).as("d2"), col("k").as("k")).as("dk"))
+      .groupBy("vec_id", "m").agg(min("dk").as("best"))
+      .select(col("vec_id"), col("m"), col("best.k").as("code"))
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        p => p.getField("code")).as("codes"))
+  }
+
+  /** Asymmetric-distance top-kNN: exact query subvectors against the
+    * codebook produce per-query M×K distance tables (driver-built literal
+    * metadata), then every corpus item scores with M array lookups — a
+    * single codegen'd expression, no vector math per pair.
+    */
+  def searchTopK(codes: DataFrame, cents: DataFrame, queries: DataFrame,
+      topK: Int): DataFrame = {
+    val spark = codes.sparkSession
+    // codebook to driver: M×K×dsub doubles — metadata scale
+    val book: Map[(Int, Int), Array[Double]] = cents.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        r.getSeq[Double](2).toArray).toMap
+    val m = book.keys.map(_._1).max + 1
+    val k = book.keys.map(_._2).max + 1
+    val dsub = book.head._2.length
+    val qRows = queries.select(col("vec_id").as("q_id"), col("v")).collect().map { r =>
+      val v = r.getSeq[Double](1).toArray
+      val table: Seq[Seq[Double]] = (0 until m).map { mi =>
+        (0 until k).map { ki =>
+          val c = book((mi, ki))
+          var d = 0.0
+          var i = 0
+          while (i < dsub) { val t = v(mi * dsub + i) - c(i); d += t * t; i += 1 }
+          d
+        }
+      }
+      Row(r.getLong(0), table)
+    }
+    val qDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(qRows.toSeq, 1),
+      StructType(Seq(StructField("q_id", LongType),
+        StructField("table", ArrayType(ArrayType(DoubleType))))))
+    val dist = aggregate(
+      zip_with(col("codes"), col("table"),
+        (c, row) => element_at(row, c.cast("int") + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy("q_id").orderBy(col("d2").asc, col("n_id").asc)
+    codes.select(col("vec_id").as("n_id"), col("codes"))
+      .join(broadcast(qDf), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), dist.as("d2"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select("q_id", "n_id", "d2", "rk")
+  }
+
+  /** The production two-stage search: ADC shortlists `shortlist`
+    * candidates from the compressed codes (the only full-corpus pass —
+    * code lookups, no vector math), then the shortlist alone re-ranks
+    * with exact cosine against the uncompressed vectors. Accuracy is the
+    * codebook's recall@shortlist; cost is the compressed scan plus
+    * `shortlist × queries` exact distances.
+    */
+  def searchWithRerank(codes: DataFrame, cents: DataFrame, corpus: DataFrame,
+      queries: DataFrame, topK: Int, shortlist: Int = 50): DataFrame = {
+    import graft.functions.{cosine, stableRound}
+    val cand = searchTopK(codes, cents, queries, shortlist).select("q_id", "n_id")
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+    cand
+      .join(broadcast(queries.select(col("vec_id").as("q_id"), col("v").as("qv"))), Seq("q_id"))
+      .join(corpus.select(col("vec_id").as("n_id"), col("v").as("nv")), Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        stableRound(cosine(col("qv"), col("nv")), 4).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("n_id"), col("sim"), col("rk").cast("long").as("rk"))
+  }
+}

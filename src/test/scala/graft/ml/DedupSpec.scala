@@ -120,6 +120,39 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("product quantization: 8x compression, ADC recall vs brute force") {
+    val corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = corpus.filter(col("vec_id") < 20)
+    val cents = Pq.train(corpus, m = 8, k = 64, iters = 5)
+    val codes = Pq.encode(corpus, cents)
+    // codes really are M small ints (the 64-dim vector became 8 codes)
+    val sample = codes.head()
+    assert(sample.getSeq[Int](1).size == 8)
+
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // unit-norm embeddings: cosine top-k == L2 top-k, so brute-force
+    // cosine is the right exactness bar for ADC
+    val brute = pairs(AnnOps.bruteForceTopK(corpus, queries, 5))
+    // production shape: ADC shortlists from codes, exact re-rank on the
+    // shortlist only — so the metric that matters is shortlist recall
+    // (Jegou et al.'s recall@R), not ADC's own top-5 ordering
+    val short = pairs(Pq.searchTopK(codes, cents, queries, 50))
+    val recallAt50 = (brute & short).size.toDouble / brute.size
+    val adc5 = pairs(Pq.searchTopK(codes, cents, queries, 5))
+    val recallAt5 = (brute & adc5).size.toDouble / brute.size
+    info(f"PQ-ADC recall@5=$recallAt5%.2f recall@50=$recallAt50%.2f")
+    assert(recallAt50 >= 0.8, s"PQ shortlist recall too low: $recallAt50")
+
+    // two-stage (shortlist + exact re-rank) recovers everything the
+    // shortlist contains — the end-to-end production accuracy
+    val reranked = pairs(Pq.searchWithRerank(codes, cents, corpus, queries, 5))
+    val rerankRecall = (brute & reranked).size.toDouble / brute.size
+    info(f"PQ rerank recall@5=$rerankRecall%.2f")
+    assert(rerankRecall >= 0.8, s"PQ rerank recall too low: $rerankRecall")
+  }
+
   test("exact dedup keeps one representative per content hash") {
     val out = graft.Registry.byName("q_dedup_exact").run(spark, dir)
     val total = out.agg(sum("n_copies")).head().getLong(0)
