@@ -121,6 +121,7 @@ object ZedExpr {
         ws()
         if (peek == '*') { pos += 1; l = Arith("*", l, postfix()) }
         else if (peek == '/') { pos += 1; l = Arith("/", l, postfix()) }
+        else if (peek == '%') { pos += 1; l = Arith("%", l, postfix()) }
         else go = false
       }
       l
@@ -289,6 +290,7 @@ object ZedExpr {
     case Arith("-", l, r) => toColumn(l, schema) - toColumn(r, schema)
     case Arith("*", l, r) => toColumn(l, schema) * toColumn(r, schema)
     case Arith("/", l, r) => toColumn(l, schema) / toColumn(r, schema)
+    case Arith("%", l, r) => toColumn(l, schema) % toColumn(r, schema)
     case Arith(op, _, _) => throw new IllegalArgumentException(s"bad op $op")
     case Index(e, i) => toColumn(e, schema).getItem(i)
     case In(e, list) => toColumn(e, schema).isin(list.map {

@@ -174,5 +174,18 @@ object AnnOps {
     },
     None)
 
-  val queries: Seq[GQuery] = Seq(qAnnTopK, qAnnLsh, qAnnIvf)
+  // PQ two-stage search (codes shortlist + exact re-rank); k-means
+  // codebooks are not SQL-expressible, so this is a rows-only gate —
+  // recall is asserted against brute force in DedupSpec.
+  private val qAnnPq = GQuery(
+    "q_ann_pq",
+    (s, d) => {
+      val all = corpus(s, d).select(col("vec_id"), col("v"))
+      val cents = Pq.train(all, m = 8, k = 16, iters = 2)
+      val codes = Pq.encode(all, cents)
+      Pq.searchWithRerank(codes, cents, all, all.filter(col("vec_id") < 20), 5)
+    },
+    None)
+
+  val queries: Seq[GQuery] = Seq(qAnnTopK, qAnnLsh, qAnnIvf, qAnnPq)
 }

@@ -217,6 +217,8 @@ class EtlDemoSpec extends AnyFunSuite {
     assert(parse("records[0]") == Index(Path(Seq("records")), 0))
     assert(parse("value.total / 2 >= 10") ==
       Cmp(">=", Arith("/", Path(Seq("value", "total")), NumLit("2")), NumLit("10")))
+    assert(parse("value.n % 3 == 0") ==
+      Cmp("=", Arith("%", Path(Seq("value", "n")), NumLit("3")), NumLit("0")))
     // indexing does not break in-lists
     assert(parse("""value.op in ["c"]""") ==
       In(Path(Seq("value", "op")), Seq(StrLit("c"))))
