@@ -169,6 +169,40 @@ object DedupOps {
                 ON l.lang = r.lang AND l.source = r.source AND l.doc_id < r.doc_id)
             SELECT a, b, sim FROM p WHERE sim >= 0.3"""))
 
+  // ---- benchmark decontamination ----------------------------------------
+  // Flag corpus documents sharing >= 3 trigram shingles with a "benchmark"
+  // set (here: doc_id < 5 stands in for an eval benchmark). Scale shape:
+  // the benchmark n-gram set is tiny and broadcasts; the corpus explodes
+  // to (doc_id, gram) but the overlap count partial-aggregates before the
+  // one shuffle on doc_id — no corpus self-join anywhere.
+  private val qContamination = GQuery(
+    "q_contamination",
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"),
+        array_distinct(shingles(tokens(col("text")), 3)).as("grams"))
+      val bench = docs.filter(col("doc_id") < 5)
+        .select(explode(col("grams")).as("g")).distinct()
+      docs.filter(col("doc_id") >= 5)
+        .select(col("doc_id"), explode(col("grams")).as("g"))
+        .join(broadcast(bench), Seq("g"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+        .filter(col("n_overlap") >= 3)
+    },
+    Some("""WITH d AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+                       ELSE list_transform(generate_series(1, len(w) - 2),
+                              i -> array_to_string(w[i:i+2], ' ')) END) AS grams
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                                       x -> len(x) > 0) AS w
+                    FROM documents)),
+            bench AS (SELECT DISTINCT unnest(grams) AS g FROM d WHERE doc_id < 5),
+            corpus AS (SELECT doc_id, unnest(grams) AS g FROM d WHERE doc_id >= 5)
+            SELECT c.doc_id, count(*) AS n_overlap
+            FROM corpus c JOIN bench b ON c.g = b.g
+            GROUP BY c.doc_id HAVING count(*) >= 3"""))
+
   // ---- embedding-cosine near-dup pairs ----------------------------------
   // Exact within label blocks (cheap blocking on provided cluster labels).
   private val qDedupEmbed = GQuery(
@@ -191,5 +225,6 @@ object DedupOps {
             WHERE sim >= 0.35"""))
 
   val queries: Seq[GQuery] =
-    Seq(qDedupExact, qDedupMinhash, qDedupSimhash, qNgramJaccard, qDedupEmbed)
+    Seq(qDedupExact, qDedupMinhash, qDedupSimhash, qNgramJaccard, qDedupEmbed,
+      qContamination)
 }
