@@ -16,6 +16,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object WindowOps {
 
+  /** Streaming exact dedup across micro-batches: keep the first arrival
+    * of each content fingerprint; the watermark bounds dedup state (a
+    * duplicate arriving later than `delay` past its original is no longer
+    * remembered — the standard state/completeness tradeoff of streaming
+    * dedup, which a nightly batch `q_dedup_exact` pass then covers). At
+    * scale: state is one small row per fingerprint in the window, keyed
+    * shuffle on the fingerprint, dropped automatically as the watermark
+    * advances.
+    */
+  def dedupStream(docs: org.apache.spark.sql.DataFrame, tsCol: String,
+      delay: String, contentCol: String = "text"): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("_fp", md5(col(contentCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+
   /** Tumbling/sliding window aggregation with a watermark for late data.
     * In streaming mode state is dropped `lateness` after the window closes.
     */

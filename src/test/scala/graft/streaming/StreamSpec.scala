@@ -100,4 +100,35 @@ class StreamSpec extends AnyFunSuite {
     assert(poolA.read().select("kafka.topic").distinct().count() == 2)
     assert(poolB.read().select("value").head().getString(0) == "b1")
   }
+
+  test("streaming dedup keeps first arrival across micro-batches") {
+    val dir = Files.createTempDirectory("sdedup-src")
+    def writeBatch(name: String, lines: Seq[String]): Unit = {
+      val tmp = dir.resolve(s".$name"); Files.write(tmp, lines.mkString("\n").getBytes)
+      Files.move(tmp, dir.resolve(name))
+    }
+    writeBatch("b1.json", Seq(
+      """{"doc_id":1,"text":"alpha","ts":"2024-01-01T00:00:00Z"}""",
+      """{"doc_id":2,"text":"alpha","ts":"2024-01-01T00:00:01Z"}""",
+      """{"doc_id":3,"text":"beta","ts":"2024-01-01T00:00:02Z"}"""))
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .json(dir.toString)
+    val q = WindowOps.dedupStream(stream, "ts", "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sdedup_out")
+      .start()
+    q.processAllAvailable()
+    // a later micro-batch re-sends "alpha" (within the watermark) + new doc
+    writeBatch("b2.json", Seq(
+      """{"doc_id":4,"text":"alpha","ts":"2024-01-01T00:00:03Z"}""",
+      """{"doc_id":5,"text":"gamma","ts":"2024-01-01T00:00:04Z"}"""))
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.sql("SELECT text FROM sdedup_out")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(kept == Seq("alpha", "beta", "gamma"),
+      s"each content survives exactly once, got $kept")
+  }
 }
