@@ -95,6 +95,38 @@ class ZsonSpec extends AnyFunSuite {
     assert(Zson.renderAll(again.orderBy("a")) == rendered)
   }
 
+  test("render -> parse fixpoint on generated nested values") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(7L + i)))
+
+    val genStr = Gen.listOf(Gen.oneOf('a', 'Z', '"', '\\', '\n', '\t', 'é',
+      '中', ' ', '{', ']', ':')).map(_.mkString)
+    val genRow: Gen[org.apache.spark.sql.Row] = for {
+      s <- Gen.option(genStr)
+      l <- Gen.chooseNum(Long.MinValue + 1, Long.MaxValue)
+      d <- Gen.oneOf(Gen.chooseNum(-1e12, 1e12), Gen.const(0.25), Gen.const(3.0))
+      b <- Gen.oneOf(true, false)
+      arr <- Gen.listOfN(3, Gen.chooseNum(-100L, 100L))
+      nested <- Gen.option(genStr.map(x => org.apache.spark.sql.Row(x)))
+    } yield org.apache.spark.sql.Row(s.orNull, l, d, b, arr, nested.orNull)
+    val schema = StructType(Seq(
+      StructField("s", StringType), StructField("l", LongType),
+      StructField("d", DoubleType), StructField("b", BooleanType),
+      StructField("arr", ArrayType(LongType)),
+      StructField("nested", StructType(Seq(StructField("x", StringType))))))
+
+    val rows = samples(genRow, 60)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema).withColumn("id",
+      org.apache.spark.sql.functions.monotonically_increasing_id())
+    val rendered = Zson.renderAll(df.orderBy("l", "s"))
+    // the rendered text parses back, and re-rendering is a fixpoint
+    val again = ZsonValue.toDataFrame(spark, rendered.mkString("\n"))
+    assert(Zson.renderAll(again.orderBy("l", "s")) == rendered)
+  }
+
   test("value reader rejects garbage") {
     assertThrows[IllegalArgumentException](ZsonValue.parseAll("{a:frob}"))
     assertThrows[IllegalArgumentException](
