@@ -1,0 +1,94 @@
+package graft.ml
+
+import graft.functions.{cosine, stableRound}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF+PQ: the standard big-ANN index layout (FAISS-style) from the two
+  * pieces already built here — coarse cells ([[AnnOps.kmeansCells]]) for
+  * partition pruning, PQ codes ([[Pq]]) for in-cell compression.
+  *
+  * On disk the index stores ONLY (vec_id, codes) parquet partitioned by
+  * cell, plus the two (metadata-scale) codebooks. A query at 100 TB then
+  * touches: nprobe cell directories (partition pruning — no file I/O on
+  * the rest), code lookups per candidate (no vector math), and exact
+  * re-rank against the source table for just the shortlist. The full
+  * vectors never live in the index at all.
+  */
+final case class IvfPqIndex(spark: SparkSession, path: String) {
+
+  def cellCentroids: DataFrame = spark.read.parquet(s"$path/cell_centroids")
+  def codebook: DataFrame = spark.read.parquet(s"$path/codebook")
+
+  /** Two-stage search: ADC shortlist over the probed cells' codes, exact
+    * cosine re-rank of the shortlist against `corpus` (the source table —
+    * re-rank I/O is shortlist-sized, keyed by vec_id).
+    */
+  def search(corpus: DataFrame, queries: DataFrame, topK: Int,
+      nprobe: Int = 3, shortlist: Int = 50): DataFrame = {
+    // probe: nprobe nearest cells per query against the broadcast centroids
+    val probeW = Window.partitionBy("q_id").orderBy(col("csim").desc, col("cell").asc)
+    val probed = queries.select(col("vec_id").as("q_id"), col("v"))
+      .join(broadcast(cellCentroids))
+      .select(col("q_id"), col("v"), col("cell"),
+        cosine(col("v"), col("cent")).as("csim"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .groupBy("q_id").agg(first("v").as("v"), collect_list("cell").as("cells"))
+    // literal cell list → partition pruning on the codes scan
+    val cellIds = probed.select(explode(col("cells")).as("c")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val scan = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(cellIds.map(_.asInstanceOf[Any]): _*))
+
+    // ADC over probed cells only: a code row scores against a query iff
+    // its cell is in that query's probe set
+    val qDf = Pq.queryTables(codebook, probed.select(col("q_id").as("vec_id"), col("v")))
+      .join(probed.select(col("q_id"), col("cells")), Seq("q_id"))
+    val shortW = Window.partitionBy("q_id").orderBy(col("d2").asc, col("n_id").asc)
+    val cand = scan.select(col("vec_id").as("n_id"), col("codes"), col("cell"))
+      .join(broadcast(qDf), array_contains(col("cells"), col("cell")) &&
+        col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), Pq.adcDist.as("d2"))
+      .withColumn("rk", row_number().over(shortW))
+      .filter(col("rk") <= shortlist)
+      .select("q_id", "n_id")
+
+    // exact re-rank of the shortlist against the source vectors
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+    cand
+      .join(broadcast(queries.select(col("vec_id").as("q_id"), col("v").as("qv"))), Seq("q_id"))
+      .join(corpus.select(col("vec_id").as("n_id"), col("v").as("nv")), Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        stableRound(cosine(col("qv"), col("nv")), 4).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("n_id"), col("sim"), col("rk").cast("long").as("rk"))
+  }
+}
+
+object IvfPq {
+
+  /** Train both quantizers, encode, and persist the index. */
+  def build(corpus: DataFrame, path: String, cells: Int = 10, m: Int = 8,
+      k: Int = 16, iters: Int = 3): IvfPqIndex = {
+    val spark = corpus.sparkSession
+    val cellCents = AnnOps.kmeansCells(corpus, cells, iters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val book = Pq.train(corpus, m, k, iters)
+    try {
+      val assigned = AnnOps.assignCells(corpus, cellCents) // vec_id, v, cell
+      val codes = Pq.encode(corpus, book)                  // vec_id, codes
+      assigned.select(col("vec_id"), col("cell"))
+        .join(codes, Seq("vec_id"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+      cellCents.write.mode("overwrite").parquet(s"$path/cell_centroids")
+      book.write.mode("overwrite").parquet(s"$path/codebook")
+    } finally {
+      cellCents.unpersist()
+      book.unpersist()
+    }
+    IvfPqIndex(spark, path)
+  }
+}

@@ -84,9 +84,12 @@ object Pq {
     * metadata), then every corpus item scores with M array lookups — a
     * single codegen'd expression, no vector math per pair.
     */
-  def searchTopK(codes: DataFrame, cents: DataFrame, queries: DataFrame,
-      topK: Int): DataFrame = {
-    val spark = codes.sparkSession
+  /** Per-query M×K ADC lookup tables as a tiny broadcastable DataFrame
+    * (q_id, table). Codebook and queries are metadata scale; the tables
+    * are what let the corpus pass run on codes alone.
+    */
+  private[ml] def queryTables(cents: DataFrame, queries: DataFrame): DataFrame = {
+    val spark = cents.sparkSession
     // codebook to driver: M×K×dsub doubles — metadata scale
     val book: Map[(Int, Int), Array[Double]] = cents.collect()
       .map(r => (r.getInt(0), r.getInt(1)) ->
@@ -107,18 +110,25 @@ object Pq {
       }
       Row(r.getLong(0), table)
     }
-    val qDf = spark.createDataFrame(
+    spark.createDataFrame(
       spark.sparkContext.parallelize(qRows.toSeq, 1),
       StructType(Seq(StructField("q_id", LongType),
         StructField("table", ArrayType(ArrayType(DoubleType))))))
-    val dist = aggregate(
-      zip_with(col("codes"), col("table"),
-        (c, row) => element_at(row, c.cast("int") + 1)),
-      lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** The codegen'd ADC score: M array lookups summed. */
+  private[ml] def adcDist = aggregate(
+    zip_with(col("codes"), col("table"),
+      (c, row) => element_at(row, c.cast("int") + 1)),
+    lit(0.0), (acc, x) => acc + x)
+
+  def searchTopK(codes: DataFrame, cents: DataFrame, queries: DataFrame,
+      topK: Int): DataFrame = {
+    val qDf = queryTables(cents, queries)
     val w = Window.partitionBy("q_id").orderBy(col("d2").asc, col("n_id").asc)
     codes.select(col("vec_id").as("n_id"), col("codes"))
       .join(broadcast(qDf), col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), dist.as("d2"))
+      .select(col("q_id"), col("n_id"), adcDist.as("d2"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= topK)
       .select("q_id", "n_id", "d2", "rk")

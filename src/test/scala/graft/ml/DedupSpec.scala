@@ -153,6 +153,28 @@ class DedupSpec extends AnyFunSuite {
     assert(rerankRecall >= 0.8, s"PQ rerank recall too low: $rerankRecall")
   }
 
+  test("ivf+pq index: pruned cells, compressed scoring, re-rank recall") {
+    val corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = corpus.filter(col("vec_id") < 20)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    val idx = IvfPq.build(corpus, path, cells = 10, m = 8, k = 64, iters = 4)
+
+    // the on-disk index is codes only — no raw vectors
+    val stored = spark.read.parquet(s"$path/cells")
+    assert(stored.columns.toSet == Set("vec_id", "codes", "cell"), stored.columns.toSeq)
+
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(AnnOps.bruteForceTopK(corpus, queries, 5))
+    val got = pairs(idx.search(corpus, queries, 5, nprobe = 5, shortlist = 80))
+    val recall = (brute & got).size.toDouble / brute.size
+    info(f"IVF+PQ recall=$recall%.2f")
+    // compounded approximation (cell pruning × code quantization) — the
+    // bar is the IVF probe recall floor, the binding constraint here
+    assert(recall >= 0.55, s"IVF+PQ recall too low: $recall")
+  }
+
   test("exact dedup keeps one representative per content hash") {
     val out = graft.Registry.byName("q_dedup_exact").run(spark, dir)
     val total = out.agg(sum("n_copies")).head().getLong(0)
