@@ -18,6 +18,10 @@ import org.apache.spark.sql.types.StructType
   *   graft.Main consume <busRoot> <topic>          # ZSON to stdout
   *   graft.Main from-kafka <busRoot> <lakeRoot> <pool> <topic[,topic...]>
   *   graft.Main to-kafka <busRoot> <lakeRoot> <pool> <topic>
+  *   graft.Main produce-avro <busRoot> <registryRoot> <topic> <file>
+  *   graft.Main consume-avro <busRoot> <registryRoot> <topic>
+  *   graft.Main schemas <registryRoot>             # zync ls parity
+  *   graft.Main topic-info <busRoot> <topic>       # zync info parity
   * }}}
   *
   * The bus commands run against a durable [[graft.streaming.FileBus]]
@@ -129,6 +133,47 @@ object Main {
           new ConnectJsonCodec(structOf("key")), new ConnectJsonCodec(structOf("value")))
         println(s"produced $n records to $topic")
       }
+    case "produce-avro" :: busRoot :: regRoot :: topic :: file :: Nil =>
+      val df = if (file.endsWith(".zson")) graft.zson.ZsonValue.read(spark, file)
+        else spark.read.json(file)
+      val registry = new graft.codecs.FileSchemaRegistry(regRoot)
+      val n = Commands.produce(spark, new FileBus(busRoot), topic, file,
+        RawStringCodec,
+        new graft.streaming.RegistryAvroCodec(df.schema, "namespace", registry))
+      println(s"produced ${n.values.sum} records to $topic")
+    case "consume-avro" :: busRoot :: regRoot :: topic :: Nil =>
+      val bus = new FileBus(busRoot)
+      val registry = new graft.codecs.FileSchemaRegistry(regRoot)
+      import org.apache.spark.sql.functions.col
+      // recover the value type from the first message's embedded schema id
+      val first = bus.readBatch(spark, Seq(topic), Map.empty)
+        .orderBy("offset").select("value").limit(1)
+        .collect().headOption.map(_.getAs[Array[Byte]](0))
+      first match {
+        case None => // empty topic
+        case Some(msg) =>
+          val (id, _) = graft.codecs.ZAvro.unframe(msg)
+          val avro = new org.apache.avro.Schema.Parser().parse(registry.getSchema(id))
+          val schema = graft.codecs.ZAvro.avroToSpark(avro).asInstanceOf[StructType]
+          Commands.consume(spark, bus, topic, RawStringCodec,
+            new graft.streaming.RegistryAvroCodec(schema, "namespace", registry))
+            .foreach(println)
+      }
+    case "schemas" :: regRoot :: Nil =>
+      // zync ls parity: subjects with the latest schema of each
+      val registry = new graft.codecs.FileSchemaRegistry(regRoot)
+      registry.subjects().foreach { s =>
+        println(s"subject $s:")
+        registry.versions(s).lastOption.foreach { case (version, id) =>
+          println(s"  id $id")
+          println(s"  version $version")
+          println(s"  schema ${registry.getSchema(id)}")
+        }
+      }
+    case "topic-info" :: busRoot :: topic :: Nil =>
+      // zync info parity: low and high watermarks
+      val high = new FileBus(busRoot).endOffsets(spark, Seq(topic))(topic)
+      println(s"low 0 high $high")
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
       usage()

@@ -31,6 +31,104 @@ final class InMemorySchemaRegistry extends SchemaRegistry {
     })
 }
 
+/** Durable file-backed registry for CLI workflows (no registry service in
+  * zero-egress environments; the reference requires a live Confluent
+  * endpoint). Layout:
+  * {{{
+  *   <root>/schemas/<id>.avsc                 — schema text by id
+  *   <root>/subjects/<subject>/<version>.txt  — the id registered at that version
+  * }}}
+  * Ids allocate with create-exclusive hard links, so concurrent producers
+  * registering new schemas serialize instead of colliding — the same CAS
+  * as pool manifests. Content-dedup per subject like a real registry.
+  */
+final class FileSchemaRegistry(root: String) extends SchemaRegistry {
+  import java.nio.file.{Files, Path, Paths}
+  import scala.jdk.CollectionConverters._
+
+  private def schemasDir = Paths.get(root, "schemas")
+  private def subjectDir(s: String) = Paths.get(root, "subjects",
+    java.net.URLEncoder.encode(s, "UTF-8"))
+
+  override def getSchema(id: Int): String = {
+    val f = schemasDir.resolve(s"$id.avsc")
+    require(Files.exists(f), s"no schema with id $id in $root")
+    new String(Files.readAllBytes(f), "UTF-8")
+  }
+
+  def subjects(): Seq[String] = {
+    val d = Paths.get(root, "subjects")
+    if (!Files.isDirectory(d)) Nil
+    else Files.list(d).iterator.asScala.toSeq
+      .map(p => java.net.URLDecoder.decode(p.getFileName.toString, "UTF-8"))
+      .sorted
+  }
+
+  /** (version, id) pairs for a subject, ascending version. */
+  def versions(subject: String): Seq[(Int, Int)] = {
+    val d = subjectDir(subject)
+    if (!Files.isDirectory(d)) Nil
+    else Files.list(d).iterator.asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".txt"))
+      .map { p =>
+        val v = p.getFileName.toString.stripSuffix(".txt").toInt
+        v -> new String(Files.readAllBytes(p), "UTF-8").trim.toInt
+      }.sortBy(_._1)
+  }
+
+  override def createSchema(subject: String, schema: String): Int = {
+    Files.createDirectories(schemasDir)
+    Files.createDirectories(subjectDir(subject))
+    // content dedup within the subject
+    versions(subject).find { case (_, id) => getSchema(id) == schema } match {
+      case Some((_, id)) => id
+      case None =>
+        val id = allocateId(schema)
+        val ver = versions(subject).lastOption.map(_._1 + 1).getOrElse(1)
+        publish(subjectDir(subject).resolve(s"$ver.txt"), id.toString.getBytes,
+          retryName = v => subjectDir(subject).resolve(s"${v + ver}.txt"))
+        id
+    }
+  }
+
+  private def allocateId(schema: String): Int = {
+    val existing = Files.list(schemasDir).iterator.asScala.toSeq
+      .map(_.getFileName.toString.stripSuffix(".avsc").toInt)
+    var id = (existing :+ 0).max + 1
+    val tmp = schemasDir.resolve(s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, schema.getBytes("UTF-8"))
+    try {
+      var attempt = 0
+      while (attempt < 1000) {
+        try {
+          Files.createLink(schemasDir.resolve(s"$id.avsc"), tmp)
+          return id
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => id += 1; attempt += 1
+        }
+      }
+      throw new IllegalStateException("FileSchemaRegistry: id allocation races")
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  private def publish(target: Path, bytes: Array[Byte], retryName: Int => Path): Unit = {
+    val tmp = target.getParent.resolve(s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, bytes)
+    try {
+      var i = 0
+      while (i < 1000) {
+        try {
+          Files.createLink(if (i == 0) target else retryName(i), tmp)
+          return
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => i += 1
+        }
+      }
+      throw new IllegalStateException("FileSchemaRegistry: version races")
+    } finally Files.deleteIfExists(tmp)
+  }
+}
+
 /** Minimal HTTP client for the Confluent registry REST API
   * (POST /subjects/{subject}/versions, GET /schemas/ids/{id}) using only
   * JDK classes. Responses are memoized per JVM.

@@ -67,5 +67,33 @@ class MainCliSpec extends AnyFunSuite {
     // inventory commands
     assert(capture("ls", lake) == Seq("Raw", "Staging"))
     assert(capture("info", lake, "Staging") == Seq("commits: 1", "rows: 4"))
+    assert(capture("topic-info", bus, "T") == Seq("low 0 high 3"))
+  }
+
+  test("registry-avro produce/consume with a file-backed registry") {
+    val bus = Files.createTempDirectory("cli-abus").toString
+    val reg = Files.createTempDirectory("cli-reg").toString
+    val recs = Files.createTempFile("arecs", ".zson")
+    Files.write(recs,
+      """{op:"c",n:1}
+        |{op:"u",n:2}
+        |""".stripMargin.getBytes)
+
+    assert(capture("produce-avro", bus, reg, "A", recs.toString)
+      == Seq("produced 2 records to A"))
+    // consumer recovers the type from the wire-format schema id alone
+    val lines = capture("consume-avro", bus, reg, "A")
+    assert(lines == Seq(
+      """{kafka:{topic:"A",partition:0,offset:0},value:{op:"c",n:1}}""",
+      """{kafka:{topic:"A",partition:0,offset:1},value:{op:"u",n:2}}"""), lines)
+
+    // zync ls parity: one subject, RecordNameStrategy naming, v1
+    val ls = capture("schemas", reg)
+    assert(ls.head.startsWith("subject namespace.zng_"), ls.head)
+    assert(ls.contains("  id 1") && ls.contains("  version 1"), ls)
+    // re-produce the same schema: registry dedups, no new version
+    assert(capture("produce-avro", bus, reg, "A", recs.toString)
+      == Seq("produced 2 records to A"))
+    assert(capture("schemas", reg) == ls)
   }
 }
