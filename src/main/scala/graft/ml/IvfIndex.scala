@@ -72,4 +72,18 @@ object IvfIndex {
     } finally cents.unpersist()
     IvfIndex(spark, path)
   }
+
+  /** Incrementally index new vectors against the EXISTING quantizer:
+    * assign to the trained cells and append into their partitions — no
+    * retrain, no rewrite of prior data (dynamic partition append only
+    * touches the cells the new batch lands in). The quantizer drifts as
+    * the corpus distribution does; rebuild when probe recall degrades —
+    * the standard IVF maintenance contract.
+    */
+  def append(index: IvfIndex, newVectors: DataFrame): IvfIndex = {
+    val cents = index.centroids
+    AnnOps.assignCells(newVectors, cents)
+      .write.mode("append").partitionBy("cell").parquet(s"${index.path}/cells")
+    index
+  }
 }

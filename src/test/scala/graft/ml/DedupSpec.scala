@@ -91,6 +91,17 @@ class DedupSpec extends AnyFunSuite {
     val recall = (brute & fromDisk).size.toDouble / brute.size
     info(f"disk-IVF recall=$recall%.2f")
     assert(recall >= 0.6, s"disk-IVF recall too low: $recall")
+
+    // incremental append: a duplicate of a query vector (shifted id)
+    // indexes into the existing cells and is immediately findable
+    val dup = queries.limit(1)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("v"))
+    IvfIndex.append(idx, dup)
+    val qid = queries.limit(1).select("vec_id").head().getLong(0)
+    val hits = idx.search(queries.limit(1), 1, nprobe = 2)
+      .select("n_id").collect().map(_.getLong(0)).toSeq
+    assert(hits == Seq(qid + 100000L),
+      s"appended duplicate should be the top-1 neighbor, got $hits")
   }
 
   test("connected components match union-find (chains, stars, singletons)") {
