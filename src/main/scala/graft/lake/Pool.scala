@@ -200,12 +200,22 @@ final class Pool private (val spark: SparkSession, val name: String,
     } finally Files.deleteIfExists(tmp)
   }
 
-  /** Delete data files no longer referenced by any visible manifest. */
-  def vacuum(): Int = {
+  /** Delete data files no longer referenced by any visible manifest.
+    *
+    * `graceMs` > 0 spares recently-written files: a reader that listed
+    * manifests just before a compact landed may still be reading the
+    * superseded files, so production maintenance vacuums with a grace
+    * window comfortably above the longest query (the same reader-safety
+    * contract as table-format VACUUM retention).
+    */
+  def vacuum(graceMs: Long = 0L): Int = {
     val live = committedFiles().map(Paths.get(_).getFileName.toString).toSet
     if (!Files.isDirectory(dataDir)) return 0
+    val cutoff = System.currentTimeMillis() - graceMs
     val dead = Files.list(dataDir).iterator.asScala.toSeq
       .filterNot(p => live(p.getFileName.toString))
+      .filter(p => graceMs <= 0L ||
+        Files.getLastModifiedTime(p).toMillis < cutoff)
     dead.foreach(Files.deleteIfExists(_))
     dead.size
   }

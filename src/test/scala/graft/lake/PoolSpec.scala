@@ -77,6 +77,20 @@ class PoolSpec extends AnyFunSuite {
     assert(p.read().count() == 55)
   }
 
+  test("vacuum grace window spares freshly superseded files") {
+    val root = Files.createTempDirectory("pool-grace").toString
+    val p = Pool.create(spark, root, "G")
+    p.append(batch("a", 0 until 5))
+    p.append(batch("a", 5 until 9))
+    p.compact()
+    // files superseded milliseconds ago survive a 1-hour grace vacuum...
+    assert(p.vacuum(graceMs = 3600L * 1000L) == 0)
+    assert(p.read().count() == 9)
+    // ...and an immediate vacuum still collects them
+    assert(p.vacuum() > 0)
+    assert(p.read().count() == 9)
+  }
+
   test("readAsOf returns consistent historical snapshots") {
     val root = Files.createTempDirectory("pool-t").toString
     val p = Pool.create(spark, root, "P")
