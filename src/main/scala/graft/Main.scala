@@ -109,7 +109,16 @@ object Main {
           Commands.consume(spark, bus, topic, sniffKeyCodec(spark, bus, topic),
             new ConnectJsonCodec(schema)).foreach(println)
       }
-    case "from-kafka" :: busRoot :: lakeRoot :: pool :: topicsArg :: Nil =>
+    case "from-kafka" :: busRoot :: lakeRoot :: pool :: topicsArg :: rest
+        if rest.size <= 1 =>
+      // optional trailing arg = in-flight shaper (the reference's -shaper
+      // Zed script): a SQL query over the envelope view `this`
+      val shaper = rest.headOption.map { sql =>
+        (df: org.apache.spark.sql.DataFrame) => {
+          df.createOrReplaceTempView("this")
+          df.sparkSession.sql(sql)
+        }
+      }
       val bus = new FileBus(busRoot)
       val counts = topicsArg.split(',').toSeq.map { topic =>
         sniffTopic(spark, bus, topic) match {
@@ -117,7 +126,7 @@ object Main {
           case Some(schema) =>
             topic -> Commands.fromKafka(spark, bus, lakeRoot,
               Map(pool -> Seq(topic)), RawStringCodec,
-              new ConnectJsonCodec(schema)).values.sum
+              new ConnectJsonCodec(schema), shaper).values.sum
         }
       }
       counts.foreach { case (t, n) => println(s"synced $n records from $t into $pool") }

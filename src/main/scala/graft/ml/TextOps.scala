@@ -215,6 +215,26 @@ object TextOps {
                    floor(ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / df) * 10000 + 0.5) / 10000 AS idf
             FROM v ORDER BY df DESC, word LIMIT 50"""))
 
+  // Distribution stats per language: exact interpolated quantiles of doc
+  // length. Spark's percentile() and DuckDB's quantile_cont share the
+  // interpolation definition, so the oracle hash-matches; at 100 TB the
+  // exact percentile still groups+sorts only within each language
+  // partition (approx_percentile is the knob if even that is too much).
+  private val qQuantiles = GQuery(
+    "q_quantiles",
+    (s, d) =>
+      documents(s, d)
+        .groupBy("lang")
+        .agg(
+          stableRound(expr("percentile(n_chars, 0.5)"), 2).as("p50"),
+          stableRound(expr("percentile(n_chars, 0.9)"), 2).as("p90"),
+          max("n_chars").cast("long").as("mx")),
+    Some("""SELECT lang,
+                   floor(quantile_cont(n_chars, 0.5) * 100 + 0.5) / 100 AS p50,
+                   floor(quantile_cont(n_chars, 0.9) * 100 + 0.5) / 100 AS p90,
+                   CAST(max(n_chars) AS BIGINT) AS mx
+            FROM documents GROUP BY lang"""))
+
   /** C4-style corpus cleaning: length + stopword + punctuation gates as a
     * reusable DataFrame stage (composes with dedup stages downstream).
     */
@@ -260,5 +280,5 @@ object TextOps {
             FROM documents"""))
 
   val queries: Seq[GQuery] = Seq(qLangId, qTokens, qQuality, qFingerprint,
-    qRollingFp, qCorpusFilter, qCorpusStats, qRedact, qVocab)
+    qRollingFp, qCorpusFilter, qCorpusStats, qRedact, qVocab, qQuantiles)
 }

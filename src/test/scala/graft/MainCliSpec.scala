@@ -70,6 +70,22 @@ class MainCliSpec extends AnyFunSuite {
     assert(capture("topic-info", bus, "T") == Seq("low 0 high 3"))
   }
 
+  test("from-kafka applies a SQL shaper in flight (README.md:77-80 parity)") {
+    val bus = Files.createTempDirectory("cli-shaper-bus").toString
+    val lake = Files.createTempDirectory("cli-shaper-lake").toString
+    val recs = Files.createTempFile("srecs", ".zson")
+    Files.write(recs, "{op:\"c\",n:7}\n".getBytes)
+    assert(capture("produce", bus, "S", recs.toString)
+      == Seq("produced 1 records to S"))
+    capture("from-kafka", bus, lake, "Shaped", "S",
+      """SELECT kafka, key,
+                named_struct('op', upper(value.op), 'n', value.n * 10) AS value
+         FROM this""")
+    val out = capture("consume-pool", lake, "Shaped")
+    assert(out == Seq("""{kafka:{topic:"S",partition:0,offset:0},value:{op:"C",n:70}}"""),
+      out)
+  }
+
   test("registry-avro produce/consume with a file-backed registry") {
     val bus = Files.createTempDirectory("cli-abus").toString
     val reg = Files.createTempDirectory("cli-reg").toString
