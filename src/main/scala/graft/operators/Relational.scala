@@ -126,6 +126,28 @@ object Relational {
     Some("""SELECT event_id, event_type, user_id FROM events
             ORDER BY event_id LIMIT 100"""))
 
+  // ---- top-N per group (beyond the reference's global head/tail) ---------
+  // The per-key selection every training pipeline needs (best doc per
+  // cluster, latest event per user): rank within partitions — shuffles
+  // once on the group key, never globally sorts.
+  private val qTopPerGroup = GQuery(
+    "q_top_per_group",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+        .orderBy(col("value").desc, col("event_id").asc)
+      events(s, d)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("event_type", "event_id", "value", "rk")
+    },
+    Some("""SELECT event_type, event_id, value, rk FROM (
+              SELECT event_type, event_id, value,
+                     CAST(row_number() OVER (PARTITION BY event_type
+                       ORDER BY value DESC, event_id ASC) AS BIGINT) AS rk
+              FROM events)
+            WHERE rk <= 3"""))
+
   // ---- tail 1 (resume-from-lake offset recovery) -------------------------
   // ref: fifo/lake.go:62-82 (kafka.topic=='T' | tail 1 | yield kafka)
   private val qTail1 = GQuery(
@@ -399,7 +421,7 @@ object Relational {
 
   val queries: Seq[GQuery] = Seq(
     qScanFilter, qAgg, qGroupbyMax, qAntiJoin, qSemiJoin, qInnerJoin,
-    qSortHead, qTail1, qCollect, qBoolOr, qYield, qCut, qSwitch, qFuse,
-    qRangeCursor, qOffsetAssign, qDoneMarker, qMapLookup, qStringFuns,
+    qSortHead, qTail1, qTopPerGroup, qCollect, qBoolOr, qYield, qCut, qSwitch,
+    qFuse, qRangeCursor, qOffsetAssign, qDoneMarker, qMapLookup, qStringFuns,
     qWithField, qWindowDay, qSaltedAgg, qScalarFuns)
 }
