@@ -116,5 +116,60 @@ object ClusterOps {
             SELECT CAST(u AS BIGINT) AS vec_id, CAST(min(v) AS BIGINT) AS component
             FROM reach GROUP BY u"""))
 
-  val queries: Seq[GQuery] = Seq(qDedupCluster)
+  /** Canonical representative per duplicate cluster: the member that
+    * maximizes `quality` (ties → lowest id). One join of the cluster
+    * assignment against the quality column, one rank per component.
+    */
+  def keepers(assignment: DataFrame, quality: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component").orderBy(col("q").desc, col("id").asc)
+    assignment.join(quality, Seq("id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("component"), col("id").as("keep_id"), col("q"))
+  }
+
+  // End-to-end dedup decision: embedding near-dup pairs → components →
+  // keep the longest document of each cluster (n_chars as the quality
+  // proxy; vec_id aligns with doc_id in the test corpus).
+  private val qDedupKeep = GQuery(
+    "q_dedup_keep",
+    (s, d) => {
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      val l = emb.select(col("label"), col("vec_id").as("a"), col("v").as("va"))
+      val r = emb.select(col("label"), col("vec_id").as("b"), col("v").as("vb"))
+      val pairs = l.join(r, Seq("label"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"), stableRound(cosine(col("va"), col("vb")), 4).as("sim"))
+        .filter(col("sim") >= 0.35)
+        .select("a", "b")
+      val quality = documents(s, d)
+        .select(col("doc_id").as("id"), col("n_chars").cast("long").as("q"))
+      keepers(connectedComponents(pairs), quality)
+        .select(col("component").cast("long").as("component"),
+          col("keep_id").cast("long").as("keep_id"), col("q"))
+    },
+    Some("""WITH RECURSIVE pairs AS (
+              SELECT e1.vec_id AS a, e2.vec_id AS b
+              FROM embeddings e1 JOIN embeddings e2
+                ON e1.label = e2.label AND e1.vec_id < e2.vec_id
+              WHERE floor(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])) * 10000 + 0.5) / 10000 >= 0.35),
+            sym AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+            nodes AS (SELECT DISTINCT u FROM sym),
+            reach(u, v) AS (
+              SELECT u, u FROM nodes
+              UNION
+              SELECT reach.u, sym.v FROM reach JOIN sym ON reach.v = sym.u),
+            cc AS (SELECT u AS id, min(v) AS component FROM reach GROUP BY u),
+            ranked AS (
+              SELECT cc.component, cc.id, d.n_chars AS q,
+                     row_number() OVER (PARTITION BY cc.component
+                       ORDER BY d.n_chars DESC, cc.id ASC) AS rk
+              FROM cc JOIN documents d ON d.doc_id = cc.id)
+            SELECT CAST(component AS BIGINT) AS component,
+                   CAST(id AS BIGINT) AS keep_id, CAST(q AS BIGINT) AS q
+            FROM ranked WHERE rk = 1"""))
+
+  val queries: Seq[GQuery] = Seq(qDedupCluster, qDedupKeep)
 }
