@@ -63,7 +63,10 @@ object GraftExtensions {
     "bpeish_token_count" -> ((args: Seq[Expression]) =>
       e(bpeishTokenCount(c(args.head)))),
     "stable_round" -> ((args: Seq[Expression]) =>
-      e(stableRound(c(args(0)), litInt(args(1), "stable_round", 1)))))
+      e(stableRound(c(args(0)), litInt(args(1), "stable_round", 1)))),
+    "l2norm" -> ((args: Seq[Expression]) => e(l2norm(c(args.head)))),
+    "l2_normalize" -> ((args: Seq[Expression]) => e(l2normalize(c(args.head)))),
+    "mean_pool" -> ((args: Seq[Expression]) => e(meanPool(c(args.head)))))
 
   /** Register everything on a live session (idempotent). */
   def install(spark: SparkSession): Unit =

@@ -116,6 +116,21 @@ package object functions {
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Unit-normalize a vector (null-safe: zero vectors stay zero). */
+  def l2normalize(a: Column): Column = {
+    val n = l2norm(a)
+    when(n === 0.0, a).otherwise(transform(a, x => x / n))
+  }
+
+  /** Element-wise mean of an array of equal-length vectors (mean pooling
+    * token embeddings into a document embedding).
+    */
+  def meanPool(vs: Column): Column =
+    transform(
+      aggregate(vs, transform(element_at(vs, 1), _ => lit(0.0)),
+        (acc, v) => zip_with(acc, v, _ + _)),
+      x => x / size(vs))
+
   /** Cosine similarity over array<double> columns. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 

@@ -46,6 +46,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaSql.head.getSeq[Long](6).size == 4) // 4 tables' signatures
   }
 
+  test("vector utilities: l2norm, l2_normalize, mean_pool") {
+    val r = spark.sql(
+      """SELECT stable_round(l2norm(array(3D, 4D)), 4) AS n,
+                l2_normalize(array(3D, 4D)) AS u,
+                l2_normalize(array(0D, 0D)) AS z,
+                mean_pool(array(array(1D, 2D), array(3D, 6D))) AS mp""").head()
+    assert(r.getDouble(0) == 5.0)
+    assert(r.getSeq[Double](1) == Seq(0.6, 0.8))
+    assert(r.getSeq[Double](2) == Seq(0.0, 0.0))
+    assert(r.getSeq[Double](3) == Seq(2.0, 4.0))
+  }
+
   test("non-literal table/band counts are rejected with a clear error") {
     val err = intercept[Exception](
       spark.sql("SELECT hyperplane_sigs(array(1.0), cast(rand()*4 AS INT), 2)").collect())
