@@ -93,5 +93,51 @@ object MultimodalOps {
         element_at(col("features"), 1).cast("long").as("n_bytes")),
     None)
 
-  val queries: Seq[GQuery] = Seq(qMultimodalMeta, qMultimodalDecode)
+  /** STUB resize: strided byte sample down to `target` bytes — a real
+    * codec swaps in behind the same (payload → payload) signature. Keeps
+    * the resized payload executor-local like decode.
+    */
+  def resizeStub(payload: Array[Byte], target: Int): Array[Byte] = {
+    // ??? <- real image resize goes here
+    if (payload == null || payload.length <= target) payload
+    else Array.tabulate(target)(i => payload(i * (payload.length / target)))
+  }
+
+  /** Frame sampling: split a media payload into `n` contiguous frames,
+    * one row per frame with its own metadata — the explode happens AFTER
+    * the per-asset scan so payload bytes still never shuffle (each frame
+    * row carries only its slice), and downstream per-frame decode runs on
+    * the same executor partitioning.
+    */
+  def sampleFrames(assets: DataFrame, n: Int): DataFrame = {
+    assets
+      .withColumn("frame_idx", explode(sequence(lit(0L), lit(n.toLong - 1L))))
+      .withColumn("frame", expr("substring(payload, CAST(frame_idx * meta.n_bytes DIV " +
+        s"$n AS INT) + 1, CAST((frame_idx + 1) * meta.n_bytes DIV $n - " +
+        s"frame_idx * meta.n_bytes DIV $n AS INT))"))
+      .select(col("asset_id"), col("media_type"), col("frame_idx"),
+        length(col("frame")).cast("long").as("f_bytes"),
+        substring(md5(col("frame")), 1, 8).as("f_id"),
+        col("frame"))
+  }
+
+  // Frame slicing of the (ascii) stand-in payloads is pure byte algebra,
+  // so the oracle mirrors it with substr on the text — frame boundaries,
+  // sizes, and content ids must all agree.
+  private val qMultimodalFrames = GQuery(
+    "q_multimodal_frames",
+    (s, d) =>
+      sampleFrames(assets(s, d), 4).drop("frame"),
+    Some("""SELECT doc_id AS asset_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END
+                     AS media_type,
+                   CAST(i AS BIGINT) AS frame_idx,
+                   CAST(((i + 1) * length(text)) // 4 - (i * length(text)) // 4 AS BIGINT)
+                     AS f_bytes,
+                   substr(md5(substr(text, CAST((i * length(text)) // 4 AS INT) + 1,
+                     CAST(((i + 1) * length(text)) // 4 - (i * length(text)) // 4 AS INT))), 1, 8)
+                     AS f_id
+            FROM documents, (SELECT unnest(generate_series(0, 3)) AS i)"""))
+
+  val queries: Seq[GQuery] = Seq(qMultimodalMeta, qMultimodalDecode, qMultimodalFrames)
 }
