@@ -84,14 +84,26 @@ object MultimodalOps {
                    substr(md5(text), 1, 8) AS content_id
             FROM documents"""))
 
+  // The stub features are byte-histogram moments over the (ascii)
+  // stand-in payloads — pure arithmetic DuckDB can replicate char-wise,
+  // which upgrades this from a rows-only check to a full oracle. A real
+  // codec would drop the oracle back to rows-only (codec output is not
+  // SQL-expressible), keeping the same plumbing assertions.
   private val qMultimodalDecode = GQuery(
     "q_multimodal_decode",
     (s, d) =>
       decodeFeatures(assets(s, d)).select(
         col("asset_id"), col("media_type"),
-        round(element_at(col("features"), 2), 4).as("byte_mean"),
+        graft.functions.stableRound(element_at(col("features"), 2), 4).as("byte_mean"),
         element_at(col("features"), 1).cast("long").as("n_bytes")),
-    None)
+    Some("""SELECT doc_id AS asset_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END
+                     AS media_type,
+                   floor((list_sum(list_transform(range(1, length(text) + 1),
+                          i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS DOUBLE)))
+                          / length(text)) * 10000 + 0.5) / 10000 AS byte_mean,
+                   CAST(length(text) AS BIGINT) AS n_bytes
+            FROM documents"""))
 
   /** STUB resize: strided byte sample down to `target` bytes — a real
     * codec swaps in behind the same (payload → payload) signature. Keeps
