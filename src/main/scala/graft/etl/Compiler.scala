@@ -75,7 +75,7 @@ object Compiler {
             case "stateless" =>
               val outAst = ZedExpr.parseOutAssign(r.zed)
               // `in` = the whole input record (ref: yield {in:this})
-              val wrapped = matched.select(struct(matched.columns.map(col): _*).as("in"))
+              val wrapped = matched.select(struct(matched.columns.toSeq.map(col): _*).as("in"))
               val data = wrapped.select(
                 ZedExpr.toColumn(outAst, wrapped.schema).as("out"),
                 col("in.kafka").as("_inkafka"))
@@ -90,9 +90,9 @@ object Compiler {
               val Array(lk, rk) = r.joinOn.split("=").map(_.trim)
               require(lk.nonEmpty && rk.nonEmpty, s"join-on syntax error: ${r.joinOn}")
               val lrows = matched.filter(col("kafka.topic") === r.left)
-                .select(struct(matched.columns.map(col): _*).as("left"))
+                .select(struct(matched.columns.toSeq.map(col): _*).as("left"))
               val rrows = matched.filter(col("kafka.topic") === r.right)
-                .select(struct(matched.columns.map(col): _*).as("right"))
+                .select(struct(matched.columns.toSeq.map(col): _*).as("right"))
               val joined = lrows.join(rrows, col(lk) === col(rk), "inner")
               val data = joined.select(
                 ZedExpr.toColumn(ZedExpr.parseOutAssign(r.zed), joined.schema).as("out"),

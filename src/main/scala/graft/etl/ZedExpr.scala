@@ -293,7 +293,7 @@ object ZedExpr {
     case Arith("%", l, r) => toColumn(l, schema) % toColumn(r, schema)
     case Arith(op, _, _) => throw new IllegalArgumentException(s"bad op $op")
     case Index(e, i) => toColumn(e, schema).getItem(i)
-    case In(e, list) => toColumn(e, schema).isin(list.map {
+    case In(e, list) => toColumn(e, schema).isin(list.map[Any] {
       case StrLit(v) => v
       case NumLit(v) => if (v.contains('.')) v.toDouble else v.toLong
       case other => throw new IllegalArgumentException(s"bad in-list item: $other")

@@ -249,7 +249,7 @@ final class Pool private (val spark: SparkSession, val name: String,
     if (!Files.exists(f)) return Map.empty
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = om.readTree(Files.readAllBytes(f))
-    val it = node.fields()
+    val it = node.properties().iterator()
     val buf = scala.collection.mutable.Map[String, (Long, Long)]()
     while (it.hasNext) {
       val e = it.next()

@@ -39,7 +39,7 @@ final case class IvfIndex(spark: SparkSession, path: String) {
     // literal cell list -> partition pruning in the parquet scan
     val cellIds = probed.select("cell").distinct().collect().map(_.getInt(0)).sorted
     val scan = spark.read.parquet(s"$path/cells")
-      .filter(col("cell").isin(cellIds.map(_.asInstanceOf[Any]): _*))
+      .filter(col("cell").isin(cellIds.toSeq.map(_.asInstanceOf[Any]): _*))
     (probed, scan)
   }
 

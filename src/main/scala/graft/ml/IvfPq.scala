@@ -40,7 +40,7 @@ final case class IvfPqIndex(spark: SparkSession, path: String) {
     val cellIds = probed.select(explode(col("cells")).as("c")).distinct()
       .collect().map(_.getInt(0)).sorted
     val scan = spark.read.parquet(s"$path/cells")
-      .filter(col("cell").isin(cellIds.map(_.asInstanceOf[Any]): _*))
+      .filter(col("cell").isin(cellIds.toSeq.map(_.asInstanceOf[Any]): _*))
 
     // ADC over probed cells only: a code row scores against a query iff
     // its cell is in that query's probe set
