@@ -97,4 +97,32 @@ class CodecPropertySpec extends AnyFunSuite {
   test("registry-avro round-trips arbitrary rows") {
     samples(Gen.listOfN(20, genRow), 8).foreach(rows => roundTrip(rows, "avro"))
   }
+
+  test("both codecs round-trip generated timestamps (µs precision)") {
+    // ±~126 years of epoch micros: ns (µs*1000) stays within Long for the
+    // Connect wire format, and Avro timestamp-micros is exact by design
+    val tsSchema = StructType(Seq(
+      StructField("id", LongType), StructField("ts", TimestampType)))
+    val genTsRow: Gen[Row] = for {
+      id <- Gen.chooseNum(0L, 1L << 40)
+      us <- Gen.option(Gen.chooseNum(-4000000000000000L, 4000000000000000L))
+    } yield Row(id, us.map(u => java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(Math.floorDiv(u, 1000000L),
+        Math.floorMod(u, 1000000L) * 1000L))).orNull)
+
+    samples(Gen.listOfN(25, genTsRow), 6).foreach { rows =>
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), tsSchema)
+      val v = struct(df.columns.map(col): _*)
+      val want = df.collect().map(canon).sorted.toSeq
+      val viaConnect = df.select(
+        ConnectJson.decode(ConnectJson.encode(v, tsSchema), tsSchema).as("v"))
+        .select("v.*").collect().map(canon).sorted.toSeq
+      assert(viaConnect == want, "connect-json timestamp round trip")
+      val reg = new InMemorySchemaRegistry
+      val viaAvro = df.select(ZAvro.decodeColumn(
+        ZAvro.encodeColumn(v, tsSchema, "ns", reg), tsSchema, reg).as("v"))
+        .select("v.*").collect().map(canon).sorted.toSeq
+      assert(viaAvro == want, "registry-avro timestamp round trip")
+    }
+  }
 }
