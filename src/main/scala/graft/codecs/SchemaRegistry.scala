@@ -87,7 +87,13 @@ final class FileSchemaRegistry(root: String) extends SchemaRegistry {
         val ver = versions(subject).lastOption.map(_._1 + 1).getOrElse(1)
         publish(subjectDir(subject).resolve(s"$ver.txt"), id.toString.getBytes,
           retryName = v => subjectDir(subject).resolve(s"${v + ver}.txt"))
-        id
+        // Two writers can race the dedup scan above and each allocate an id
+        // for the same schema text. Re-scan after publishing and converge on
+        // the earliest registered id (the race winner); the loser's version
+        // entry remains as a harmless duplicate, as in a real registry
+        // where version N and N+1 may carry identical schemas.
+        versions(subject).find { case (_, i) => getSchema(i) == schema }
+          .map(_._2).getOrElse(id)
     }
   }
 

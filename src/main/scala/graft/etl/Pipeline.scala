@@ -141,9 +141,13 @@ final class Pipeline(spark: SparkSession, transform: Transform, root: String) {
       df.filter(!(col("topic") === t && col("offset") <= c))
     }
 
-    // next producer offsets per out topic, from each topic's own pool
+    // next producer offsets per out topic, from each topic's own pool.
+    // max-reduce, not toMap: if routing changed between runs the same out
+    // topic may have rows in more than one pool, and last-wins could pick
+    // the stale smaller base and re-issue duplicate offsets.
     val bases: Map[String, Long] = outputPools.values
-      .flatMap(_.nextProducerOffsets()).toMap
+      .flatMap(_.nextProducerOffsets())
+      .groupMapReduce(_._1)(_._2)(math.max)
 
     val result = program.run(prunedIn, prunedDone, bases).cache()
     try {

@@ -202,13 +202,17 @@ final class Pool private (val spark: SparkSession, val name: String,
 
   /** Delete data files no longer referenced by any visible manifest.
     *
-    * `graceMs` > 0 spares recently-written files: a reader that listed
-    * manifests just before a compact landed may still be reading the
-    * superseded files, so production maintenance vacuums with a grace
-    * window comfortably above the longest query (the same reader-safety
-    * contract as table-format VACUUM retention).
+    * `graceMs` spares recently-written files, and a positive value is the
+    * DEFAULT for two reasons: (1) a reader that listed manifests just
+    * before a compact landed may still be reading the superseded files
+    * (the reader-safety contract of table-format VACUUM retention), and
+    * (2) a concurrent [[append]] moves its data files into `data/` BEFORE
+    * publishing the manifest that references them — with zero grace a
+    * vacuum running in that window would delete the not-yet-published
+    * files and the append would commit a manifest pointing at nothing.
+    * Pass `graceMs = 0` only when no writer can be active (tests).
     */
-  def vacuum(graceMs: Long = 0L): Int = {
+  def vacuum(graceMs: Long = Pool.DefaultVacuumGraceMs): Int = {
     val live = committedFiles().map(Paths.get(_).getFileName.toString).toSet
     if (!Files.isDirectory(dataDir)) return 0
     val cutoff = System.currentTimeMillis() - graceMs
@@ -272,6 +276,11 @@ final class Pool private (val spark: SparkSession, val name: String,
 }
 
 object Pool {
+  /** Default vacuum grace: long enough to cover any in-flight append's
+    * move-files-then-publish window and typical query lifetimes.
+    */
+  val DefaultVacuumGraceMs: Long = 10L * 60L * 1000L
+
   /** Create (idempotent) — validates the pool key on reopen like
     * etl/pool.go:36-40.
     */

@@ -33,8 +33,10 @@ object PackOps {
       sum(col(valueCol)).over(
         Window.partitionBy("_part").orderBy(orderCol)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    // partition totals → driver-side exclusive scan (numPartitions rows)
-    val totals = local.groupBy("_part").agg(max("_local").as("_total"))
+    // partition totals → driver-side exclusive scan (numPartitions rows).
+    // sum(valueCol) per partition, NOT max of the running sum — max is only
+    // correct for non-negative values; sum stays correct for any input.
+    val totals = parted.groupBy("_part").agg(sum(col(valueCol)).as("_total"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val bases = totals.scanLeft((0, 0L)) { case ((_, acc), (p, t)) => (p, acc + t) }
       .sliding(2).collect { case Array((_, acc), (p, _)) => (p, acc) }.toMap

@@ -53,7 +53,7 @@ class PoolSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(perTopic == (0 until writers).map(i => s"t$i" -> 10L).toMap)
     // a losing compact aborts cleanly rather than hiding commits
-    assert(p.vacuum() == 0, "no dead files after contended appends")
+    assert(p.vacuum(graceMs = 0L) == 0, "no dead files after contended appends")
   }
 
   test("compact supersedes prior commits; vacuum removes dead files") {
@@ -68,7 +68,7 @@ class PoolSpec extends AnyFunSuite {
     val after = p.read().orderBy("kafka.offset").collect().map(_.toString).toSeq
     assert(after == before, "compaction must preserve contents")
 
-    val removed = p.vacuum()
+    val removed = p.vacuum(graceMs = 0L)
     assert(removed > 0, s"vacuum should remove superseded files (had $filesBefore)")
     assert(p.read().orderBy("kafka.offset").collect().map(_.toString).toSeq == before)
 
@@ -85,9 +85,11 @@ class PoolSpec extends AnyFunSuite {
     p.compact()
     // files superseded milliseconds ago survive a 1-hour grace vacuum...
     assert(p.vacuum(graceMs = 3600L * 1000L) == 0)
+    // ...and the DEFAULT grace also spares them (append/vacuum race guard)
+    assert(p.vacuum() == 0)
     assert(p.read().count() == 9)
-    // ...and an immediate vacuum still collects them
-    assert(p.vacuum() > 0)
+    // ...and a zero-grace vacuum (safe here: no concurrent writers) collects
+    assert(p.vacuum(graceMs = 0L) > 0)
     assert(p.read().count() == 9)
   }
 
