@@ -28,9 +28,12 @@ import scala.jdk.CollectionConverters._
   *  3. wire format: 1 magic byte 0x00 + 4-byte big-endian schema ID + Avro
   *     binary body (zavro/encoder.go:59-66, decoder.go:35-52).
   *
-  * Row codec runs as UDFs with per-JVM schema caches (the reference caches
-  * per-consumer, zavro/decoder.go:54-72); a custom Expression with
-  * doGenCode is the planned upgrade path.
+  * The row codec is a pair of native Catalyst expressions
+  * ([[AvroRegistryDecodeExpr]]/[[AvroRegistryEncodeExpr]]) going straight
+  * between the Avro body and InternalRow with per-expression schema caches
+  * (the reference caches per-consumer, zavro/decoder.go:54-72). The
+  * Row-level helpers below ([[encodeRow]], [[decodeToJson]]) remain for
+  * tests and the codec micro-bench.
   */
 object ZAvro {
 
@@ -400,23 +403,17 @@ object ZAvro {
     val subject = s"$namespace.${recordName(st)}"
     val id = registry.createSchema(subject, registryJson(st, namespace))
     val schemaJson = avroSchema(st, namespace).toString
-    val f = udf((r: Row) =>
-      if (r == null) null else frame(id, encodeRow(r, parsed(schemaJson))))
-    f(value)
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      AvroRegistryEncodeExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(value), st, schemaJson, id))
   }
 
   /** Decode registry-framed Avro binary into `st`. The registry lookup per
-    * schema ID happens lazily executor-side with a per-JVM cache (the
-    * reference's decoder cache, zavro/decoder.go:54-72).
+    * schema ID happens lazily executor-side with a per-expression cache
+    * (the reference's decoder cache, zavro/decoder.go:54-72).
     */
-  def decodeColumn(message: Column, st: StructType, registry: SchemaRegistry): Column = {
-    val json = udf((msg: Array[Byte]) =>
-      if (msg == null) null
-      else {
-        val (id, body) = unframe(msg)
-        val schema = parsed(registry.getSchema(id))
-        decodeToJson(body, schema)
-      })
-    from_json(json(message), st, Map.empty[String, String])
-  }
+  def decodeColumn(message: Column, st: StructType, registry: SchemaRegistry): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      AvroRegistryDecodeExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(message), st, registry))
 }
