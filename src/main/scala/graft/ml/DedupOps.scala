@@ -133,7 +133,7 @@ object DedupOps {
   private val qDedupSimhash = GQuery(
     "q_dedup_simhash",
     (s, d) => simhashPairs(documents(s, d), 6),
-    None,
+    Some(SimhashOracle.sql(6)),
     headline = true)
 
   // ---- n-gram Jaccard (exact, blocked) -----------------------------------
