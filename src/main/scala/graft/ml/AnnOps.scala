@@ -88,13 +88,51 @@ object AnnOps {
       .select(col("q_id"), col("n_id"), col("sim"), col("rk").cast("long").as("rk"))
   }
 
+  /** Per-query recall of `approx` top-k vs exact brute-force top-k, both
+    * computed in the same Catalyst plan (the VERDICT-r2 self-verifying-gate
+    * shape): the gate's oracle pins a recall floor instead of trusting a
+    * rows-only count. Queries with no approx hits get recall 0.
+    */
+  def recallVsExact(corpus: DataFrame, queries: DataFrame, k: Int,
+      approx: DataFrame): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, k).select(col("q_id"), col("n_id"))
+    val hits = exact
+      .join(approx.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    queries.select(col("vec_id").as("q_id"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), (coalesce(col("hits"), lit(0L)) / lit(k.toDouble)).as("recall"))
+  }
+
+  /** Collapse per-query recalls to a single oracle-checkable row: the query
+    * count plus pinned recall-floor booleans. The floors sit well under the
+    * observed recalls at sf0.001/sf0.01 (LSH avg .84/.86 min .60; IVF avg
+    * .73/.78; PQ avg .75/.76) so the gate fails only on a real regression.
+    */
+  private def recallSummary(recall: DataFrame, avgFloor: Double,
+      minFloor: Option[Double]): DataFrame = {
+    def nm(p: String, t: Double) = f"${p}_recall_ge_${(t * 100).toInt}%03d"
+    val cols = Seq(count(lit(1)).as("n_queries"),
+      (avg(col("recall")) >= avgFloor).as(nm("avg", avgFloor))) ++
+      minFloor.map(t => (min(col("recall")) >= t).as(nm("min", t)))
+    recall.agg(cols.head, cols.tail: _*)
+  }
+
+  private def recallOracle(avgFloor: Double, minFloor: Option[Double]): String = {
+    def nm(p: String, t: Double) = f"${p}_recall_ge_${(t * 100).toInt}%03d"
+    val extra = minFloor.map(t => s", true AS ${nm("min", t)}").getOrElse("")
+    s"""SELECT count(*) AS n_queries, true AS ${nm("avg", avgFloor)}$extra
+        FROM embeddings WHERE vec_id < 20"""
+  }
+
   private val qAnnLsh = GQuery(
     "q_ann_lsh",
     (s, d) => {
       val all = corpus(s, d)
-      lshTopK(all, all.filter(col("vec_id") < 20), 5)
+      val qs = all.filter(col("vec_id") < 20)
+      recallSummary(recallVsExact(all, qs, 5, lshTopK(all, qs, 5)), 0.75, Some(0.4))
     },
-    None,
+    Some(recallOracle(0.75, Some(0.4))),
     headline = true)
 
   /** Train a coarse quantizer: Lloyd's k-means over cosine similarity,
@@ -170,22 +208,23 @@ object AnnOps {
     "q_ann_ivf",
     (s, d) => {
       val all = corpus(s, d)
-      ivfTopK(all, all.filter(col("vec_id") < 20), 5, 3)
+      val qs = all.filter(col("vec_id") < 20)
+      recallSummary(recallVsExact(all, qs, 5, ivfTopK(all, qs, 5, 3)), 0.65, None)
     },
-    None)
+    Some(recallOracle(0.65, None)))
 
-  // PQ two-stage search (codes shortlist + exact re-rank); k-means
-  // codebooks are not SQL-expressible, so this is a rows-only gate —
-  // recall is asserted against brute force in DedupSpec.
   private val qAnnPq = GQuery(
     "q_ann_pq",
     (s, d) => {
       val all = corpus(s, d).select(col("vec_id"), col("v"))
+      val qs = all.filter(col("vec_id") < 20)
       val cents = Pq.train(all, m = 8, k = 16, iters = 2)
       val codes = Pq.encode(all, cents)
-      Pq.searchWithRerank(codes, cents, all, all.filter(col("vec_id") < 20), 5)
+      recallSummary(
+        recallVsExact(all, qs, 5, Pq.searchWithRerank(codes, cents, all, qs, 5)),
+        0.65, None)
     },
-    None)
+    Some(recallOracle(0.65, None)))
 
   val queries: Seq[GQuery] = Seq(qAnnTopK, qAnnLsh, qAnnIvf, qAnnPq)
 }

@@ -1,23 +1,21 @@
 package graft.ml
 
-/** Generates the DuckDB oracle SQL for `q_dedup_simhash`.
+/** Generates DuckDB oracle SQL for the gates whose signatures are built
+  * from xxhash64(seed=42) token hashes (Spark's `XXH64.hashUnsafeBytes`,
+  * the function behind `xxhash64()`), which DuckDB has no builtin for.
   *
-  * The gate's signature function is xxhash64(seed=42) per token (Spark's
-  * `XXH64.hashUnsafeBytes`, the same function behind `xxhash64()`), which
-  * DuckDB has no builtin for — so the oracle re-implements XXH64 in pure
-  * SQL over HUGEINT (128-bit) arithmetic: 64-bit wraparound multiply is
-  * split into 32-bit halves so intermediates stay under 2^97, rotations
-  * become multiply-mod + divide, and the byte stream is the ASCII token
-  * (the tokenizer `[^a-z0-9']+` guarantees single-byte chars).
+  * The oracle re-implements XXH64 in pure SQL over HUGEINT (128-bit)
+  * arithmetic: 64-bit wraparound multiply is split into 32-bit halves so
+  * intermediates stay under 2^97, rotations become multiply-mod + divide,
+  * and the byte stream is the ASCII token (the tokenizer `[^a-z0-9']+`
+  * guarantees single-byte chars). Only the short-input path (len < 32
+  * bytes: 8-byte rounds, one 4-byte round, tail bytes, avalanche) is
+  * generated; the 32-byte stripe path is unreachable because tokens are
+  * single words (observed max 8 chars). Cross-checked value-for-value
+  * against Spark's xxhash64 and the full gate outputs at sf0.001/sf0.01.
   *
-  * Only the short-input path (len < 32 bytes: 8-byte rounds, one 4-byte
-  * round, tail bytes, avalanche) is generated; the 32-byte stripe path is
-  * unreachable because tokens are single words (observed max 8 chars).
-  * Cross-checked value-for-value against Spark's xxhash64 and the full
-  * q_dedup_simhash pair set.
-  *
-  * This object exists so the ~80-line SQL string is assembled from named
-  * combinators instead of being an opaque blob in [[DedupOps]].
+  * This object exists so the ~80-line SQL strings are assembled from named
+  * combinators instead of being opaque blobs in [[DedupOps]]/[[TextOps]].
   */
 private[ml] object SimhashOracle {
 
@@ -52,17 +50,18 @@ private[ml] object SimhashOracle {
   // avalanche: h ^= h>>33; h *= P2; h ^= h>>29; h *= P3; h ^= h>>32
   private val av1 = mul(xor("h4", "h4 // 8589934592"), P2)
   private val av2 = mul(s"xor($av1, ($av1) // 536870912)", P3)
+  private val avFinal = s"xor($av2, ($av2) // 4294967296)"
 
-  private val pows = (0 until 64).map(j => s"($j, ${BigInt(1) << j}::HUGEINT)").mkString(", ")
-
-  /** Full oracle: tokenize → per-distinct-token XXH64 → per-doc bit votes →
-    * 64-bit signature → 4×16-bit block candidates → hamming ≤ maxHamming.
-    * Mirrors [[DedupOps.simhashPairs]] stage for stage.
+  /** CTE chain shared by both oracles: tokenize `documents` (keeping
+    * duplicates and order) and hash each distinct token with XXH64.
+    * Exposes `dt(doc_id, t, i)` and `th(t, uh HUGEINT unsigned, hs BIGINT
+    * signed)`.
     */
-  def sql(maxHamming: Int): String = s"""
-    WITH dt AS (SELECT doc_id,
-          unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0)) AS t
-        FROM documents),
+  private val tokenHashCtes = s"""
+    dt AS (SELECT doc_id, unnest(l) AS t, generate_subscripts(l, 1) AS i
+        FROM (SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0) AS l
+              FROM documents)),
       tb AS (SELECT t, length(t) AS n,
           list_transform(range(1, length(t)+1), i -> ascii(substr(t, i, 1))::HUGEINT) AS b
         FROM (SELECT DISTINCT t FROM dt)),
@@ -80,7 +79,19 @@ private[ml] object SimhashOracle {
       s3 AS (SELECT t,
           list_reduce(list_prepend(h3, b[tstart+1:n]), (h, c) -> $stepB) AS h4
         FROM s2),
-      th AS (SELECT t, xor($av2, ($av2) // 4294967296) AS uh FROM s3),
+      th AS (SELECT t, $avFinal AS uh,
+          (CASE WHEN $avFinal >= 9223372036854775808 THEN $avFinal - $M
+                ELSE $avFinal END)::BIGINT AS hs
+        FROM s3)"""
+
+  private val pows = (0 until 64).map(j => s"($j, ${BigInt(1) << j}::HUGEINT)").mkString(", ")
+
+  /** q_dedup_simhash oracle: per-doc bit votes → 64-bit signature →
+    * 4×16-bit block candidates → hamming ≤ maxHamming. Mirrors
+    * [[DedupOps.simhashPairs]] stage for stage.
+    */
+  def sql(maxHamming: Int): String = s"""
+    WITH $tokenHashCtes,
       pw(j, p) AS (VALUES $pows),
       votes AS (SELECT dt.doc_id, pw.j,
           sum(CASE WHEN (th.uh // pw.p) % 2 = 1 THEN 1 ELSE -1 END) AS v
@@ -97,4 +108,36 @@ private[ml] object SimhashOracle {
           bit_count(xor(l.sig, r.sig))::INT AS hamming
         FROM ch l JOIN ch r ON l.blk = r.blk AND l.chunk = r.chunk AND l.doc_id < r.doc_id)
     SELECT a, b, hamming FROM pr WHERE hamming <= $maxHamming"""
+
+  private val MP = "2305843009213693951" // Mersenne prime 2^61 - 1
+  private val PK = "2305843009213693952" // 2^61, packing base for (h, pw)
+
+  /** Signed-64 wraparound of an exact HUGEINT value (Java long overflow). */
+  private def wrapSigned(u: String): String = {
+    val nn = s"((($u) % $M) + $M) % $M"
+    s"(CASE WHEN $nn >= 9223372036854775808 THEN $nn - $M ELSE $nn END)"
+  }
+
+  /** Spark `pmod(x, 2^61-1)`; DuckDB's % is C-style like Java's. */
+  private def pmod(s: String): String =
+    s"(CASE WHEN ($s) % $MP < 0 THEN ($s) % $MP + $MP ELSE ($s) % $MP END)"
+
+  /** q_rolling_fingerprint oracle: the order-sensitive polynomial rolling
+    * hash (functions.rollingHash): fold h = pmod(h + xxh64(tok)*pw, p),
+    * pw = pmod(pw*1000003, p) — with Java long wraparound before each pmod,
+    * exactly as Spark executes it with ANSI off. The (h, pw) accumulator
+    * packs into one HUGEINT as h*2^61 + pw so list_reduce needs no struct.
+    */
+  def rollingFpSql: String = {
+    val nh = pmod(wrapSigned(s"acc // $PK + x * (acc % $PK)"))
+    val npw = pmod(wrapSigned(s"(acc % $PK) * 1000003"))
+    s"""
+    WITH $tokenHashCtes,
+      hl AS (SELECT dt.doc_id, list(th.hs ORDER BY dt.i) AS hs
+          FROM dt JOIN th USING (t) GROUP BY dt.doc_id),
+      fp AS (SELECT doc_id,
+          list_reduce(list_prepend(1::HUGEINT, hs), (acc, x) -> ($nh) * $PK + ($npw)) AS packed
+        FROM hl)
+    SELECT doc_id, (packed // $PK)::BIGINT AS rfp FROM fp"""
+  }
 }

@@ -113,7 +113,7 @@ object TextOps {
 
   // Content-defined fingerprint: md5 of whitespace-normalized lowercase text
   // (oracle-checkable), plus an order-sensitive polynomial rolling hash
-  // (graft-native, rows-only check).
+  // (oracled via the pure-SQL XXH64 in SimhashOracle).
   private val qFingerprint = GQuery(
     "q_fingerprint",
     (s, d) =>
@@ -130,7 +130,7 @@ object TextOps {
       documents(s, d).select(
         col("doc_id"),
         rollingHash(tokens(col("text"))).as("rfp")),
-    None)
+    Some(SimhashOracle.rollingFpSql))
 
   /** PII redaction: URLs, then emails, then long digit runs (ids/phones)
     * replace with typed placeholder tokens. Pure codegen'd regexp chain —
