@@ -38,10 +38,17 @@ final class Pool private (val spark: SparkSession, val name: String,
   private def commitsDir = root.resolve("_commits")
   private def dataDir = root.resolve("data")
 
-  private def manifests(): Seq[Path] =
+  /** Manifest-listing counter (metrics/test seam): callers like
+    * ToKafka.syncOnce promise one listing per sync pass, not one per batch.
+    */
+  val manifestListings = new java.util.concurrent.atomic.AtomicLong
+
+  private def manifests(): Seq[Path] = {
+    manifestListings.incrementAndGet()
     if (!Files.isDirectory(commitsDir)) Nil
     else Files.list(commitsDir).iterator.asScala.toSeq
       .filter(_.getFileName.toString.endsWith(".txt")).sortBy(_.getFileName.toString)
+  }
 
   /** A manifest whose first line is `#compact` supersedes all earlier
     * manifests (it lists the rewritten files of the whole pool up to that

@@ -137,36 +137,46 @@ final class ToKafka(bus: Bus, keyCodec: EnvelopeCodec, valueCodec: EnvelopeCodec
     batchSize: Int = 200) {
 
   def syncOnce(spark: SparkSession, pool: Pool, topic: String): Long = {
+    // ONE pool.read() per sync pass (one manifest listing, one scan plan);
+    // the batch loop below iterates offset windows over the cached pending
+    // set instead of re-planning the pool per batch (the round-2 version
+    // re-listed the manifest and re-planned the full scan every 200
+    // records — O(N/200) planning passes per sync). Mirrors the
+    // reference's range-query-per-batch (fifo/to.go:31-55) without its
+    // full-pool rescans.
+    val all = pool.read()
     // An empty pool reads as a zero-column DataFrame; the kafka.* column
     // references below would fail to resolve. Nothing to produce anyway.
-    if (pool.isEmpty) return 0L
-    var produced = 0L
-    var cursor = bus.endOffsets(spark, Seq(topic)).getOrElse(topic, 0L)
-    var continue = true
-    while (continue) {
-      val all = pool.read()
-      val dataOnly = // done markers never produce; pools without the
-        // marker column are all data
-        if (all.columns.contains("_type")) all.filter(col("_type").isNull)
-        else all
-      val batch = dataOnly
-        .filter(col("kafka.topic") === topic && col("kafka.offset") >= cursor)
-        .orderBy(col("kafka.offset"))
-        .limit(batchSize)
-        .cache()
-      try {
-        val n = batch.count()
-        if (n == 0) continue = false
-        else {
-          bus.write(batch.select(
-            col("kafka.topic").as("topic"),
-            keyCodec.encode(col("key")).as("key"),
-            valueCodec.encode(col("value")).as("value")))
-          cursor += n
-          produced += n
-        }
-      } finally batch.unpersist()
-    }
-    produced
+    if (all.columns.isEmpty) return 0L
+    val start = bus.endOffsets(spark, Seq(topic)).getOrElse(topic, 0L)
+    val dataOnly = // done markers never produce; pools without the
+      // marker column are all data
+      if (all.columns.contains("_type")) all.filter(col("_type").isNull)
+      else all
+    val pending = dataOnly
+      .filter(col("kafka.topic") === topic && col("kafka.offset") >= start)
+      .select(col("kafka.offset").as("_off"),
+        col("kafka.topic").as("topic"),
+        keyCodec.encode(col("key")).as("key"),
+        valueCodec.encode(col("value")).as("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bounds = pending.agg(min("_off"), max("_off"), count(lit(1))).collect()(0)
+      if (bounds.isNullAt(0)) return 0L
+      val (lo, hi, n) = (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
+      // Offset windows of batchSize: with the dense per-topic offsets the
+      // FIFO contract guarantees, each window is one full reference-parity
+      // batch; gaps (skipped done markers) just yield smaller batches. Each
+      // iteration filters the in-memory cache — no storage I/O.
+      var c = lo
+      while (c <= hi) {
+        bus.write(pending
+          .filter(col("_off") >= c && col("_off") < c + batchSize)
+          .orderBy(col("_off"))
+          .drop("_off"))
+        c += batchSize
+      }
+      n
+    } finally pending.unpersist()
   }
 }

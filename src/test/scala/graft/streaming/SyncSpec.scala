@@ -102,8 +102,11 @@ class SyncSpec extends AnyFunSuite {
 
     val to = new ToKafka(bus, new ConnectJsonCodec(keySchema),
       new ConnectJsonCodec(valueSchema), batchSize = 1)
-    // done rows are excluded from produce
+    // done rows are excluded from produce; the whole multi-batch pass plans
+    // the pool exactly once (one manifest listing), not once per batch
+    val listingsBefore = pool.manifestListings.get()
     assert(to.syncOnce(spark, pool, "Out") == 2)
+    assert(pool.manifestListings.get() - listingsBefore == 1)
     assert(bus.endOffsets(spark, Seq("Out"))("Out") == 2)
     // already produced -> no-op
     assert(to.syncOnce(spark, pool, "Out") == 0)
