@@ -89,13 +89,13 @@ final class KafkaBus(bootstrapServers: String,
       .map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
-  override def endOffsets(spark: SparkSession, topics: Seq[String]): Map[String, Long] = {
-    // batch read of just the metadata is not exposed; read latest offsets by
-    // scanning an empty range is wasteful — use the admin client when the
-    // kafka-clients jar is present.
-    throw new UnsupportedOperationException(
-      "KafkaBus.endOffsets needs kafka-clients AdminClient at runtime")
-  }
+  /** Admin surface: AdminClient via [[KafkaAdmin]] (reflective — present
+    * whenever the kafka connector is deployed).
+    */
+  lazy val admin: BusAdmin = new KafkaAdmin(bootstrapServers, extraOptions)
+
+  override def endOffsets(spark: SparkSession, topics: Seq[String]): Map[String, Long] =
+    admin.endOffsets(topics)
 }
 
 /** Durable file-backed transport: per-topic directories of offset-named
@@ -112,7 +112,7 @@ final class KafkaBus(bootstrapServers: String,
   * Driver-side I/O at CLI scale by design; [[KafkaBus]] is the production
   * path.
   */
-final class FileBus(root: String) extends Bus {
+final class FileBus(root: String) extends Bus with BusAdmin {
   import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   import scala.jdk.CollectionConverters._
 
@@ -191,12 +191,23 @@ final class FileBus(root: String) extends Bus {
 
   override def endOffsets(spark: SparkSession, topics: Seq[String]): Map[String, Long] =
     topics.map(t => t -> endOffset(t)).toMap
+
+  override def createMissingTopics(topics: Seq[String], partitions: Int,
+      replication: Short): Unit =
+    topics.foreach(t => Files.createDirectories(dir(t)))
+
+  override def startOffsets(topics: Seq[String]): Map[String, Long] =
+    topics.map(t => t -> recFiles(t).headOption
+      .map(_.getFileName.toString.stripSuffix(".rec").toLong).getOrElse(0L)).toMap
+
+  override def endOffsets(topics: Seq[String]): Map[String, Long] =
+    topics.map(t => t -> endOffset(t)).toMap
 }
 
 /** In-memory transport for tests and local pipelines: per-topic append-only
   * buffers with Kafka offset semantics.
   */
-final class MemoryBus extends Bus {
+final class MemoryBus extends Bus with BusAdmin {
   private val topicsMap = TrieMap.empty[String, scala.collection.mutable.Buffer[(Array[Byte], Array[Byte])]]
 
   def publish(topic: String, key: Array[Byte], value: Array[Byte]): Long =
@@ -231,6 +242,18 @@ final class MemoryBus extends Bus {
   }
 
   override def endOffsets(spark: SparkSession, topics: Seq[String]): Map[String, Long] =
+    endOffsets(topics)
+
+  override def createMissingTopics(topics: Seq[String], partitions: Int,
+      replication: Short): Unit = topicsMap.synchronized {
+    topics.foreach(t =>
+      topicsMap.getOrElseUpdate(t, scala.collection.mutable.Buffer.empty))
+  }
+
+  override def startOffsets(topics: Seq[String]): Map[String, Long] =
+    topics.map(_ -> 0L).toMap // nothing is ever trimmed in memory
+
+  override def endOffsets(topics: Seq[String]): Map[String, Long] =
     topicsMap.synchronized {
       topics.map(t => t -> topicsMap.get(t).map(_.size.toLong).getOrElse(0L)).toMap
     }
