@@ -20,16 +20,17 @@ import java.nio.file.{Files, Paths}
   */
 object Commands {
 
-  /** Read a JSON-lines or ZSON file and produce each record to `topic`
-    * with the given codecs (key/value column expressions evaluated per
-    * record) — `zync produce` accepts any Zed input format; we accept
-    * Spark-readable JSON plus the reference's own ZSON text.
+  /** Read a JSON-lines, ZSON, or ZNG file and produce each record to
+    * `topic` with the given codecs (key/value column expressions evaluated
+    * per record) — `zync produce` accepts any Zed input format; we accept
+    * Spark-readable JSON plus the reference's own ZSON text and ZNG binary.
     */
   def produce(spark: SparkSession, bus: Bus, topic: String, file: String,
       keyCodec: EnvelopeCodec, valueCodec: EnvelopeCodec,
       keyExpr: String = "null", valueExpr: String = "struct(*)"): Map[String, Long] = {
     val df =
       if (file.endsWith(".zson")) graft.zson.ZsonValue.read(spark, file)
+      else if (file.endsWith(".zng")) graft.zson.Zng.read(spark, file)
       else spark.read.json(file)
     bus.write(df.select(
       lit(topic).as("topic"),

@@ -63,8 +63,13 @@ object ZsonValue {
   /** Parse ZSON text into a DataFrame with the fused schema of all values;
     * decorations become the `_type` marker column.
     */
-  def toDataFrame(spark: SparkSession, text: String): DataFrame = {
-    val vals = parseAll(text)
+  def toDataFrame(spark: SparkSession, text: String): DataFrame =
+    toDataFrame(spark, parseAll(text))
+
+  /** Shared Value→DataFrame fusion, also the surface of the ZNG binary
+    * reader ([[Zng.read]]).
+    */
+  def toDataFrame(spark: SparkSession, vals: Seq[Value]): DataFrame = {
     require(vals.nonEmpty, "no ZSON values in input")
     val fused = vals.map(v => schemaOf(v.z)).reduce(Fuse.fuseType) match {
       case st: StructType => st

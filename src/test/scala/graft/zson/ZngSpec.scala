@@ -1,0 +1,124 @@
+package graft.zson
+
+import graft.GraftSession
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** ZNG binary format: writer↔reader round trips over the ZSON fixture
+  * subset, golden wire bytes (so any drift from the documented frame/
+  * typedef/value layout is visible in review), multi-frame streams,
+  * type-context reset at EOS, and LZ4-compressed value frames.
+  */
+class ZngSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory("zng").resolve(name).toString
+
+  test("round trip: nested records, arrays, scalars, nulls, _type marker") {
+    val schema = StructType(Seq(
+      StructField("s", StringType),
+      StructField("n", LongType),
+      StructField("f", DoubleType),
+      StructField("b", BooleanType),
+      StructField("bin", BinaryType),
+      StructField("ts", TimestampType),
+      StructField("rec", StructType(Seq(
+        StructField("x", LongType), StructField("y", StringType)))),
+      StructField("arr", ArrayType(LongType)),
+      StructField("_type", StringType)))
+    val rows = Seq(
+      Row("hi", 7L, 2.5, true, Array[Byte](1, 2), java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-03-01T10:00:00.123456Z")),
+        Row(1L, "a"), Seq(1L, 2L, 3L), "thing"),
+      Row(null, -42L, -0.125, false, null, null, Row(null, "b"), Seq(), null),
+      Row("third", 0L, 0.0, false, Array[Byte](), java.sql.Timestamp.from(
+        java.time.Instant.parse("1969-12-31T23:59:59.5Z")),
+        null, null, "thing"))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .orderBy("n")
+
+    val path = tmp("rt.zng")
+    Zng.write(df, path)
+    val back = Zng.read(spark, path)
+
+    // ZSON text is the canonical comparison surface for both readers
+    val got = Zson.renderAll(back.orderBy("n"))
+    val want = Zson.renderAll(df.orderBy("n"))
+    assert(got == want)
+  }
+
+  test("golden wire bytes for one record (pins the documented layout)") {
+    val schema = StructType(Seq(StructField("a", LongType), StructField("s", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "hi")), 1), schema)
+    val path = tmp("golden.zng")
+    Zng.write(df, path)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path)).map(_ & 0xff)
+
+    val expected = Seq(
+      0x08, 0x00,             // types frame, length 8
+      0x00, 0x02,             //   typedef 0 = record, 2 fields
+      0x01, 'a'.toInt, 0x09,  //   "a" int64 (id 9)
+      0x01, 's'.toInt, 0x19,  //   "s" string (id 25)
+      0x17, 0x00,             // values frame, length 7
+      0x1e,                   //   type id 30 (first typedef)
+      0x06,                   //   record tag: body 5 bytes
+      0x02, 0x02,             //     a: tag 2 (1 byte), zigzag(1)=2
+      0x03, 'h'.toInt, 'i'.toInt, // s: tag 3 (2 bytes), "hi"
+      0xff)                   // EOS
+    assert(bytes.toSeq == expected)
+  }
+
+  test("multiple streams: EOS resets the type context") {
+    val schema = StructType(Seq(StructField("v", LongType)))
+    def df(n: Long) = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(n)), 1), schema)
+    val p1 = tmp("s1.zng")
+    val p2 = tmp("s2.zng")
+    Zng.write(df(1), p1)
+    Zng.write(df(2), p2)
+    val cat = Files.readAllBytes(java.nio.file.Paths.get(p1)) ++
+      Files.readAllBytes(java.nio.file.Paths.get(p2))
+    val vals = Zng.parse(cat)
+    assert(vals.map(v => Zson.render(
+      ZsonValue.toDataFrame(spark, Seq(v)).collect()(0),
+      StructType(Seq(StructField("v", LongType))))) == Seq("{v:1}", "{v:2}"))
+  }
+
+  test("reads LZ4-compressed value frames") {
+    // hand-build a stream whose values frame is LZ4 block-compressed
+    val typesFrame = Array[Byte](0x05, 0x00, 0x00, 0x01, 0x01, 'v'.toByte, 0x09)
+    val valuesRaw = Array[Byte](0x1e, 0x03, 0x02, 0x54) // {v: zigzag 42}
+    val comp = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+      .compress(valuesRaw)
+    val payload = Array[Byte](0x00, valuesRaw.length.toByte) ++ comp // fmt 0, usize
+    val hdr = Array[Byte]((0x40 | 0x10 | (payload.length & 0xf)).toByte,
+      (payload.length >> 4).toByte)
+    val stream = typesFrame ++ hdr ++ payload :+ 0xff.toByte
+    val vals = Zng.parse(stream)
+    assert(vals.size == 1)
+    assert(vals.head.z == ZsonValue.ZRecord(Vector("v" -> ZsonValue.ZInt(42L))))
+  }
+
+  test("produce accepts .zng input") {
+    val schema = StructType(Seq(StructField("op", StringType), StructField("n", LongType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("c", 10L), Row("u", 20L)), 1), schema)
+    val path = tmp("produce.zng")
+    Zng.write(df, path)
+
+    val bus = new graft.streaming.MemoryBus
+    val codec = new graft.streaming.ConnectJsonCodec(schema)
+    val counts = graft.Commands.produce(spark, bus, "T", path,
+      graft.streaming.RawStringCodec, codec)
+    assert(counts == Map("T" -> 2L))
+    val back = graft.Commands.consume(spark, bus, "T",
+      graft.streaming.RawStringCodec, codec)
+    assert(back.size == 2)
+    assert(back.head.contains("op:\"c\"") && back.head.contains("n:10"))
+  }
+}
