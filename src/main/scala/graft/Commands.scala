@@ -43,7 +43,7 @@ object Commands {
     */
   def consume(spark: SparkSession, bus: Bus, topic: String,
       keyCodec: EnvelopeCodec, valueCodec: EnvelopeCodec,
-      offset: Long = 0L): Seq[String] = {
+      offset: Long = 0L): Iterator[String] = {
     val records = bus.readBatch(spark, Seq(topic), Map(topic -> offset))
     val env = records.select(
       struct(col("topic"), col("partition"), col("offset")).as("kafka"),

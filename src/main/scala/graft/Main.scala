@@ -1,7 +1,7 @@
 package graft
 
 import graft.codecs.ConnectJson
-import graft.streaming.{ConnectJsonCodec, FileBus, RawStringCodec}
+import graft.streaming.{Bus, ConnectJsonCodec, FileBus, RawStringCodec}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types.StructType
 
@@ -31,6 +31,11 @@ import org.apache.spark.sql.types.StructType
   * consumers recover schemas from the self-describing envelope.
   */
 object Main {
+  /** Library/CLI version, printed by `graft.Main version` (parity with the
+    * reference's `zync version` command, cmd/zync/version).
+    */
+  val Version = "0.3.0"
+
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { usage(); sys.exit(2) }
     val spark = GraftSession.local()
@@ -40,13 +45,13 @@ object Main {
 
   private def usage(): Unit =
     System.err.println(
-      "usage: graft.Main <etl|etl-plan|ls|info|compact|consume-pool|" +
-        "produce|consume|from-kafka|to-kafka> args...")
+      "usage: graft.Main [-config <dir>] <etl|etl-plan|ls|info|compact|" +
+        "consume-pool|produce|consume|from-kafka|to-kafka|version> args...")
 
   /** Value schema of a topic's first message (Connect-JSON is
     * self-describing — the reference's inline-schema authority).
     */
-  private def sniffTopic(spark: SparkSession, bus: FileBus, topic: String): Option[StructType] = {
+  private def sniffTopic(spark: SparkSession, bus: Bus, topic: String): Option[StructType] = {
     import org.apache.spark.sql.functions.col
     bus.readBatch(spark, Seq(topic), Map.empty)
       .orderBy("offset").select(col("value").cast("string")).limit(1)
@@ -57,7 +62,7 @@ object Main {
   /** Key codec from the first non-null key: Connect-JSON when the bytes
     * carry an envelope, raw string otherwise (produce writes null keys).
     */
-  private def sniffKeyCodec(spark: SparkSession, bus: FileBus,
+  private def sniffKeyCodec(spark: SparkSession, bus: Bus,
       topic: String): graft.streaming.EnvelopeCodec = {
     import org.apache.spark.sql.functions.col
     val first = bus.readBatch(spark, Seq(topic), Map.empty)
@@ -69,7 +74,34 @@ object Main {
       .getOrElse(RawStringCodec)
   }
 
+  /** Strip the optional leading `-config <dir>` flag (the reference reads
+    * the same two files from `~/.zync/`; we take the directory explicitly
+    * so tests and multi-cluster use stay easy). When `kafka.json` is
+    * present, bus commands talk to that broker (the `<busRoot>` positional
+    * is ignored — pass `-`); when `schema_registry.json` is present, the
+    * avro commands use the Confluent REST registry instead of the
+    * file-backed one.
+    */
   private[graft] def run(spark: SparkSession, args: List[String]): Unit = args match {
+    case "-config" :: dir :: rest =>
+      runWith(spark, Config.loadKafka(dir), Config.loadRegistry(dir), rest)
+    case other => runWith(spark, None, None, other)
+  }
+
+  private def runWith(spark: SparkSession, kafkaConf: Option[Config.Kafka],
+      regConf: Option[Config.Registry], args: List[String]): Unit = {
+    def bus(busRoot: String): Bus =
+      kafkaConf.map(_.bus).getOrElse(new FileBus(busRoot))
+    def avroRegistry(regRoot: String): graft.codecs.SchemaRegistry =
+      regConf.map(_.registry).getOrElse(new graft.codecs.FileSchemaRegistry(regRoot))
+    dispatch(spark, bus, avroRegistry, args)
+  }
+
+  private def dispatch(spark: SparkSession, bus: String => Bus,
+      avroRegistry: String => graft.codecs.SchemaRegistry,
+      args: List[String]): Unit = args match {
+    case "version" :: Nil =>
+      println(s"graft $Version")
     case "etl" :: root :: yamlPath :: Nil =>
       val yaml = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(yamlPath)))
@@ -98,15 +130,15 @@ object Main {
       // self-describing downstream
       val df = if (file.endsWith(".zson")) graft.zson.ZsonValue.read(spark, file)
         else spark.read.json(file)
-      val n = Commands.produce(spark, new FileBus(busRoot), topic, file,
+      val n = Commands.produce(spark, bus(busRoot), topic, file,
         RawStringCodec, new ConnectJsonCodec(df.schema))
       println(s"produced ${n.values.sum} records to $topic")
     case "consume" :: busRoot :: topic :: Nil =>
-      val bus = new FileBus(busRoot)
-      sniffTopic(spark, bus, topic) match {
+      val b = bus(busRoot)
+      sniffTopic(spark, b, topic) match {
         case None => // empty topic, nothing to print
         case Some(schema) =>
-          Commands.consume(spark, bus, topic, sniffKeyCodec(spark, bus, topic),
+          Commands.consume(spark, b, topic, sniffKeyCodec(spark, b, topic),
             new ConnectJsonCodec(schema)).foreach(println)
       }
     case "from-kafka" :: busRoot :: lakeRoot :: pool :: topicsArg :: rest
@@ -119,12 +151,12 @@ object Main {
           df.sparkSession.sql(sql)
         }
       }
-      val bus = new FileBus(busRoot)
+      val b = bus(busRoot)
       val counts = topicsArg.split(',').toSeq.map { topic =>
-        sniffTopic(spark, bus, topic) match {
+        sniffTopic(spark, b, topic) match {
           case None => topic -> 0L
           case Some(schema) =>
-            topic -> Commands.fromKafka(spark, bus, lakeRoot,
+            topic -> Commands.fromKafka(spark, b, lakeRoot,
               Map(pool -> Seq(topic)), RawStringCodec,
               new ConnectJsonCodec(schema), shaper).values.sum
         }
@@ -138,24 +170,24 @@ object Main {
         def structOf(name: String): StructType =
           schema.find(_.name == name).map(_.dataType.asInstanceOf[StructType])
             .getOrElse(new StructType())
-        val n = Commands.toKafka(spark, new FileBus(busRoot), lakeRoot, pool, topic,
+        val n = Commands.toKafka(spark, bus(busRoot), lakeRoot, pool, topic,
           new ConnectJsonCodec(structOf("key")), new ConnectJsonCodec(structOf("value")))
         println(s"produced $n records to $topic")
       }
     case "produce-avro" :: busRoot :: regRoot :: topic :: file :: Nil =>
       val df = if (file.endsWith(".zson")) graft.zson.ZsonValue.read(spark, file)
         else spark.read.json(file)
-      val registry = new graft.codecs.FileSchemaRegistry(regRoot)
-      val n = Commands.produce(spark, new FileBus(busRoot), topic, file,
+      val registry = avroRegistry(regRoot)
+      val n = Commands.produce(spark, bus(busRoot), topic, file,
         RawStringCodec,
         new graft.streaming.RegistryAvroCodec(df.schema, "namespace", registry))
       println(s"produced ${n.values.sum} records to $topic")
     case "consume-avro" :: busRoot :: regRoot :: topic :: Nil =>
-      val bus = new FileBus(busRoot)
-      val registry = new graft.codecs.FileSchemaRegistry(regRoot)
+      val b = bus(busRoot)
+      val registry = avroRegistry(regRoot)
       import org.apache.spark.sql.functions.col
       // recover the value type from the first message's embedded schema id
-      val first = bus.readBatch(spark, Seq(topic), Map.empty)
+      val first = b.readBatch(spark, Seq(topic), Map.empty)
         .orderBy("offset").select("value").limit(1)
         .collect().headOption.map(_.getAs[Array[Byte]](0))
       first match {
@@ -164,7 +196,7 @@ object Main {
           val (id, _) = graft.codecs.ZAvro.unframe(msg)
           val avro = new org.apache.avro.Schema.Parser().parse(registry.getSchema(id))
           val schema = graft.codecs.ZAvro.avroToSpark(avro).asInstanceOf[StructType]
-          Commands.consume(spark, bus, topic, RawStringCodec,
+          Commands.consume(spark, b, topic, RawStringCodec,
             new graft.streaming.RegistryAvroCodec(schema, "namespace", registry))
             .foreach(println)
       }
@@ -181,7 +213,7 @@ object Main {
       }
     case "topic-info" :: busRoot :: topic :: Nil =>
       // zync info parity: low and high watermarks
-      val high = new FileBus(busRoot).endOffsets(spark, Seq(topic))(topic)
+      val high = bus(busRoot).endOffsets(spark, Seq(topic))(topic)
       println(s"low 0 high $high")
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")

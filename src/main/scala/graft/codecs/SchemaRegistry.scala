@@ -139,8 +139,20 @@ final class FileSchemaRegistry(root: String) extends SchemaRegistry {
   * (POST /subjects/{subject}/versions, GET /schemas/ids/{id}) using only
   * JDK classes. Responses are memoized per JVM.
   */
-final class HttpSchemaRegistry(baseUrl: String) extends SchemaRegistry {
+final class HttpSchemaRegistry(baseUrl: String,
+    credentials: Option[(String, String)] = None) extends SchemaRegistry {
   @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
+
+  /** Basic-auth header for Confluent Cloud API keys
+    * (ref cli/flags.go:36-41 passes user/password from schema_registry.json).
+    */
+  private[graft] def authHeader: Option[String] = credentials.map { case (u, p) =>
+    "Basic " + java.util.Base64.getEncoder.encodeToString(
+      s"$u:$p".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def withAuth(b: java.net.http.HttpRequest.Builder) =
+    authHeader.fold(b)(h => b.header("Authorization", h))
   private val idCache = TrieMap.empty[Int, String]
   private val createCache = TrieMap.empty[(String, String), Int]
 
@@ -157,8 +169,8 @@ final class HttpSchemaRegistry(baseUrl: String) extends SchemaRegistry {
 
   override def getSchema(id: Int): String =
     idCache.getOrElseUpdate(id, {
-      val req = java.net.http.HttpRequest.newBuilder()
-        .uri(java.net.URI.create(s"$baseUrl/schemas/ids/$id")).GET().build()
+      val req = withAuth(java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(s"$baseUrl/schemas/ids/$id")).GET()).build()
       val body = client.send(req,
         java.net.http.HttpResponse.BodyHandlers.ofString()).body()
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -168,10 +180,10 @@ final class HttpSchemaRegistry(baseUrl: String) extends SchemaRegistry {
   override def createSchema(subject: String, schema: String): Int =
     createCache.getOrElseUpdate((subject, schema), {
       val payload = s"""{"schema": "${jsonEscape(schema)}"}"""
-      val req = java.net.http.HttpRequest.newBuilder()
+      val req = withAuth(java.net.http.HttpRequest.newBuilder()
         .uri(java.net.URI.create(s"$baseUrl/subjects/$subject/versions"))
         .header("Content-Type", "application/vnd.schemaregistry.v1+json")
-        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(payload)).build()
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(payload))).build()
       val body = client.send(req,
         java.net.http.HttpResponse.BodyHandlers.ofString()).body()
       val om = new com.fasterxml.jackson.databind.ObjectMapper()

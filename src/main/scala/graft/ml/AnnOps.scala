@@ -141,9 +141,20 @@ object AnnOps {
     */
   def kmeansCells(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
-    var cents = corpus.orderBy("vec_id").limit(k)
-      .select(row_number().over(Window.orderBy("vec_id")).cast("int").as("cell"),
-        col("v").as("cent"))
+    // Deterministic init: the k lowest vec_ids, numbered on the driver —
+    // k rows is metadata scale, and it avoids a partition-less global
+    // window (the pattern PlanAuditSpec bans).
+    val ss = corpus.sparkSession
+    val vType = corpus.schema("v").dataType
+    val init = corpus.orderBy("vec_id").limit(k).select("v").collect()
+    var cents = ss.createDataFrame(
+      java.util.Arrays.asList(init.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(i + 1, r.get(0))
+      }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cent", vType))))
     for (_ <- 0 until iters) {
       val assigned = corpus
         .join(broadcast(cents))

@@ -53,11 +53,14 @@ object Zson {
     case (other, _) => Some(other.toString)
   }
 
-  /** Render a whole DataFrame as ZSON lines (driver-side; for golden tests
-    * and CLI-style consume output, not bulk export).
+  /** Render a DataFrame as ZSON lines, streamed partition-by-partition via
+    * `toLocalIterator` so `consume-pool`/`consume` never buffer the whole
+    * pool on the driver (per-partition order is preserved after `orderBy`,
+    * so line order matches the sort).
     */
-  def renderAll(df: DataFrame): Seq[String] = {
+  def renderAll(df: DataFrame): Iterator[String] = {
     val schema = df.schema
-    df.collect().toSeq.map(r => render(r, schema))
+    import scala.jdk.CollectionConverters._
+    df.toLocalIterator().asScala.map(r => render(r, schema))
   }
 }

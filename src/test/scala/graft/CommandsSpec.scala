@@ -74,7 +74,7 @@ class CommandsSpec extends AnyFunSuite {
     // consume back as ZSON
     val lines = Commands.consume(spark, bus, "Out",
       new ConnectJsonCodec(keySchema), new ConnectJsonCodec(outSchema))
-    assert(lines == Seq(
+    assert(lines.toSeq == Seq(
       """{kafka:{topic:"Out",partition:0,offset:0},key:{n:1},value:{doubled:2}}""",
       """{kafka:{topic:"Out",partition:0,offset:1},key:{n:2},value:{doubled:4}}"""))
 
@@ -100,7 +100,7 @@ class CommandsSpec extends AnyFunSuite {
     assert(produced == Map("Z" -> 2))
     val lines = Commands.consume(spark, bus, "Z",
       RawStringCodec, new ConnectJsonCodec(valueSchema))
-    assert(lines.map(_.contains("op:\"c\"")).head)
+    assert(lines.toSeq.map(_.contains("op:\"c\"")).head)
   }
 
   test("info on a created-but-never-appended pool reports zeros") {

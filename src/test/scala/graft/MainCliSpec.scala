@@ -20,6 +20,18 @@ class MainCliSpec extends AnyFunSuite {
     new String(out.toByteArray).linesIterator.toSeq
   }
 
+  test("version prints the library version") {
+    assert(capture("version") == Seq(s"graft ${Main.Version}"))
+  }
+
+  test("-config with no config files falls back to the FileBus/file registry") {
+    val dir = Files.createTempDirectory("cli-conf").toString
+    assert(capture("-config", dir, "version") == Seq(s"graft ${Main.Version}"))
+    val bus = Files.createTempDirectory("cli-conf-bus").toString
+    // empty topic on the file bus via the config-aware path
+    assert(capture("-config", dir, "topic-info", bus, "T") == Seq("low 0 high 0"))
+  }
+
   test("produce -> from-kafka -> etl -> to-kafka -> consume, all via CLI") {
     val bus = Files.createTempDirectory("cli-bus").toString
     val lake = Files.createTempDirectory("cli-lake").toString

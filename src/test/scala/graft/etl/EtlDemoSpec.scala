@@ -124,7 +124,7 @@ class EtlDemoSpec extends AnyFunSuite {
       cdc("InvoiceStatus", 8, 80, "u", after = rec(80L, invoiceId = 101L, status = "paid"))))
 
   def poolContents(p: Pool): Seq[String] =
-    graft.zson.Zson.renderAll(p.read()).sorted
+    graft.zson.Zson.renderAll(p.read()).toSeq.sorted
 
   val goldenAfterRun: Seq[Seq[String]] = {
     val run1 = Seq(

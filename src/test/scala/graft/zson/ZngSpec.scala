@@ -46,8 +46,8 @@ class ZngSpec extends AnyFunSuite {
     val back = Zng.read(spark, path)
 
     // ZSON text is the canonical comparison surface for both readers
-    val got = Zson.renderAll(back.orderBy("n"))
-    val want = Zson.renderAll(df.orderBy("n"))
+    val got = Zson.renderAll(back.orderBy("n")).toSeq
+    val want = Zson.renderAll(df.orderBy("n")).toSeq
     assert(got == want)
   }
 
@@ -117,7 +117,7 @@ class ZngSpec extends AnyFunSuite {
       graft.streaming.RawStringCodec, codec)
     assert(counts == Map("T" -> 2L))
     val back = graft.Commands.consume(spark, bus, "T",
-      graft.streaming.RawStringCodec, codec)
+      graft.streaming.RawStringCodec, codec).toSeq
     assert(back.size == 2)
     assert(back.head.contains("op:\"c\"") && back.head.contains("n:10"))
   }
