@@ -111,5 +111,63 @@ object PackOps {
               FROM documents)
             WHERE rn <= ceil(n * 0.2)"""))
 
-  val queries: Seq[GQuery] = Seq(qPack, qSample)
+  // Mixture sampling: per-source target weights applied as deterministic
+  // md5-threshold filters — the data-mixing step of corpus construction
+  // (e.g. upsample books, downsample web). Rates map to hex-prefix
+  // thresholds (md5 hex digits are uniform), so the whole mixture is one
+  // scan-speed filter: no shuffle, no rand(), reruns select the SAME rows.
+  private val mixtureRates: Seq[(String, Double, String)] =
+    (0 until 20).map { i =>
+      val (rate, thr) = Seq((1.0, "g"), (0.5, "8"), (0.25, "4"), (0.125, "2"))(i % 4)
+      (s"src$i", rate, thr)
+    }
+
+  private val qMixture = GQuery(
+    "q_mixture",
+    (s, d) => {
+      val thr = element_at(
+        map(mixtureRates.flatMap { case (src, _, t) => Seq(lit(src), lit(t)) }: _*),
+        col("source"))
+      val weight = element_at(
+        map(mixtureRates.flatMap { case (src, r, _) => Seq(lit(src), lit(r)) }: _*),
+        col("source"))
+      documents(s, d)
+        .filter(md5(concat(lit("mix:"), col("doc_id").cast("string"))) < thr)
+        .select(col("doc_id"), col("source"), weight.as("weight"))
+    },
+    Some {
+      val thrCase = mixtureRates.map { case (src, _, t) =>
+        s"WHEN '$src' THEN '$t'" }.mkString("CASE source ", " ", " END")
+      val rateCase = mixtureRates.map { case (src, r, _) =>
+        s"WHEN '$src' THEN $r" }.mkString("CASE source ", " ", " END")
+      s"""SELECT doc_id, source, $rateCase AS weight
+          FROM documents
+          WHERE md5('mix:' || CAST(doc_id AS VARCHAR)) < $thrCase"""
+    })
+
+  // Deterministic training-order shuffle: md5-keyed shard + within-shard
+  // position. At 100 TB this is one hash-key shuffle: shards bound each
+  // window partition (256 of them), and writers emit shard files whose
+  // concatenation is the epoch order — no global sort, no single-task
+  // window, rerun-stable (same seed → same order).
+  private val qShuffleOrder = GQuery(
+    "q_shuffle_order",
+    (s, d) => {
+      val key = md5(concat(lit("shuf:"), col("doc_id").cast("string")))
+      val w = Window.partitionBy("shard").orderBy("_k", "doc_id")
+      documents(s, d)
+        .select(col("doc_id"), substring(key, 1, 2).as("shard"), key.as("_k"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+    },
+    Some("""WITH k AS (
+              SELECT doc_id,
+                     md5('shuf:' || CAST(doc_id AS VARCHAR)) AS key
+              FROM documents)
+            SELECT doc_id, substr(key, 1, 2) AS shard,
+                   CAST(row_number() OVER (PARTITION BY substr(key, 1, 2)
+                                           ORDER BY key, doc_id) AS BIGINT) AS pos
+            FROM k"""))
+
+  val queries: Seq[GQuery] = Seq(qPack, qSample, qMixture, qShuffleOrder)
 }

@@ -279,6 +279,86 @@ object TextOps {
                    CAST(max(length(text)) AS BIGINT) AS max_chars
             FROM documents"""))
 
+  /** Gopher-style intra-document repetition filters: most-common-word
+    * fraction and duplicate bigram/trigram fractions, all computed in-row
+    * with higher-order array functions — no explode, no shuffle, scan
+    * speed at 100 TB. The per-doc cost is O(words × distinct words),
+    * bounded by document length, not corpus size.
+    */
+  def repetitionWords(text: Column): Column =
+    filter(split(lower(text), "\\s+"), w => length(w) > 0)
+
+  /** Word n-grams as space-joined strings (empty array when the doc is
+    * shorter than n).
+    */
+  def wordNgrams(ws: Column, n: Int): Column =
+    when(size(ws) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + lit(j))): _*)))
+
+  /** 1 - distinct/total over an n-gram array (0 for empty docs). */
+  def dupFrac(grams: Column): Column =
+    when(size(grams) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+
+  /** max word frequency / total words (0 for empty docs). */
+  def topWordFrac(ws: Column): Column =
+    when(size(ws) === 0, lit(0.0)).otherwise(
+      array_max(transform(array_distinct(ws),
+        d => size(filter(ws, x => x === d)))).cast("double") / size(ws))
+
+  private val qRepetition = GQuery(
+    "q_repetition",
+    (s, d) => {
+      val ws = repetitionWords(col("text"))
+      val twf = stableRound(topWordFrac(ws), 4)
+      val dbf = stableRound(dupFrac(wordNgrams(ws, 2)), 4)
+      documents(s, d).select(
+        col("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        twf.as("top_word_frac"),
+        dbf.as("dup_bigram_frac"),
+        stableRound(dupFrac(wordNgrams(ws, 3)), 4).as("dup_trigram_frac"),
+        (twf <= 0.125 && dbf <= 0.05).as("keep"))
+    },
+    Some("""WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            wc AS (
+              SELECT doc_id, count(*) AS c
+              FROM (SELECT doc_id, unnest(ws) AS w FROM base)
+              GROUP BY doc_id, w),
+            top AS (
+              SELECT doc_id, max(c) AS maxc, sum(c) AS n
+              FROM wc GROUP BY doc_id),
+            gr AS (
+              SELECT doc_id, len(ws) AS n_words,
+                     list_transform(range(1, len(ws)),
+                       i -> ws[i] || ' ' || ws[i+1]) AS bgs,
+                     list_transform(range(1, len(ws)-1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS tgs
+              FROM base),
+            m AS (
+              SELECT g.doc_id,
+                     CAST(g.n_words AS BIGINT) AS n_words,
+                     floor((CASE WHEN coalesce(t.n, 0) = 0 THEN 0.0
+                            ELSE CAST(t.maxc AS DOUBLE) / t.n END) * 10000 + 0.5) / 10000
+                       AS top_word_frac,
+                     floor((CASE WHEN len(g.bgs) = 0 THEN 0.0
+                            ELSE 1.0 - CAST(len(list_distinct(g.bgs)) AS DOUBLE) / len(g.bgs) END)
+                           * 10000 + 0.5) / 10000 AS dup_bigram_frac,
+                     floor((CASE WHEN len(g.tgs) = 0 THEN 0.0
+                            ELSE 1.0 - CAST(len(list_distinct(g.tgs)) AS DOUBLE) / len(g.tgs) END)
+                           * 10000 + 0.5) / 10000 AS dup_trigram_frac
+              FROM gr g LEFT JOIN top t USING (doc_id))
+            SELECT doc_id, n_words, top_word_frac, dup_bigram_frac,
+                   dup_trigram_frac,
+                   top_word_frac <= 0.125 AND dup_bigram_frac <= 0.05 AS keep
+            FROM m"""))
+
   val queries: Seq[GQuery] = Seq(qLangId, qTokens, qQuality, qFingerprint,
-    qRollingFp, qCorpusFilter, qCorpusStats, qRedact, qVocab, qQuantiles)
+    qRollingFp, qCorpusFilter, qCorpusStats, qRedact, qVocab, qQuantiles,
+    qRepetition)
 }
