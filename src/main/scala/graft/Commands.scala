@@ -43,14 +43,21 @@ object Commands {
     */
   def consume(spark: SparkSession, bus: Bus, topic: String,
       keyCodec: EnvelopeCodec, valueCodec: EnvelopeCodec,
-      offset: Long = 0L): Iterator[String] = {
+      offset: Long = 0L): Iterator[String] =
+    Zson.renderAll(consumeDF(spark, bus, topic, keyCodec, valueCodec, offset))
+
+  /** The decoded consume envelope as a DataFrame, for non-ZSON output
+    * formats (`-f zng/json`, matching the reference's zed outputflags).
+    */
+  def consumeDF(spark: SparkSession, bus: Bus, topic: String,
+      keyCodec: EnvelopeCodec, valueCodec: EnvelopeCodec,
+      offset: Long = 0L): DataFrame = {
     val records = bus.readBatch(spark, Seq(topic), Map(topic -> offset))
-    val env = records.select(
+    records.select(
       struct(col("topic"), col("partition"), col("offset")).as("kafka"),
       keyCodec.decode(col("key")).as("key"),
       valueCodec.decode(col("value")).as("value"))
       .orderBy(col("kafka.offset"))
-    Zson.renderAll(env)
   }
 
   /** Incremental Kafka→pool sync over a topic→pool routing table. */

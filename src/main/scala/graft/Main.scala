@@ -13,9 +13,10 @@ import org.apache.spark.sql.types.StructType
   *   graft.Main ls <lakeRoot>
   *   graft.Main info <lakeRoot> <pool>
   *   graft.Main compact <lakeRoot> <pool>
-  *   graft.Main consume-pool <lakeRoot> <pool>     # ZSON to stdout
-  *   graft.Main produce <busRoot> <topic> <file>   # JSON-lines or .zson
-  *   graft.Main consume <busRoot> <topic>          # ZSON to stdout
+  *   graft.Main consume-pool <lakeRoot> <pool> [-f zson|json|zng] [-o file]
+  *   graft.Main produce <busRoot> <topic> <file>   # JSON-lines, .zson, .zng
+  *   graft.Main consume <busRoot> <topic> [-f ...] [-o file] [-offset N]
+  *                                   # -offset: -2 earliest (default), -1 latest
   *   graft.Main from-kafka <busRoot> <lakeRoot> <pool> <topic[,topic...]>
   *   graft.Main to-kafka <busRoot> <lakeRoot> <pool> <topic>
   *   graft.Main produce-avro <busRoot> <registryRoot> <topic> <file>
@@ -74,6 +75,45 @@ object Main {
       .getOrElse(RawStringCodec)
   }
 
+  /** Trailing `-flag value` options (a subset of the reference's zed
+    * outputflags: `-f` format, `-o` output path, `-offset` start offset).
+    */
+  private def parseOpts(rest: List[String]): Map[String, String] =
+    rest.grouped(2).map {
+      case List(k, v) if k.startsWith("-") => k -> v
+      case other =>
+        throw new IllegalArgumentException(s"bad option: ${other.mkString(" ")}")
+    }.toMap
+
+  /** Write a consume envelope in the requested output format. ZSON and
+    * JSON stream line-by-line to Console.out (or `-o`); ZNG writes the
+    * binary stream. All three paths iterate `toLocalIterator` — nothing
+    * buffers the full result on the driver.
+    */
+  private def emit(df: org.apache.spark.sql.DataFrame,
+      opts: Map[String, String]): Unit = {
+    def withOut(f: java.io.OutputStream => Unit): Unit = opts.get("-o") match {
+      case Some(p) =>
+        val os = new java.io.BufferedOutputStream(
+          java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(p)))
+        try f(os) finally os.close()
+      case None => f(Console.out)
+    }
+    def lines(it: Iterator[String]): Unit = withOut { os =>
+      val w = new java.io.PrintStream(os, false, "UTF-8")
+      it.foreach(w.println); w.flush()
+    }
+    opts.getOrElse("-f", "zson") match {
+      case "zson" => lines(graft.zson.Zson.renderAll(df))
+      case "json" =>
+        import scala.jdk.CollectionConverters._
+        lines(df.toJSON.toLocalIterator().asScala)
+      case "zng" => withOut(os => graft.zson.Zng.write(df, os))
+      case other =>
+        throw new IllegalArgumentException(s"unknown format $other (zson|json|zng)")
+    }
+  }
+
   /** Strip the optional leading `-config <dir>` flag (the reference reads
     * the same two files from `~/.zync/`; we take the directory explicitly
     * so tests and multi-cluster use stay easy). When `kafka.json` is
@@ -121,10 +161,10 @@ object Main {
       val id = p.compact()
       val removed = p.vacuum()
       println(s"compacted at commit $id, vacuumed $removed files")
-    case "consume-pool" :: root :: pool :: Nil =>
+    case "consume-pool" :: root :: pool :: rest if rest.size % 2 == 0 =>
+      val opts = parseOpts(rest)
       val p = graft.lake.Pool.open(spark, root, pool)
-      if (!p.isEmpty)
-        graft.zson.Zson.renderAll(p.read().orderBy(p.key)).foreach(println)
+      if (!p.isEmpty) emit(p.read().orderBy(p.key), opts)
     case "produce" :: busRoot :: topic :: file :: Nil =>
       // infer the value schema from the file so the Connect envelope is
       // self-describing downstream
@@ -133,13 +173,21 @@ object Main {
       val n = Commands.produce(spark, bus(busRoot), topic, file,
         RawStringCodec, new ConnectJsonCodec(df.schema))
       println(s"produced ${n.values.sum} records to $topic")
-    case "consume" :: busRoot :: topic :: Nil =>
+    case "consume" :: busRoot :: topic :: rest if rest.size % 2 == 0 =>
+      val opts = parseOpts(rest)
       val b = bus(busRoot)
+      // reference offset sentinels (etl.KafkaOffsetEarliest/-Latest)
+      val offset = opts.get("-offset").map(_.toLong).getOrElse(-2L) match {
+        case -2L => 0L
+        case -1L => b.endOffsets(spark, Seq(topic))(topic)
+        case n => n
+      }
       sniffTopic(spark, b, topic) match {
         case None => // empty topic, nothing to print
         case Some(schema) =>
-          Commands.consume(spark, b, topic, sniffKeyCodec(spark, b, topic),
-            new ConnectJsonCodec(schema)).foreach(println)
+          emit(Commands.consumeDF(spark, b, topic,
+            sniffKeyCodec(spark, b, topic), new ConnectJsonCodec(schema),
+            offset), opts)
       }
     case "from-kafka" :: busRoot :: lakeRoot :: pool :: topicsArg :: rest
         if rest.size <= 1 =>

@@ -259,6 +259,16 @@ object Zng {
     * decoration per distinct name, mirroring [[Zson.render]].
     */
   def write(df: DataFrame, path: String): Unit = {
+    val out = new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
+    try write(df, out) finally out.close()
+  }
+
+  /** Encode to an already-open stream (caller closes); rows stream through
+    * `toLocalIterator`, so the whole frame sequence never buffers more
+    * than one ~128 KiB values frame.
+    */
+  def write(df: DataFrame, out: java.io.OutputStream): Unit = {
     val schema = df.schema
     val hasMarker = schema.fieldNames.contains("_type")
     val bare = StructType(schema.fields.filterNot(_.name == "_type"))
@@ -297,9 +307,7 @@ object Zng {
       else df.select("_type").distinct().collect().flatMap(r => Option(r.getString(0)))
         .map(n => n -> define(TNamed(n, bareT))).toMap
 
-    val out = new java.io.BufferedOutputStream(
-      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
-    try {
+    {
       writeFrame(out, 0, defs.result())
       val batch = new Out
       def flush(): Unit =
@@ -316,7 +324,8 @@ object Zng {
       }
       flush()
       out.write(0xff) // EOS
-    } finally out.close()
+      out.flush()
+    }
   }
 
   private def writeFrame(out: java.io.OutputStream, kind: Int, payload: Array[Byte]): Unit = {

@@ -73,6 +73,24 @@ class MainCliSpec extends AnyFunSuite {
     assert(capture("from-kafka", bus, lake, "Raw", "T")
       == Seq("synced 0 records from T into Raw"))
     assert(capture("etl", lake, yaml.toString) == Seq("ETL'd 0 records"))
+
+    // output-format flags (zed outputflags subset): json lines, zng binary
+    val json = capture("consume", bus, "Out", "-f", "json")
+    assert(json.size == 2 && json.forall(_.startsWith("""{"kafka":""")))
+    assert(json.head.contains(""""doubled":2"""))
+    // -offset skips to the given kafka offset; -1 (latest) yields nothing
+    assert(capture("consume", bus, "Out", "-offset", "1").size == 1)
+    assert(capture("consume", bus, "Out", "-offset", "-1").isEmpty)
+    val zng = Files.createTempFile("out", ".zng")
+    capture("consume", bus, "Out", "-f", "zng", "-o", zng.toString)
+    val back = graft.zson.Zng.read(spark, zng.toString)
+    assert(back.count() == 2)
+    assert(back.select("value.doubled").orderBy("doubled")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 4L))
+    // consume-pool honors the same flags (4 rows: 2 outputs + 2 done markers)
+    val poolZng = Files.createTempFile("pool", ".zng")
+    capture("consume-pool", lake, "Staging", "-f", "zng", "-o", poolZng.toString)
+    assert(graft.zson.Zng.read(spark, poolZng.toString).count() == 4)
     assert(capture("to-kafka", bus, lake, "Staging", "Out")
       == Seq("produced 0 records to Out"))
 
