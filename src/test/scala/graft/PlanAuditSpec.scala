@@ -69,6 +69,21 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus-construction gates stay scan-speed / single-shuffle") {
+    // AQE wraps the plan, so audit the rendered tree rather than collect()
+    def exchanges(n: String): Int =
+      "Exchange ".r.findAllIn(planOf(n)).size
+    // repetition + mixture are pure per-row work: no exchange anywhere
+    Seq("q_repetition", "q_mixture").foreach { n =>
+      assert(exchanges(n) == 0,
+        s"$n: expected a shuffle-free scan\n${planOf(n).take(1500)}")
+    }
+    // shuffle_order is exactly one hash exchange on the bounded shard key
+    assert(exchanges("q_shuffle_order") == 1 &&
+      planOf("q_shuffle_order").contains("Exchange hashpartitioning(shard"),
+      s"q_shuffle_order: want exactly 1 shard-keyed exchange\n${planOf("q_shuffle_order").take(1500)}")
+  }
+
   test("LSH candidate generation shuffles only narrow band keys") {
     val plan = planOf("q_dedup_minhash")
     // the exploded band join must not carry the shingle arrays; the
