@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bounded top-k state: a min-heap of (sim, id) pairs whose head is the
+  * WORST kept pair under the (sim desc, id asc) ranking, so an incoming
+  * pair replaces the head in O(log k) only when it beats it. At most k
+  * entries live at any time — this is what bounds the shuffle.
+  */
+final class TopKHeap(k: Int) {
+  // worst-first: lower sim first; on ties, higher id first (ranking
+  // prefers the lower id, so the higher id is the worse pair)
+  private val heap = new java.util.PriorityQueue[(Double, Long)](
+    math.max(1, k),
+    (a: (Double, Long), b: (Double, Long)) => {
+      val c = java.lang.Double.compare(a._1, b._1)
+      if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+    })
+
+  private def beats(s: Double, i: Long, worst: (Double, Long)): Boolean =
+    s > worst._1 || (s == worst._1 && i < worst._2)
+
+  def offer(s: Double, i: Long): Unit =
+    if (heap.size < k) heap.add((s, i))
+    else if (beats(s, i, heap.peek())) { heap.poll(); heap.add((s, i)) }
+
+  def absorb(other: TopKHeap): Unit = {
+    val it = other.heap.iterator()
+    while (it.hasNext) { val (s, i) = it.next(); offer(s, i) }
+  }
+
+  /** Contents best-first: (sim desc, id asc). */
+  def sortedBest: Array[(Double, Long)] = {
+    val arr = new Array[(Double, Long)](heap.size)
+    heap.toArray(arr)
+    arr.sortWith((a, b) =>
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+  }
+
+  def toBytes: Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(4 + heap.size * 16)
+    buf.putInt(heap.size)
+    val it = heap.iterator()
+    while (it.hasNext) { val (s, i) = it.next(); buf.putDouble(s); buf.putLong(i) }
+    buf.array()
+  }
+}
+
+object TopKHeap {
+  def fromBytes(k: Int, bytes: Array[Byte]): TopKHeap = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val n = buf.getInt
+    val h = new TopKHeap(k)
+    var j = 0
+    while (j < n) { h.offer(buf.getDouble, buf.getLong); j += 1 }
+    h
+  }
+}
+
+/** Partial-merge top-k aggregate: `topk_pairs(sim, id, k)` returns the k
+  * best (id, sim) pairs as an array of structs, best-first.
+  *
+  * This replaces the rank-window idiom for exact nearest-neighbor search:
+  * a window must shuffle EVERY (query, candidate) pair to the query's
+  * partition before ranking — O(|corpus| × |queries|) rows through the
+  * exchange. As a TypedImperativeAggregate the map side reduces each
+  * partition to one k-entry heap per query before the shuffle, so the
+  * exchange carries partitions × queries × k entries no matter how big
+  * the corpus is. That is the difference between an exact-search plan
+  * that survives 100 TB and one that does not.
+  *
+  * Rank ties resolve exactly like `row_number() OVER (ORDER BY sim DESC,
+  * id ASC)`: callers that need oracle-stable output should pass an
+  * already-rounded sim (see [[stableRound]]) so ranking happens on the
+  * values being compared downstream.
+  */
+final case class TopKPairsAgg(
+    sim: Expression, id: Expression, k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKHeap] {
+
+  override def children: Seq[Expression] = Seq(sim, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n_id", LongType, nullable = false),
+    StructField("sim", DoubleType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
+
+  override def update(h: TopKHeap, input: InternalRow): TopKHeap = {
+    val s = sim.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null)
+      h.offer(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    h
+  }
+
+  override def merge(a: TopKHeap, b: TopKHeap): TopKHeap = { a.absorb(b); a }
+
+  override def eval(h: TopKHeap): Any =
+    new GenericArrayData(h.sortedBest.map { case (s, i) =>
+      new GenericInternalRow(Array[Any](i, s))
+    })
+
+  override def serialize(h: TopKHeap): Array[Byte] = h.toBytes
+  override def deserialize(bytes: Array[Byte]): TopKHeap =
+    TopKHeap.fromBytes(k, bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKPairsAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKPairsAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): TopKPairsAgg = copy(sim = c(0), id = c(1))
+  override def prettyName: String = "topk_pairs"
+}

@@ -155,6 +155,18 @@ package object functions {
       if (((z ^ (z >>> 31)) & 1L) == 1L) 1.0 else -1.0
     }
 
+  /** Partial-merge exact top-k: the k best (id, sim) pairs per group as an
+    * array of structs, best-first by (sim desc, id asc). See
+    * [[TopKPairsAgg]] — the map side reduces to one k-entry heap per group
+    * per partition, so the shuffle is bounded by groups × partitions × k
+    * instead of the full pair count.
+    */
+  def topkPairs(sim: Column, id: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(TopKPairsAgg(Bridge.expression(sim), Bridge.expression(id), k)
+      .toAggregateExpression())
+  }
+
   /** Random-hyperplane signature for cosine LSH: `planes` ±1 hyperplanes
     * materialized as literal sign vectors (computed once on the driver —
     * NOT per row), packed into a LongType bit-sig. `table` seeds

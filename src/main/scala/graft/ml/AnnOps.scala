@@ -27,16 +27,25 @@ object AnnOps {
     embeddings(s, d).select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("v"))
 
-  /** Brute-force cosine top-k for each query vector. */
+  /** Brute-force cosine top-k for each query vector: the corpus streams
+    * against the broadcast query set, and [[graft.functions.topkPairs]]
+    * keeps a bounded k-entry heap per (query, partition) on the map side —
+    * the exchange carries partitions × queries × k entries, never the full
+    * |corpus| × |queries| pair stream a rank window would shuffle. The sim
+    * is rounded BEFORE the aggregate so ranking ties resolve exactly like
+    * the oracle's `row_number() OVER (ORDER BY sim DESC, n_id ASC)`.
+    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), col("v").as("qv"))
     val c = corpus.select(col("vec_id").as("n_id"), col("v").as("nv"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
     c.join(broadcast(q), col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), stableRound(cosine(col("qv"), col("nv")), 4).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("n_id"), col("sim"), col("rk").cast("long").as("rk"))
+      .select(col("q_id"), col("n_id"),
+        stableRound(cosine(col("qv"), col("nv")), 4).as("sim"))
+      .groupBy("q_id")
+      .agg(topkPairs(col("sim"), col("n_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("rk0", "t")))
+      .select(col("q_id"), col("t.n_id").as("n_id"), col("t.sim").as("sim"),
+        (col("rk0") + 1).cast("long").as("rk"))
   }
 
   private val qAnnTopK = GQuery(

@@ -62,7 +62,7 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("aggregations are two-phase (map-side partial before the shuffle)") {
-    Seq("q_agg", "q_groupby_max", "q_corpus_stats").foreach { n =>
+    Seq("q_agg", "q_groupby_max", "q_corpus_stats", "q_ann_topk").foreach { n =>
       val plan = planOf(n)
       val partials = "partial".r.findAllIn(plan.toLowerCase).size
       assert(partials >= 1, s"$n: no partial aggregation phase\n${plan.take(1500)}")
