@@ -101,6 +101,44 @@ class StreamSpec extends AnyFunSuite {
     assert(poolB.read().select("value").head().getString(0) == "b1")
   }
 
+  test("streaming minhash-LSH flags near-dups against earlier arrivals") {
+    val base = "the quick brown fox jumps over the lazy dog and then runs far " +
+      "away across the wide green field toward the old stone bridge by the river"
+    val nearDup = base.replace("green", "blue")   // one word of ~28: j ~ 0.9
+    val distinct = "completely different content about spark catalyst plans " +
+      "partition pruning broadcast joins and adaptive execution at scale"
+
+    val dir = Files.createTempDirectory("sminhash-src")
+    def writeBatch(name: String, lines: Seq[String]): Unit = {
+      val tmp = dir.resolve(s".$name"); Files.write(tmp, lines.mkString("\n").getBytes)
+      Files.move(tmp, dir.resolve(name))
+    }
+    def rec(id: Long, text: String, sec: Int) =
+      s"""{"doc_id":$id,"text":"$text","ts":"2024-01-01T00:00:0$sec.000Z"}"""
+    writeBatch("b1.json", Seq(rec(1, base, 0), rec(2, distinct, 1)))
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .json(dir.toString)
+    val q = StreamDedup.minhashCandidates(stream, "ts", "10 minutes",
+      ttlMs = 3600L * 1000)
+      .writeStream.outputMode("append").format("memory").queryName("sminhash_out")
+      .start()
+    q.processAllAvailable()
+    assert(spark.sql("SELECT * FROM sminhash_out").isEmpty,
+      "first arrivals own their buckets - no candidates yet")
+
+    // a later micro-batch: near-dup of doc 1 plus an exact re-send of doc 2
+    writeBatch("b2.json", Seq(rec(3, nearDup, 2), rec(4, distinct, 3)))
+    q.processAllAvailable()
+    q.stop()
+
+    val cands = spark.sql("SELECT DISTINCT doc_id, dup_of FROM sminhash_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands == Set((3L, 1L), (4L, 2L)),
+      s"near-dup 3 pairs with owner 1, exact dup 4 with owner 2, got $cands")
+  }
+
   test("streaming dedup keeps first arrival across micro-batches") {
     val dir = Files.createTempDirectory("sdedup-src")
     def writeBatch(name: String, lines: Seq[String]): Unit = {
