@@ -165,7 +165,18 @@ object Main {
       val opts = parseOpts(rest)
       val p = graft.lake.Pool.open(spark, root, pool)
       if (!p.isEmpty) emit(p.read().orderBy(p.key), opts)
-    case "produce" :: busRoot :: topic :: file :: Nil =>
+    case "produce" :: busRoot :: topic :: fileArg :: Nil =>
+      // `-` reads ZSON from stdin (`zync produce -` parity); staged to a
+      // temp file so the same produce path applies
+      val file =
+        if (fileArg != "-") fileArg
+        else {
+          val text = Iterator.continually(Console.in.readLine())
+            .takeWhile(_ != null).mkString("\n")
+          val tmp = java.nio.file.Files.createTempFile("stdin", ".zson")
+          java.nio.file.Files.write(tmp, text.getBytes("UTF-8"))
+          tmp.toString
+        }
       // infer the value schema from the file so the Connect envelope is
       // self-describing downstream
       val df = if (file.endsWith(".zson")) graft.zson.ZsonValue.read(spark, file)

@@ -32,6 +32,15 @@ class MainCliSpec extends AnyFunSuite {
     assert(capture("-config", dir, "topic-info", bus, "T") == Seq("low 0 high 0"))
   }
 
+  test("produce - reads ZSON from stdin (zync produce - parity)") {
+    val bus = Files.createTempDirectory("cli-stdin-bus").toString
+    val in = new java.io.BufferedReader(
+      new java.io.StringReader("{a:1} {b:2}\n{c:3}"))
+    val out = Console.withIn(in) { capture("produce", bus, "S", "-") }
+    assert(out == Seq("produced 3 records to S"))
+    assert(capture("topic-info", bus, "S") == Seq("low 0 high 3"))
+  }
+
   test("produce -> from-kafka -> etl -> to-kafka -> consume, all via CLI") {
     val bus = Files.createTempDirectory("cli-bus").toString
     val lake = Files.createTempDirectory("cli-lake").toString
