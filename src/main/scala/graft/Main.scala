@@ -75,6 +75,24 @@ object Main {
       .getOrElse(RawStringCodec)
   }
 
+  /** One pass, or poll passes until `exitAfterMs` elapses (the
+    * reference's `-exitafter`, from-kafka/command.go:74; 0/absent = one
+    * pass). Per-key counts accumulate across passes.
+    */
+  private def syncLoop(exitAfterMs: Option[Long])(
+      pass: => Seq[(String, Long)]): Map[String, Long] =
+    exitAfterMs.filter(_ > 0) match {
+      case None => pass.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      case Some(ms) =>
+        val deadline = System.nanoTime() + ms * 1000000L
+        val acc = scala.collection.mutable.Map.empty[String, Long]
+        while (System.nanoTime() < deadline) {
+          pass.foreach { case (k, v) => acc(k) = acc.getOrElse(k, 0L) + v }
+          if (System.nanoTime() < deadline) Thread.sleep(25)
+        }
+        acc.toMap
+    }
+
   /** Trailing `-flag value` options (a subset of the reference's zed
     * outputflags: `-f` format, `-o` output path, `-offset` start offset).
     */
@@ -199,6 +217,33 @@ object Main {
           emit(Commands.consumeDF(spark, b, topic,
             sniffKeyCodec(spark, b, topic), new ConnectJsonCodec(schema),
             offset), opts)
+      }
+    // YAML-routing form (ref from-kafka/command.go:100-113: transform
+    // configs derive the pool→topics map): sync every input topic of the
+    // transform into its pool. `-exitafter <ms>` keeps polling until the
+    // deadline (ref -exitafter duration flag).
+    case "from-kafka" :: busRoot :: lakeRoot :: yamlPath :: rest
+        if (yamlPath.endsWith(".yaml") || yamlPath.endsWith(".yml")) &&
+          rest.size % 2 == 0 =>
+      val opts = parseOpts(rest)
+      val yaml = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(yamlPath)))
+      val routes = graft.etl.Transform.fromYaml(yaml).inputs
+        .groupBy(_.pool).view.mapValues(_.map(_.topic).distinct).toMap
+      val b = bus(busRoot)
+      val counts = syncLoop(opts.get("-exitafter").map(_.toLong)) {
+        routes.toSeq.flatMap { case (pool, topics) =>
+          topics.flatMap { topic =>
+            sniffTopic(spark, b, topic).map { schema =>
+              pool -> Commands.fromKafka(spark, b, lakeRoot,
+                Map(pool -> Seq(topic)), RawStringCodec,
+                new ConnectJsonCodec(schema), None).values.sum
+            }
+          }
+        }
+      }
+      counts.toSeq.sortBy(_._1).foreach { case (pool, n) =>
+        println(s"synced $n records into $pool")
       }
     case "from-kafka" :: busRoot :: lakeRoot :: pool :: topicsArg :: rest
         if rest.size <= 1 =>

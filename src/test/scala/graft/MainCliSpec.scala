@@ -109,6 +109,35 @@ class MainCliSpec extends AnyFunSuite {
     assert(capture("topic-info", bus, "T") == Seq("low 0 high 3"))
   }
 
+  test("from-kafka routes from a transform YAML with -exitafter polling") {
+    val bus = Files.createTempDirectory("cli-yroute-bus").toString
+    val lake = Files.createTempDirectory("cli-yroute-lake").toString
+    val recs = Files.createTempFile("yrecs", ".zson")
+    Files.write(recs, "{op:\"c\",n:1}\n{op:\"c\",n:2}\n".getBytes)
+    val yaml = Files.createTempFile("yroute", ".yaml")
+    Files.write(yaml,
+      """inputs:
+        |  - topic: T
+        |    pool: Raw
+        |output:
+        |  topic: Out
+        |  pool: Staging
+        |transforms:
+        |  - type: stateless
+        |    where: value.op=="c"
+        |    in: T
+        |    out: Out
+        |    zed: |
+        |      | out:={ key: {n: in.value.n}, value: { n: in.value.n } }
+        |""".stripMargin.getBytes)
+    assert(capture("produce", bus, "T", recs.toString)
+      == Seq("produced 2 records to T"))
+    // pool+topics derived from the transform inputs; exitafter polls >= 1x
+    assert(capture("from-kafka", bus, lake, yaml.toString, "-exitafter", "300")
+      == Seq("synced 2 records into Raw"))
+    assert(capture("info", lake, "Raw") == Seq("commits: 1", "rows: 2"))
+  }
+
   test("from-kafka applies a SQL shaper in flight (README.md:77-80 parity)") {
     val bus = Files.createTempDirectory("cli-shaper-bus").toString
     val lake = Files.createTempDirectory("cli-shaper-lake").toString
