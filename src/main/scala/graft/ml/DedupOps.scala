@@ -224,7 +224,54 @@ object DedupOps {
                 ON e1.label = e2.label AND e1.vec_id < e2.vec_id)
             WHERE sim >= 0.35"""))
 
+  // ---- incremental dedup: a new batch against the historical corpus ----
+  // The production shape: the historical side reduces to its distinct
+  // fingerprint set (at scale: a persisted/bucketed fingerprint pool, not
+  // a rescan) and the new batch LEFT-ANTI/SEMI joins against it — the new
+  // batch never joins the historical documents themselves, only the
+  // fingerprints. Within-batch dups resolve by min(doc_id) as usual.
+  // Verdict per new doc: 'historical' (seen before), 'batch' (dup inside
+  // the new batch), or 'fresh'.
+  private val qDedupIncremental = GQuery(
+    "q_dedup_incremental",
+    (s, d) => {
+      // normalized bag-of-words fingerprint (sorted distinct tokens) so
+      // reordered/duplicated-word variants collide — raw md5(text) would
+      // make the gate degenerate on this corpus (0 cross-split dups)
+      val docs = documents(s, d).withColumn("fp",
+        md5(array_join(array_sort(array_distinct(tokens(col("text")))), " ")))
+      // deterministic split: src0..src9 = historical corpus, rest = new
+      val isHist = col("source").rlike("^src[0-9]$")
+      val hist = docs.filter(isHist).select("fp").distinct()
+      val batch = docs.filter(!isHist)
+      val firstInBatch = batch.groupBy("fp")
+        .agg(min("doc_id").cast("long").as("first_id"))
+      batch
+        .join(broadcast(hist.withColumn("_hist", lit(true))), Seq("fp"), "left")
+        .join(firstInBatch, Seq("fp"))
+        .select(col("doc_id"), col("fp"),
+          when(col("_hist").isNotNull, "historical")
+            .when(col("doc_id") =!= col("first_id"), "batch")
+            .otherwise("fresh").as("verdict"))
+    },
+    Some("""WITH f AS (SELECT doc_id, source,
+                   md5(list_aggregate(list_sort(list_distinct(
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                                 x -> x <> ''))), 'string_agg', ' ')) AS fp
+                 FROM documents),
+            hist AS (SELECT DISTINCT fp FROM f WHERE regexp_matches(source, '^src[0-9]$')),
+            batch AS (SELECT * FROM f WHERE NOT regexp_matches(source, '^src[0-9]$')),
+            firsts AS (SELECT fp, CAST(min(doc_id) AS BIGINT) AS first_id
+                       FROM batch GROUP BY fp)
+            SELECT b.doc_id, b.fp,
+                   CASE WHEN h.fp IS NOT NULL THEN 'historical'
+                        WHEN b.doc_id <> fi.first_id THEN 'batch'
+                        ELSE 'fresh' END AS verdict
+            FROM batch b
+            LEFT JOIN hist h USING (fp)
+            JOIN firsts fi USING (fp)"""))
+
   val queries: Seq[GQuery] =
     Seq(qDedupExact, qDedupMinhash, qDedupSimhash, qNgramJaccard, qDedupEmbed,
-      qContamination)
+      qContamination, qDedupIncremental)
 }
