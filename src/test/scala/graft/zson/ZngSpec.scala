@@ -18,6 +18,60 @@ class ZngSpec extends AnyFunSuite {
   private def tmp(name: String): String =
     Files.createTempDirectory("zng").resolve(name).toString
 
+  test("property: random nested rows survive the binary round trip") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(1042L + i)))
+
+    val schema = StructType(Seq(
+      StructField("s", StringType), StructField("l", LongType),
+      StructField("d", DoubleType), StructField("b", BooleanType),
+      StructField("raw", BinaryType), StructField("ts", TimestampType),
+      StructField("nested", StructType(Seq(
+        StructField("x", LongType), StructField("tags", ArrayType(StringType)))))))
+
+    val genStr: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.listOf(Gen.oneOf('a', '"', '\\', '\n', '\t', 'e', ' ', '{', '[')).map(_.mkString))
+    val genRow: Gen[Row] = for {
+      str <- Gen.option(genStr)
+      l <- Gen.option(Gen.chooseNum(Long.MinValue + 1, Long.MaxValue))
+      d <- Gen.option(Gen.oneOf(Gen.chooseNum(-1e12, 1e12), Gen.const(0.25)))
+      b <- Gen.option(Gen.oneOf(true, false))
+      raw <- Gen.option(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+      us <- Gen.option(Gen.chooseNum(-4000000000000000L, 4000000000000000L))
+      x <- Gen.option(Gen.chooseNum(Long.MinValue + 1, Long.MaxValue))
+      tags <- Gen.option(Gen.nonEmptyListOf(genStr))
+      nestedNull <- Gen.prob(0.2)
+    } yield Row(str.orNull, l.map(Long.box).orNull, d.map(Double.box).orNull,
+      b.map(Boolean.box).orNull, raw.orNull,
+      us.map(u => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(u, 1000000L), Math.floorMod(u, 1000000L) * 1000L))).orNull,
+      if (nestedNull) null else Row(x.map(Long.box).orNull, tags.map(_.toSeq).orNull))
+
+    def canon(r: Row): String = {
+      def v(a: Any): String = a match {
+        case null => "N"
+        case bytes: Array[Byte] => bytes.map(y => f"$y%02x").mkString
+        case row: Row => row.toSeq.map(v).mkString("(", ",", ")")
+        case seq: scala.collection.Seq[_] => seq.map(v).mkString("[", ",", "]")
+        case t: java.sql.Timestamp => t.toInstant.toString
+        case other => String.valueOf(other)
+      }
+      r.toSeq.map(v).mkString("|")
+    }
+
+    samples(Gen.listOfN(20, genRow), 6).zipWithIndex.foreach { case (rows, i) =>
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      val path = tmp(s"prop$i.zng")
+      Zng.write(df, path)
+      val got = Zng.read(spark, path).collect().map(canon).sorted.toSeq
+      val want = df.collect().map(canon).sorted.toSeq
+      assert(got == want, s"sample $i diverged")
+    }
+  }
+
   test("round trip: nested records, arrays, scalars, nulls, _type marker") {
     val schema = StructType(Seq(
       StructField("s", StringType),
