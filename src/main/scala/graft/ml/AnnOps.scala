@@ -246,5 +246,72 @@ object AnnOps {
     },
     Some(recallOracle(0.65, None)))
 
-  val queries: Seq[GQuery] = Seq(qAnnTopK, qAnnLsh, qAnnIvf, qAnnPq)
+  // ---- vector utilities as oracled gates --------------------------------
+  // Per-row array math (norms, unit-normalization): identical sequential
+  // fold order on both engines, so values agree to well under the 1e-4
+  // rounding. Scan-speed, no shuffle.
+  private val qEmbedNorm = GQuery(
+    "q_embed_norm",
+    (s, d) => {
+      val v = col("embedding").cast("array<double>")
+      // exploded to scalar rows: the driver's compare hashes scalar
+      // columns, not arrays
+      embeddings(s, d)
+        .select(col("vec_id"), stableRound(l2norm(v), 4).as("norm"),
+          posexplode(transform(l2normalize(v),
+            x => floor(x * 1e4 + 0.5) / 1e4)).as(Seq("pos0", "x")))
+        .select(col("vec_id"), col("norm"),
+          (col("pos0") + 1).cast("long").as("pos"), col("x"))
+    },
+    Some("""WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> x * x), 'sum')) AS n
+              FROM embeddings),
+            u AS (
+              SELECT vec_id, n,
+                     CASE WHEN n = 0 THEN v
+                          ELSE list_transform(v, x -> x / n) END AS unit
+              FROM e)
+            SELECT vec_id, floor(n * 10000 + 0.5) / 10000 AS norm,
+                   CAST(generate_subscripts(unit, 1) AS BIGINT) AS pos,
+                   floor(unnest(unit) * 10000 + 0.5) / 10000 AS x
+            FROM u"""))
+
+  // Mean-pooling per label: vectors are sorted by vec_id before the fold
+  // so both engines accumulate in the same order (floating addition is
+  // order-sensitive; the sort makes the result engine-independent).
+  private val qMeanPool = GQuery(
+    "q_mean_pool",
+    (s, d) => {
+      val v = col("embedding").cast("array<double>")
+      embeddings(s, d)
+        .select(col("label").cast("long").as("label"),
+          struct(col("vec_id"), v.as("v")).as("sv"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(col("sv"))).as("svs"))
+        .select(col("label"),
+          posexplode(transform(meanPool(transform(col("svs"), s => s.getField("v"))),
+            x => floor(x * 1e4 + 0.5) / 1e4)).as(Seq("pos0", "x")))
+        .select(col("label"), (col("pos0") + 1).cast("long").as("pos"), col("x"))
+    },
+    Some("""WITH e AS (
+              SELECT CAST(label AS BIGINT) AS label, vec_id,
+                     CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+            g AS (
+              SELECT label, list(v ORDER BY vec_id) AS vs FROM e GROUP BY label),
+            m AS (
+              SELECT label,
+                     list_transform(
+                       reduce(vs, (a, b) -> list_transform(range(1, len(a) + 1),
+                                                           i -> a[i] + b[i])),
+                       x -> x / len(vs)) AS c
+              FROM g)
+            SELECT label, CAST(generate_subscripts(c, 1) AS BIGINT) AS pos,
+                   floor(unnest(c) * 10000 + 0.5) / 10000 AS x
+            FROM m"""))
+
+  val queries: Seq[GQuery] =
+    Seq(qAnnTopK, qAnnLsh, qAnnIvf, qAnnPq, qEmbedNorm, qMeanPool)
 }
