@@ -53,12 +53,24 @@ object DedupOps {
     *  - verification re-joins the (doc_id, shingles) base once per side on
     *    the deduped candidate pairs only.
     */
-  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  def minhashPairs(docs: DataFrame, threshold: Double,
+      maxBucket: Int = 1000): DataFrame = {
     val base = minhashed(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = base
+    val allBands = base
       .select(col("doc_id"), explode(lshBands(col("sig"), 8, 4)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    // Per-bucket size cap: a bucket of n members yields n² candidate pairs,
+    // so one pathological bucket (mass-duplicated boilerplate all sharing a
+    // signature) can dominate the whole job. Buckets past the cap are
+    // dropped from NEAR-dup candidate generation — their members are
+    // near-identical by construction and exact dedup already collapses
+    // them. The oversized list is tiny, so this is a broadcast anti-join,
+    // not another shuffle of the band rows.
+    val oversized = allBands.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucket)
+      .select("band", "bucket")
+    val bands = allBands.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
     val cand = bands.select(col("band"), col("bucket"), col("doc_id").as("a"))
       .join(bands.select(col("band"), col("bucket"), col("doc_id").as("b")),
         Seq("band", "bucket"))

@@ -31,6 +31,25 @@ class DedupSpec extends AnyFunSuite {
     assert(row.getLong(1) == row.getLong(2))
   }
 
+  test("minhash bucket cap drops pathological buckets, keeps normal pairs") {
+    import spark.implicits._
+    // 30 identical docs (one signature, one bucket of 30) + one true
+    // near-dup pair of a distinct text
+    val boiler = (1L to 30L).map(i => (i, "common boilerplate header repeated verbatim on every page of the site"))
+    val near = Seq(
+      (100L, "a genuinely unique document about catalyst optimizer internals and shuffle planning"),
+      (101L, "a genuinely unique document about catalyst optimizer internals and shuffle plans"))
+    val docs = (boiler ++ near).toDF("doc_id", "text")
+    // cap below the boilerplate cluster: its n^2 pairs disappear
+    val capped = DedupOps.minhashPairs(docs, 0.5, maxBucket = 10)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)),
+      s"only the near-dup pair survives the cap, got $capped")
+    // with the cap above the cluster size everything is found again
+    val uncapped = DedupOps.minhashPairs(docs, 0.5, maxBucket = 1000).count()
+    assert(uncapped == 30L * 29 / 2 + 1, s"got $uncapped")
+  }
+
   test("minhash-LSH recall == 1.0 vs exact all-pairs jaccard (sf0.001)") {
     val docs = Tables.documents(spark, dir)
     val grams = docs.select(col("doc_id"),
