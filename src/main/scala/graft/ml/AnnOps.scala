@@ -278,9 +278,26 @@ object AnnOps {
                    floor(unnest(unit) * 10000 + 0.5) / 10000 AS x
             FROM u"""))
 
+  /** Scale-path mean pooling: explode to (key, pos, x), two-phase avg per
+    * dimension, reassemble the (dimension-bounded) centroid array. Unlike
+    * the collect_list fold in [[qMeanPool]] — which exists because the
+    * ORACLE needs a deterministic float-accumulation order — this shape
+    * partial-aggregates before the shuffle and never materializes a
+    * per-key vector list, so it survives millions of vectors per key.
+    */
+  def meanPoolByKey(df: DataFrame, keyCol: String, vecCol: String): DataFrame =
+    df.select(col(keyCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(keyCol, "pos").agg(avg("x").as("m"))
+      .groupBy(keyCol)
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        p => p.getField("m")).as("centroid"))
+
   // Mean-pooling per label: vectors are sorted by vec_id before the fold
   // so both engines accumulate in the same order (floating addition is
   // order-sensitive; the sort makes the result engine-independent).
+  // 100 TB note: the oracle gate uses the deterministic collect_list fold;
+  // production at scale should use [[meanPoolByKey]] (asserted equal in
+  // TopKSpec up to float-reassociation error).
   private val qMeanPool = GQuery(
     "q_mean_pool",
     (s, d) => {

@@ -11,6 +11,26 @@ class TopKSpec extends AnyFunSuite {
 
   lazy val spark = GraftSession.local(4)
 
+  test("scale-path mean pooling == deterministic fold (to float tolerance)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val scale = AnnOps.meanPoolByKey(e, "label", "v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val fold = e.select(col("label"), struct(lit(0L).as("vec_id"), col("v")).as("sv"))
+      .groupBy("label").agg(collect_list(col("sv")).as("svs"))
+      .select(col("label"),
+        graft.functions.meanPool(transform(col("svs"), s => s.getField("v"))).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(scale.keySet == fold.keySet)
+    for (k <- scale.keySet) {
+      val diffs = scale(k).zip(fold(k)).map { case (a, b) => math.abs(a - b) }
+      assert(diffs.max < 1e-9, s"label $k diverges by ${diffs.max}")
+    }
+  }
+
   test("heap keeps the k best with (sim desc, id asc) tie-breaks") {
     val h = new TopKHeap(3)
     h.offer(0.5, 10); h.offer(0.9, 20); h.offer(0.5, 5)
