@@ -307,6 +307,50 @@ object TextOps {
       array_max(transform(array_distinct(ws),
         d => size(filter(ws, x => x === d)))).cast("double") / size(ws))
 
+  // Model-based quality scoring: a fixed-weight logistic model over the
+  // heuristic features (the shape of a fasttext/classifier quality filter,
+  // with honest literal weights instead of a learned artifact this
+  // zero-egress environment can't ship). Pure per-row arithmetic — the
+  // whole "model" runs inside WholeStageCodegen at scan speed; swapping in
+  // learned weights is a literal change. keep compares the ROUNDED score
+  // so both engines agree at the boundary.
+  private val qQualityModel = GQuery(
+    "q_quality_model",
+    (s, d) => {
+      val words = size(regexp_extract_all(col("text"), lit("\\w+"), lit(0))).cast("double")
+      val stops = size(regexp_extract_all(lower(col("text")),
+        lit("\\b(the|a|an|and|of|to|in|is|it|for)\\b"), lit(0))).cast("double")
+      val punct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0))).cast("double")
+      val chars = length(col("text")).cast("double")
+      val stopR = when(words === 0, 0.0).otherwise(stops / words)
+      val punctR = when(chars === 0, 0.0).otherwise(punct / chars)
+      val cpw = when(words === 0, 0.0).otherwise(chars / words)
+      val z = lit(-1.5) + lit(8.0) * stopR - lit(20.0) * punctR +
+        lit(0.25) * cpw + lit(0.002) * chars
+      val score = stableRound(lit(1.0) / (lit(1.0) + exp(-z)), 4)
+      documents(s, d).select(col("doc_id"), score.as("score"),
+        (score >= 0.5).as("keep"))
+    },
+    Some("""WITH f AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '\w+')) AS DOUBLE) AS words,
+                     CAST(len(regexp_extract_all(lower(text),
+                          '\b(the|a|an|and|of|to|in|is|it|for)\b')) AS DOUBLE) AS stops,
+                     CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS punct,
+                     CAST(length(text) AS DOUBLE) AS chars
+              FROM documents),
+            z AS (
+              SELECT doc_id,
+                     -1.5 + 8.0 * (CASE WHEN words = 0 THEN 0.0 ELSE stops / words END)
+                          - 20.0 * (CASE WHEN chars = 0 THEN 0.0 ELSE punct / chars END)
+                          + 0.25 * (CASE WHEN words = 0 THEN 0.0 ELSE chars / words END)
+                          + 0.002 * chars AS z
+              FROM f)
+            SELECT doc_id,
+                   floor((1.0 / (1.0 + exp(-z))) * 10000 + 0.5) / 10000 AS score,
+                   floor((1.0 / (1.0 + exp(-z))) * 10000 + 0.5) / 10000 >= 0.5 AS keep
+            FROM z"""))
+
   private val qRepetition = GQuery(
     "q_repetition",
     (s, d) => {
@@ -360,5 +404,5 @@ object TextOps {
 
   val queries: Seq[GQuery] = Seq(qLangId, qTokens, qQuality, qFingerprint,
     qRollingFp, qCorpusFilter, qCorpusStats, qRedact, qVocab, qQuantiles,
-    qRepetition)
+    qRepetition, qQualityModel)
 }
