@@ -66,7 +66,12 @@ object GraftExtensions {
       e(stableRound(c(args(0)), litInt(args(1), "stable_round", 1)))),
     "l2norm" -> ((args: Seq[Expression]) => e(l2norm(c(args.head)))),
     "l2_normalize" -> ((args: Seq[Expression]) => e(l2normalize(c(args.head)))),
-    "mean_pool" -> ((args: Seq[Expression]) => e(meanPool(c(args.head)))))
+    "mean_pool" -> ((args: Seq[Expression]) => e(meanPool(c(args.head)))),
+    // aggregate: topk_pairs(sim, id, k) in GROUP BY queries — the
+    // bounded-shuffle exact top-k (see functions.TopKPairsAgg)
+    "topk_pairs" -> ((args: Seq[Expression]) =>
+      graft.functions.TopKPairsAgg(args(0), args(1),
+        litInt(args(2), "topk_pairs", 2)).toAggregateExpression()))
 
   /** Register everything on a live session (idempotent). */
   def install(spark: SparkSession): Unit =

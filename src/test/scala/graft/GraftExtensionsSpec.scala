@@ -58,6 +58,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[Double](3) == Seq(2.0, 4.0))
   }
 
+  test("topk_pairs aggregate works from SQL") {
+    import spark.implicits._
+    Seq((1L, 0.9, 10L), (1L, 0.7, 20L), (1L, 0.95, 30L), (2L, 0.5, 40L))
+      .toDF("q", "sim", "id").createOrReplaceTempView("ext_topk")
+    val got = spark.sql(
+      """SELECT q, topk_pairs(sim, id, 2) AS top FROM ext_topk GROUP BY q""")
+      .selectExpr("q", "transform(top, t -> t.n_id) AS ids")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(got == Map(1L -> List(30L, 10L), 2L -> List(40L)))
+  }
+
   test("non-literal table/band counts are rejected with a clear error") {
     val err = intercept[Exception](
       spark.sql("SELECT hyperplane_sigs(array(1.0), cast(rand()*4 AS INT), 2)").collect())
