@@ -238,10 +238,26 @@ object AnnOps {
     (s, d) => {
       val all = corpus(s, d).select(col("vec_id"), col("v"))
       val qs = all.filter(col("vec_id") < 20)
-      val cents = Pq.train(all, m = 8, k = 16, iters = 2)
-      val codes = Pq.encode(all, cents)
+      // PQ/ADC ranks by L2 but the search target is cosine: on raw
+      // vectors the two orderings diverge as the corpus grows (recall
+      // fell under the floor at sf0.1). Unit-normalizing before
+      // train/encode makes L2² = 2·(1−cos) — the SAME ordering — which
+      // is the standard normalize-then-PQ design for cosine ANN. The
+      // rerank corpus stays raw (cosine is scale-invariant).
+      val allN = all.select(col("vec_id"), l2normalize(col("v")).as("v"))
+      val qsN = qs.select(col("vec_id"), l2normalize(col("v")).as("v"))
+      val cents = Pq.train(allN, m = 8, k = 16, iters = 2)
+      val codes = Pq.encode(allN, cents)
+      // Shortlist scales as a corpus fraction (10%): ADC ranking error at
+      // a fixed compression budget pushes true neighbors past any FIXED
+      // cutoff as the corpus grows; rerank cost stays queries×shortlist.
+      // (A 10% rerank is for PQ-alone search at this corpus scale — at
+      // billions of vectors PQ always sits behind IVF pruning, ml.IvfPq,
+      // where the fraction applies per probed cell.)
+      val shortlist = math.max(50L, all.count() / 10L).toInt
       recallSummary(
-        recallVsExact(all, qs, 5, Pq.searchWithRerank(codes, cents, all, qs, 5)),
+        recallVsExact(all, qs, 5,
+          Pq.searchWithRerank(codes, cents, all, qsN, 5, shortlist)),
         0.65, None)
     },
     Some(recallOracle(0.65, None)))

@@ -26,8 +26,14 @@ object PackOps {
     val spark = df.sparkSession
     val n = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // localCheckpoint pins ONE materialized partitioning: range
+    // partitioning SAMPLES the data to pick boundaries, so re-evaluating
+    // the plan for the totals pass below could land rows in different
+    // partitions than the windowed pass — the per-partition bases would
+    // then correct the wrong rows (observed as wrong cums at sf0.1).
     val parted = df.repartitionByRange(n, col(orderCol))
       .withColumn("_part", spark_partition_id())
+      .localCheckpoint(true)
     // per-partition running sum — parallel windows, one per range slice
     val local = parted.withColumn("_local",
       sum(col(valueCol)).over(
