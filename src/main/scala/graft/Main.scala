@@ -278,13 +278,18 @@ object Main {
           new ConnectJsonCodec(structOf("key")), new ConnectJsonCodec(structOf("value")))
         println(s"produced $n records to $topic")
       }
-    case "produce-avro" :: busRoot :: regRoot :: topic :: file :: Nil =>
+    case "produce-avro" :: busRoot :: regRoot :: topic :: file :: rest
+        if rest.size % 2 == 0 =>
+      // -namespace: Avro namespace for new schemas (ref cli/flags.go:32,
+      // default io.brimdata.zync; ours defaults to the historical
+      // "namespace" used by existing registries/goldens)
+      val ns = parseOpts(rest).getOrElse("-namespace", "namespace")
       val df = if (file.endsWith(".zson")) graft.zson.ZsonValue.read(spark, file)
         else spark.read.json(file)
       val registry = avroRegistry(regRoot)
       val n = Commands.produce(spark, bus(busRoot), topic, file,
         RawStringCodec,
-        new graft.streaming.RegistryAvroCodec(df.schema, "namespace", registry))
+        new graft.streaming.RegistryAvroCodec(df.schema, ns, registry))
       println(s"produced ${n.values.sum} records to $topic")
     case "consume-avro" :: busRoot :: regRoot :: topic :: Nil =>
       val b = bus(busRoot)

@@ -179,5 +179,9 @@ class MainCliSpec extends AnyFunSuite {
     assert(capture("produce-avro", bus, reg, "A", recs.toString)
       == Seq("produced 2 records to A"))
     assert(capture("schemas", reg) == ls)
+    // -namespace names new schemas under the given namespace
+    assert(capture("produce-avro", bus, reg, "A", recs.toString,
+      "-namespace", "io.example") == Seq("produced 2 records to A"))
+    assert(capture("schemas", reg).exists(_.startsWith("subject io.example.zng_")))
   }
 }
