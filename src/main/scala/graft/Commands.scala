@@ -27,16 +27,29 @@ object Commands {
     */
   def produce(spark: SparkSession, bus: Bus, topic: String, file: String,
       keyCodec: EnvelopeCodec, valueCodec: EnvelopeCodec,
-      keyExpr: String = "null", valueExpr: String = "struct(*)"): Map[String, Long] = {
-    val df =
-      if (file.endsWith(".zson")) graft.zson.ZsonValue.read(spark, file)
-      else if (file.endsWith(".zng")) graft.zson.Zng.read(spark, file)
-      else spark.read.json(file)
+      keyExpr: String = "null", valueExpr: String = "struct(*)"): Map[String, Long] =
+    produceDF(bus, topic, readInput(spark, file), keyCodec, valueCodec,
+      keyExpr, valueExpr)
+
+  /** Input-format dispatch shared by the produce commands and the CLI's
+    * schema sniffing — ONE place decides how a path parses, so every
+    * caller agrees (a .zng file must never hit the JSON reader).
+    */
+  def readInput(spark: SparkSession, file: String): DataFrame =
+    if (file.endsWith(".zson")) graft.zson.ZsonValue.read(spark, file)
+    else if (file.endsWith(".zng")) graft.zson.Zng.read(spark, file)
+    else spark.read.json(file)
+
+  /** Produce an already-read DataFrame (lets the CLI read the input once
+    * for both the schema sniff and the send).
+    */
+  def produceDF(bus: Bus, topic: String, df: DataFrame,
+      keyCodec: EnvelopeCodec, valueCodec: EnvelopeCodec,
+      keyExpr: String = "null", valueExpr: String = "struct(*)"): Map[String, Long] =
     bus.write(df.select(
       lit(topic).as("topic"),
       keyCodec.encode(expr(keyExpr)).as("key"),
       valueCodec.encode(expr(valueExpr)).as("value")))
-  }
 
   /** Consume a topic from `offset` and render ZSON lines (the reference's
     * default output format).

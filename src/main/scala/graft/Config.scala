@@ -49,13 +49,18 @@ object Config {
       if (mech != "PLAIN")
         throw new IllegalArgumentException(
           s"""unknown sasl_mechanisms value "$mech"""")
+      // JAAS values are double-quoted strings: backslashes and quotes in
+      // credentials must be escaped or the config string breaks (or worse,
+      // injects extra JAAS options)
+      def jaasQuote(v: String): String =
+        "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       val user = field(n, "sasl_username").getOrElse("")
       val pass = field(n, "sasl_password").getOrElse("")
       opts ++= Map(
         "kafka.sasl.mechanism" -> "PLAIN",
         "kafka.sasl.jaas.config" ->
           ("org.apache.kafka.common.security.plain.PlainLoginModule required " +
-            s"""username="$user" password="$pass";"""))
+            s"username=${jaasQuote(user)} password=${jaasQuote(pass)};"))
     }
     Kafka(servers, opts)
   }

@@ -96,9 +96,13 @@ object Main {
   /** Trailing `-flag value` options (a subset of the reference's zed
     * outputflags: `-f` format, `-o` output path, `-offset` start offset).
     */
-  private def parseOpts(rest: List[String]): Map[String, String] =
+  private def parseOpts(rest: List[String],
+      allowed: Set[String]): Map[String, String] =
     rest.grouped(2).map {
-      case List(k, v) if k.startsWith("-") => k -> v
+      case List(k, v) if allowed(k) => k -> v
+      case List(k, _) if k.startsWith("-") =>
+        throw new IllegalArgumentException(
+          s"unknown option $k (expected one of ${allowed.toSeq.sorted.mkString(", ")})")
       case other =>
         throw new IllegalArgumentException(s"bad option: ${other.mkString(" ")}")
     }.toMap
@@ -180,30 +184,24 @@ object Main {
       val removed = p.vacuum()
       println(s"compacted at commit $id, vacuumed $removed files")
     case "consume-pool" :: root :: pool :: rest if rest.size % 2 == 0 =>
-      val opts = parseOpts(rest)
+      val opts = parseOpts(rest, Set("-f", "-o"))
       val p = graft.lake.Pool.open(spark, root, pool)
       if (!p.isEmpty) emit(p.read().orderBy(p.key), opts)
     case "produce" :: busRoot :: topic :: fileArg :: Nil =>
-      // `-` reads ZSON from stdin (`zync produce -` parity); staged to a
-      // temp file so the same produce path applies
-      val file =
-        if (fileArg != "-") fileArg
-        else {
-          val text = Iterator.continually(Console.in.readLine())
-            .takeWhile(_ != null).mkString("\n")
-          val tmp = java.nio.file.Files.createTempFile("stdin", ".zson")
-          java.nio.file.Files.write(tmp, text.getBytes("UTF-8"))
-          tmp.toString
-        }
-      // infer the value schema from the file so the Connect envelope is
-      // self-describing downstream
-      val df = if (file.endsWith(".zson")) graft.zson.ZsonValue.read(spark, file)
-        else spark.read.json(file)
-      val n = Commands.produce(spark, bus(busRoot), topic, file,
+      // ONE read for both the schema sniff and the send; `-` parses ZSON
+      // straight off stdin (`zync produce -` parity). The Connect envelope
+      // is self-describing downstream via df.schema.
+      val df =
+        if (fileArg == "-")
+          graft.zson.ZsonValue.toDataFrame(spark,
+            Iterator.continually(Console.in.readLine())
+              .takeWhile(_ != null).mkString("\n"))
+        else Commands.readInput(spark, fileArg)
+      val n = Commands.produceDF(bus(busRoot), topic, df,
         RawStringCodec, new ConnectJsonCodec(df.schema))
       println(s"produced ${n.values.sum} records to $topic")
     case "consume" :: busRoot :: topic :: rest if rest.size % 2 == 0 =>
-      val opts = parseOpts(rest)
+      val opts = parseOpts(rest, Set("-f", "-o", "-offset"))
       val b = bus(busRoot)
       // reference offset sentinels (etl.KafkaOffsetEarliest/-Latest)
       val offset = opts.get("-offset").map(_.toLong).getOrElse(-2L) match {
@@ -225,7 +223,7 @@ object Main {
     case "from-kafka" :: busRoot :: lakeRoot :: yamlPath :: rest
         if (yamlPath.endsWith(".yaml") || yamlPath.endsWith(".yml")) &&
           rest.size % 2 == 0 =>
-      val opts = parseOpts(rest)
+      val opts = parseOpts(rest, Set("-exitafter"))
       val yaml = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(yamlPath)))
       val routes = graft.etl.Transform.fromYaml(yaml).inputs
@@ -283,11 +281,10 @@ object Main {
       // -namespace: Avro namespace for new schemas (ref cli/flags.go:32,
       // default io.brimdata.zync; ours defaults to the historical
       // "namespace" used by existing registries/goldens)
-      val ns = parseOpts(rest).getOrElse("-namespace", "namespace")
-      val df = if (file.endsWith(".zson")) graft.zson.ZsonValue.read(spark, file)
-        else spark.read.json(file)
+      val ns = parseOpts(rest, Set("-namespace")).getOrElse("-namespace", "namespace")
+      val df = Commands.readInput(spark, file)
       val registry = avroRegistry(regRoot)
-      val n = Commands.produce(spark, bus(busRoot), topic, file,
+      val n = Commands.produceDF(bus(busRoot), topic, df,
         RawStringCodec,
         new graft.streaming.RegistryAvroCodec(df.schema, ns, registry))
       println(s"produced ${n.values.sum} records to $topic")

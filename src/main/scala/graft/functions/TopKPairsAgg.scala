@@ -84,6 +84,8 @@ final case class TopKPairsAgg(
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKHeap] {
 
+  require(k > 0, s"topk_pairs: k must be positive, got $k")
+
   override def children: Seq[Expression] = Seq(sim, id)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(

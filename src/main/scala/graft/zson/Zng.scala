@@ -110,9 +110,72 @@ object Zng {
   // Reader
   // =====================================================================
 
-  def read(spark: SparkSession, path: String): DataFrame =
-    toDataFrame(spark, parse(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path))))
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val data = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val vals = parse(data)
+    if (vals.nonEmpty) toDataFrame(spark, vals)
+    else firstRecordType(data) match {
+      // a values-less stream (types frame + EOS) is valid ZNG — e.g. a
+      // consume from the high watermark; reconstruct the schema from the
+      // typedefs so round trips keep column structure
+      case Some(t) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], ztToSpark(t).asInstanceOf[StructType])
+      case None => spark.emptyDataFrame
+    }
+  }
+
+  /** First top-level record typedef of the stream, if any. */
+  private def firstRecordType(data: Array[Byte]): Option[ZT] = {
+    val in = new In(data, 0, data.length)
+    val types = mutable.Map[Int, ZT]()
+    var nextId = FirstTypedefId
+    var found: Option[ZT] = None
+    while (!in.atEnd && found.isEmpty) {
+      val code = in.u8()
+      if (code != 0xff) {
+        val kind = (code >> 4) & 3
+        val len = ((in.uvarint() << 4) | (code & 0xf)).toInt
+        val frame = decompressed(in.slice(len), (code & 0x40) != 0)
+        if (kind == 0) while (!frame.atEnd && found.isEmpty) {
+          types(nextId) = typedef(frame, types)
+          found = types(nextId) match {
+            case r: TRecord => Some(r)
+            case TNamed(_, r: TRecord) => Some(r)
+            case _ => None
+          }
+          nextId += 1
+        }
+      }
+    }
+    found
+  }
+
+  /** ZNG type → Spark type (decode-direction; the subset [[toZngType]]
+    * writes plus the primitives [[prim]] reads).
+    */
+  private def ztToSpark(t: ZT): DataType = t match {
+    case TRecord(fields) =>
+      StructType(fields.map { case (n, ft) => StructField(n, ztToSpark(ft)) })
+    case TArray(inner) => ArrayType(ztToSpark(inner))
+    case TSet(inner) => ArrayType(ztToSpark(inner))
+    case TMap(k, v) => ArrayType(StructType(Seq(
+      StructField("key", ztToSpark(k)), StructField("value", ztToSpark(v)))))
+    case TNamed(_, inner) => ztToSpark(inner)
+    case TUnion(_) | TEnum(_) => StringType
+    case TError(inner) => ztToSpark(inner)
+    case TPrim(id) => id match {
+      case i if i >= 0 && i <= 3 => LongType
+      case i if i >= IdInt8 && i <= IdInt64 => LongType
+      case IdDuration => LongType
+      case IdTime => TimestampType
+      case IdFloat32 | IdFloat64 => DoubleType
+      case IdBool => BooleanType
+      case IdBytes => BinaryType
+      case IdString | IdIp | IdNet | IdTypeType => StringType
+      case IdNull => NullType
+      case other => throw new IllegalArgumentException(s"unsupported ZNG primitive id $other")
+    }
+  }
 
   /** Decode a whole ZNG stream (possibly several EOS-delimited streams)
     * into top-level values + decorations.
@@ -222,7 +285,14 @@ object Zng {
   }
 
   private def prim(id: Int, b: In): Z = id match {
-    case i if i >= 0 && i <= 3 => ZInt(b.uvarint()) // uint8..uint64
+    case i if i >= 0 && i <= 3 => // uint8..uint64
+      val u = b.uvarint()
+      // uint64 past Long.MaxValue has no faithful Spark representation —
+      // fail loudly like the other unsupported primitives rather than
+      // silently wrapping negative
+      if (i == 3 && u < 0) throw new IllegalArgumentException(
+        s"uint64 value ${java.lang.Long.toUnsignedString(u)} exceeds int64 range")
+      ZInt(u)
     case i if i >= IdInt8 && i <= IdInt64 => ZInt(b.varint())
     case IdDuration => ZInt(b.varint()) // nanoseconds
     case IdTime =>
@@ -379,6 +449,8 @@ object Zng {
     case (b: Array[Byte], _) => ZBytes(b)
     case (t: java.sql.Timestamp, _) => ZTime(t.toInstant)
     case (t: java.time.Instant, _) => ZTime(t)
+    // TIMESTAMP_NTZ surfaces as LocalDateTime; the session is pinned UTC
+    case (t: java.time.LocalDateTime, _) => ZTime(t.toInstant(java.time.ZoneOffset.UTC))
     case (other, t) => throw new IllegalArgumentException(s"cannot encode $other as $t")
   }
 

@@ -24,6 +24,18 @@ class ConfigSpec extends AnyFunSuite {
         """username="alice" password="s3cret";""")
   }
 
+  test("JAAS values escape quotes and backslashes in credentials") {
+    // username al"ice, password p\w;d (JSON-escaped below)
+    val k = Config.parseKafka(
+      """{"bootstrap_servers": "b", "security_protocol": "SASL_PLAINTEXT",
+         |"sasl_mechanisms": "PLAIN",
+         |"sasl_username": "al\"ice",
+         |"sasl_password": "p\\w;d"}""".stripMargin)
+    val jaas = k.options("kafka.sasl.jaas.config")
+    assert(jaas.contains("username=\"al\\\"ice\""), jaas)
+    assert(jaas.contains("password=\"p\\\\w;d\""), jaas)
+  }
+
   test("kafka.json defaults to PLAINTEXT with no sasl options") {
     val k = Config.parseKafka("""{"bootstrap_servers": "localhost:9092"}""")
     assert(k.options == Map("kafka.security.protocol" -> "PLAINTEXT"))

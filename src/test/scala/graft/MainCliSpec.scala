@@ -41,6 +41,32 @@ class MainCliSpec extends AnyFunSuite {
     assert(capture("topic-info", bus, "S") == Seq("low 0 high 3"))
   }
 
+  test("produce accepts .zng files with a correct sniffed envelope schema") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val bus = Files.createTempDirectory("cli-zngp-bus").toString
+    val schema = StructType(Seq(StructField("op", StringType), StructField("n", LongType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("c", 5L), Row("u", 6L)), 1), schema)
+    val zng = Files.createTempFile("in", ".zng")
+    graft.zson.Zng.write(df, zng.toString)
+    assert(capture("produce", bus, "Z", zng.toString)
+      == Seq("produced 2 records to Z"))
+    // the Connect envelope carries the real schema, so consume decodes it
+    val out = capture("consume", bus, "Z")
+    assert(out == Seq(
+      """{kafka:{topic:"Z",partition:0,offset:0},value:{op:"c",n:5}}""",
+      """{kafka:{topic:"Z",partition:0,offset:1},value:{op:"u",n:6}}"""), out)
+  }
+
+  test("unknown option flags are rejected, not silently ignored") {
+    val bus = Files.createTempDirectory("cli-badopt-bus").toString
+    val e = intercept[IllegalArgumentException] {
+      capture("consume", bus, "T", "-ofset", "5")
+    }
+    assert(e.getMessage.contains("-ofset"))
+  }
+
   test("produce -> from-kafka -> etl -> to-kafka -> consume, all via CLI") {
     val bus = Files.createTempDirectory("cli-bus").toString
     val lake = Files.createTempDirectory("cli-lake").toString

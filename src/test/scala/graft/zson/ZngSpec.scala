@@ -127,6 +127,42 @@ class ZngSpec extends AnyFunSuite {
     assert(bytes.toSeq == expected)
   }
 
+  test("empty stream (types + EOS, no values) reads back with its schema") {
+    val schema = StructType(Seq(StructField("a", LongType), StructField("s", StringType)))
+    val df = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val path = tmp("empty.zng")
+    Zng.write(df, path)
+    val back = Zng.read(spark, path)
+    assert(back.count() == 0)
+    assert(back.schema.fieldNames.toSeq == Seq("a", "s"))
+  }
+
+  test("timestamp_ntz columns encode as ZNG time") {
+    val schema = StructType(Seq(StructField("t", TimestampNTZType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(java.time.LocalDateTime.parse("2024-05-01T12:30:00")))), schema)
+    val path = tmp("ntz.zng")
+    Zng.write(df, path)
+    val back = Zng.read(spark, path).collect()
+    assert(back.length == 1)
+    assert(back(0).getTimestamp(0).toInstant ==
+      java.time.Instant.parse("2024-05-01T12:30:00Z"))
+  }
+
+  test("uint64 beyond int64 range fails loudly instead of wrapping") {
+    // types frame: record {u: uint64(id 3)}; value 2^63 as uvarint
+    val types = Array[Byte](0x05, 0x00, 0x00, 0x01, 0x01, 'u'.toByte, 0x03)
+    val big = Array[Byte](0x80.toByte, 0x80.toByte, 0x80.toByte, 0x80.toByte,
+      0x80.toByte, 0x80.toByte, 0x80.toByte, 0x80.toByte, 0x80.toByte, 0x01)
+    val body = Array[Byte]((big.length + 1).toByte) ++ big
+    val values = Array[Byte](0x1e, (body.length + 1).toByte) ++ body
+    val vhdr = Array[Byte]((0x10 | (values.length & 0xf)).toByte,
+      (values.length >> 4).toByte)
+    val stream = types ++ vhdr ++ values :+ 0xff.toByte
+    val e = intercept[IllegalArgumentException](Zng.parse(stream))
+    assert(e.getMessage.contains("uint64"))
+  }
+
   test("multiple streams: EOS resets the type context") {
     val schema = StructType(Seq(StructField("v", LongType)))
     def df(n: Long) = spark.createDataFrame(
