@@ -22,6 +22,7 @@ object Registry {
   lazy val all: Seq[GQuery] =
     (graft.operators.Relational.queries ++
       graft.operators.Connector.queries ++
+      graft.operators.AsofJoin.queries ++
       graft.ml.TextOps.queries ++
       graft.ml.DedupOps.queries ++
       graft.ml.ClusterOps.queries ++
