@@ -23,6 +23,7 @@ object Registry {
     (graft.operators.Relational.queries ++
       graft.operators.Connector.queries ++
       graft.operators.AsofJoin.queries ++
+      graft.operators.RangeJoin.queries ++
       graft.ml.TextOps.queries ++
       graft.ml.DedupOps.queries ++
       graft.ml.ClusterOps.queries ++
