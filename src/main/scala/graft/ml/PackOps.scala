@@ -175,5 +175,26 @@ object PackOps {
                                            ORDER BY key, doc_id) AS BIGINT) AS pos
             FROM k"""))
 
-  val queries: Seq[GQuery] = Seq(qPack, qSample, qMixture, qShuffleOrder)
+  // Deterministic train/val/test split: md5-keyed assignment with fixed
+  // fractions (95/2.5/2.5 here). Same properties as q_sample — scan-speed,
+  // no shuffle, rerun-stable, and adding data never moves an existing doc
+  // between splits (its hash doesn't change). Hex-prefix thresholds:
+  // 16^4 buckets, val < 0666 (~2.5%), test < 0ccc (~2.5%), rest train.
+  private val qSplit = GQuery(
+    "q_split",
+    (s, d) => {
+      val key = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 4)
+      documents(s, d).select(
+        col("doc_id"),
+        when(key < "0666", "val")
+          .when(key < "0ccc", "test")
+          .otherwise("train").as("split"))
+    },
+    Some("""SELECT doc_id,
+                   CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) < '0666' THEN 'val'
+                        WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) < '0ccc' THEN 'test'
+                        ELSE 'train' END AS split
+            FROM documents"""))
+
+  val queries: Seq[GQuery] = Seq(qPack, qSample, qMixture, qShuffleOrder, qSplit)
 }
