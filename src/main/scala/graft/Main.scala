@@ -19,7 +19,7 @@ import org.apache.spark.sql.types.StructType
   *                                   # -offset: -2 earliest (default), -1 latest
   *   graft.Main from-kafka <busRoot> <lakeRoot> <pool> <topic[,topic...]>
   *   graft.Main to-kafka <busRoot> <lakeRoot> <pool> <topic>
-  *   graft.Main produce-avro <busRoot> <registryRoot> <topic> <file>
+  *   graft.Main produce-avro <busRoot> <registryRoot> <topic> <file> [-namespace ns]
   *   graft.Main consume-avro <busRoot> <registryRoot> <topic>
   *   graft.Main schemas <registryRoot>             # zync ls parity
   *   graft.Main topic-info <busRoot> <topic>       # zync info parity

@@ -12,44 +12,55 @@ import org.apache.spark.sql.functions._
   *
   * The packing prefix-sum is the scale-critical piece: a naive
   * `Window.orderBy(id)` is a single-partition sort — the whole corpus
-  * through one task. [[prefixSum]] instead range-partitions on the order
-  * key, cumsums within each partition in parallel, and offsets each
-  * partition by the (tiny, driver-side) running total of partition sums —
+  * through one task. [[prefixSum]] instead buckets on quantile boundaries
+  * of the order key, cumsums within each bucket in parallel, and offsets
+  * each bucket by the (tiny, driver-side) running total of bucket sums —
   * the classic two-phase distributed scan. Identical result, no
   * single-task bottleneck at 100 TB.
   */
 object PackOps {
 
-  /** Adds `cum` = running sum of `valueCol` in `orderCol` order. */
+  /** Adds `cum` = running sum of `valueCol` in `orderCol` order
+    * (`orderCol` must be numeric with unique values).
+    *
+    * Buckets come from driver-computed quantile boundaries of the order
+    * key, so the bucket id is a PURE FUNCTION of the row: the windowed
+    * pass and the totals pass below agree by construction, with no
+    * materialization. (A `repartitionByRange` + `spark_partition_id`
+    * formulation is NOT deterministic across two evaluations of the same
+    * plan — range partitioning samples — and pinning it needs a
+    * localCheckpoint of the whole input, which trades away lineage and
+    * executor storage.)
+    */
   def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
       partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val n = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // localCheckpoint pins ONE materialized partitioning: range
-    // partitioning SAMPLES the data to pick boundaries, so re-evaluating
-    // the plan for the totals pass below could land rows in different
-    // partitions than the windowed pass — the per-partition bases would
-    // then correct the wrong rows (observed as wrong cums at sf0.1).
-    val parted = df.repartitionByRange(n, col(orderCol))
-      .withColumn("_part", spark_partition_id())
-      .localCheckpoint(true)
-    // per-partition running sum — parallel windows, one per range slice
+    val probes = (1 until n).map(_.toDouble / n).toArray
+    val bounds =
+      if (probes.isEmpty) Array.empty[Double]
+      else df.stat.approxQuantile(orderCol, probes, 0.001).distinct.sorted
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(orderCol) > b, 1).otherwise(0)
+    }
+    val parted = df.withColumn("_bkt", bucket)
+    // per-bucket running sum — parallel windows, one per key range
     val local = parted.withColumn("_local",
       sum(col(valueCol)).over(
-        Window.partitionBy("_part").orderBy(orderCol)
+        Window.partitionBy("_bkt").orderBy(orderCol)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    // partition totals → driver-side exclusive scan (numPartitions rows).
-    // sum(valueCol) per partition, NOT max of the running sum — max is only
+    // bucket totals → driver-side exclusive scan (numBuckets rows).
+    // sum(valueCol) per bucket, NOT max of the running sum — max is only
     // correct for non-negative values; sum stays correct for any input.
-    val totals = parted.groupBy("_part").agg(sum(col(valueCol)).as("_total"))
+    val totals = parted.groupBy("_bkt").agg(sum(col(valueCol)).as("_total"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val bases = totals.scanLeft((0, 0L)) { case ((_, acc), (p, t)) => (p, acc + t) }
       .sliding(2).collect { case Array((_, acc), (p, _)) => (p, acc) }.toMap
     val baseExpr = bases.foldLeft(lit(0L)) { case (acc, (p, b)) =>
-      when(col("_part") === p, lit(b)).otherwise(acc)
+      when(col("_bkt") === p, lit(b)).otherwise(acc)
     }
-    local.withColumn("cum", col("_local") + baseExpr).drop("_part", "_local")
+    local.withColumn("cum", col("_local") + baseExpr).drop("_bkt", "_local")
   }
 
   /** Concat-then-chunk packing: documents in `orderCol` order fill

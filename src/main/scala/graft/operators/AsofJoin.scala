@@ -35,17 +35,26 @@ object AsofJoin {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, payload: Seq[String]): DataFrame = {
+    // The payload travels as ONE struct: it is non-null for every right
+    // row even when individual fields are null, so last(ignoreNulls)
+    // always picks the whole latest right row — a per-column fill would
+    // skip genuinely-null fields (returning a stale earlier value) and
+    // could tear the output across different right rows.
     val r = right.select(
-      (keys :+ tsCol).map(col) ++ payload.map(c => col(c).as(s"asof_$c")): _*)
+      (keys :+ tsCol).map(col) :+
+        struct(payload.map(col): _*).as("_asof_payload"): _*)
       .withColumn("_side", lit(0))
     val u = left.withColumn("_side", lit(1))
       .unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    payload.foldLeft(u) { (d, c) =>
-      d.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
-    }.filter(col("_side") === 1).drop("_side")
+    val filled = u.withColumn("_asof_payload",
+      last(col("_asof_payload"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+    payload.foldLeft(filled) { (d, c) =>
+      d.withColumn(s"asof_$c", col("_asof_payload").getField(c))
+    }.drop("_side", "_asof_payload")
   }
 
   // Gate: each click joined to the user's most recent purchase at or
@@ -54,10 +63,7 @@ object AsofJoin {
   private val qAsofJoin = GQuery(
     "q_asof_join",
     (s, d) => {
-      // events.ts is ns-since-epoch; compare in µs because DuckDB's
-      // parquet reader surfaces µs precision (epoch_ns would fabricate
-      // trailing zeros and diverge)
-      val ev = events(s, d).withColumn("ts", expr("ts div 1000"))
+      val ev = events(s, d).withColumn("ts", eventMicros(col("ts")))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
       val purchases = ev.filter(col("event_type") === "purchase")

@@ -43,12 +43,16 @@ object RangeJoin {
     val chunk = chunkSize.getOrElse(
       math.max(1L, iv0.agg(max(col(endCol) - col(startCol))).head() match {
         case r if r.isNullAt(0) => 1L
-        case r => r.getLong(0)
+        // the difference type follows the column type (int/short/long)
+        case r => r.getAs[Number](0).longValue()
       }))
+    require(chunk > 0, s"rangeJoin: chunkSize must be positive, got $chunk")
+    // identifiers backtick-quoted: names with spaces/dots/keywords must
+    // not break the generated expression
     val iv = iv0.withColumn("_chunk",
-      explode(sequence(expr(s"$startCol div $chunk"),
-        expr(s"($endCol - 1) div $chunk"))))
-    left.withColumn("_chunk", expr(s"$tsCol div $chunk"))
+      explode(sequence(expr(s"`$startCol` div $chunk"),
+        expr(s"(`$endCol` - 1) div $chunk"))))
+    left.withColumn("_chunk", expr(s"`$tsCol` div $chunk"))
       .join(iv, keys :+ "_chunk")
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("_chunk")
@@ -60,7 +64,7 @@ object RangeJoin {
   private val qRangeJoin = GQuery(
     "q_range_join",
     (s, d) => {
-      val ev = events(s, d).withColumn("ts", expr("ts div 1000")) // µs (see q_asof_join)
+      val ev = events(s, d).withColumn("ts", eventMicros(col("ts")))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
       val w = Window.partitionBy("user_id").orderBy("ts")

@@ -33,4 +33,11 @@ object Tables {
     */
   def eventTime(tsNanos: Column): Column =
     timestamp_micros((tsNanos.cast("decimal(38,0)") / 1000).cast("long"))
+
+  /** events.ts as µs-since-epoch longs for oracle-compared arithmetic:
+    * DuckDB's parquet reader surfaces µs precision, so comparing at ns
+    * would fabricate trailing zeros on the oracle side and diverge.
+    */
+  def eventMicros(tsNanos: Column): Column =
+    (tsNanos.cast("decimal(38,0)") / 1000).cast("long")
 }

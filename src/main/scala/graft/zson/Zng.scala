@@ -124,30 +124,48 @@ object Zng {
     }
   }
 
-  /** First top-level record typedef of the stream, if any. */
+  /** The stream's top-level record typedef, if any: the LAST unreferenced
+    * record in the typedef DAG. Writers (including [[write]]) define inner
+    * struct typedefs before the records that embed them, so "first record"
+    * would pick a nested struct; the root is the record no other typedef
+    * references (structural comparison suffices — typedefs are
+    * structurally deduped, so an identical subtree IS the same typedef).
+    */
   private def firstRecordType(data: Array[Byte]): Option[ZT] = {
     val in = new In(data, 0, data.length)
+    val defined = mutable.ArrayBuffer[ZT]()
     val types = mutable.Map[Int, ZT]()
     var nextId = FirstTypedefId
-    var found: Option[ZT] = None
-    while (!in.atEnd && found.isEmpty) {
+    var done = false
+    while (!in.atEnd && !done) {
       val code = in.u8()
-      if (code != 0xff) {
+      if (code == 0xff) done = true // first stream's types only
+      else {
         val kind = (code >> 4) & 3
         val len = ((in.uvarint() << 4) | (code & 0xf)).toInt
         val frame = decompressed(in.slice(len), (code & 0x40) != 0)
-        if (kind == 0) while (!frame.atEnd && found.isEmpty) {
+        if (kind == 0) while (!frame.atEnd) {
           types(nextId) = typedef(frame, types)
-          found = types(nextId) match {
-            case r: TRecord => Some(r)
-            case TNamed(_, r: TRecord) => Some(r)
-            case _ => None
-          }
+          defined += types(nextId)
           nextId += 1
         }
       }
     }
-    found
+    def children(t: ZT): Seq[ZT] = t match {
+      case TRecord(fs) => fs.map(_._2)
+      case TArray(i) => Seq(i)
+      case TSet(i) => Seq(i)
+      case TMap(k, v) => Seq(k, v)
+      case TUnion(bs) => bs
+      case TError(i) => Seq(i)
+      case TNamed(_, i) => Seq(i)
+      case _ => Nil
+    }
+    val referenced = defined.flatMap(children).toSet
+    defined.reverseIterator.collectFirst {
+      case r: TRecord if !referenced(r) => r
+      case n @ TNamed(_, r: TRecord) if !referenced(n) => r
+    }
   }
 
   /** ZNG type → Spark type (decode-direction; the subset [[toZngType]]

@@ -24,6 +24,19 @@ class AsofJoinSpec extends AnyFunSuite {
       (2L, 15L, "d", None)))        // no right rows for uid 2
   }
 
+  test("a genuinely-null payload field is returned, not skipped for a stale one") {
+    import spark.implicits._
+    val left = Seq((1L, 20L)).toDF("uid", "ts")
+    // latest right row at ts=18 has amt NULL; a per-column fill would
+    // leak amt=100 from ts=5 and tear the row (tag from 18, amt from 5)
+    val right = Seq((1L, 5L, Some(100.0), "early"), (1L, 18L, None, "late"))
+      .toDF("uid", "ts", "amt", "tag")
+    val got = AsofJoin.asofJoin(left, right, Seq("uid"), "ts", Seq("amt", "tag"))
+      .select("asof_amt", "asof_tag").collect().head
+    assert(got.isNullAt(0) && got.getString(1) == "late",
+      s"want (null, late), got $got")
+  }
+
   test("one keyed shuffle, no nested-loop join in the plan") {
     import spark.implicits._
     val left = (1L to 100L).map(i => (i % 7, i, s"t$i")).toDF("uid", "ts", "tag")

@@ -24,6 +24,21 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(auto == got)
   }
 
+  test("non-positive chunk is rejected; int-typed interval columns work") {
+    import spark.implicits._
+    val events = Seq((1L, 1L, 5L)).toDF("event_id", "uid", "ts")
+    val iv = Seq((1L, 4L, 12L)).toDF("uid", "s", "e")
+    intercept[IllegalArgumentException] {
+      RangeJoin.rangeJoin(events, iv, Seq("uid"), "ts", "s", "e", Some(0L))
+    }
+    // integer interval columns must not ClassCastException in the
+    // default-chunk aggregate
+    val evInt = Seq((1L, 1, 5)).toDF("event_id", "uid", "ts")
+    val ivInt = Seq((1, 4, 12)).toDF("uid", "s", "e")
+    assert(RangeJoin.rangeJoin(evInt, ivInt, Seq("uid"), "ts", "s", "e")
+      .count() == 1)
+  }
+
   test("plans as a hash join, not a nested loop") {
     import spark.implicits._
     val events = (1L to 200L).map(i => (i, i % 5, i)).toDF("event_id", "uid", "ts")

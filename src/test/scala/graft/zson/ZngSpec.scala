@@ -137,6 +137,23 @@ class ZngSpec extends AnyFunSuite {
     assert(back.schema.fieldNames.toSeq == Seq("a", "s"))
   }
 
+  test("empty stream with NESTED structs keeps the OUTER record schema") {
+    // inner typedefs are written before the outer record; the reader must
+    // pick the DAG root, not the first record typedef
+    val schema = StructType(Seq(
+      StructField("kafka", StructType(Seq(
+        StructField("topic", StringType), StructField("offset", LongType)))),
+      StructField("value", StructType(Seq(StructField("n", LongType))))))
+    val df = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val path = tmp("empty-nested.zng")
+    Zng.write(df, path)
+    val back = Zng.read(spark, path)
+    assert(back.count() == 0)
+    assert(back.schema.fieldNames.toSeq == Seq("kafka", "value"))
+    assert(back.schema("kafka").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("topic", "offset"))
+  }
+
   test("timestamp_ntz columns encode as ZNG time") {
     val schema = StructType(Seq(StructField("t", TimestampNTZType)))
     val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
