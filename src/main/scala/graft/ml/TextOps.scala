@@ -402,7 +402,52 @@ object TextOps {
                    top_word_frac <= 0.125 AND dup_bigram_frac <= 0.05 AS keep
             FROM m"""))
 
+  // CCNet-style perplexity filtering with an in-corpus unigram LM:
+  // train token log-probs over the whole corpus (one wordcount shuffle,
+  // add-one smoothing), then score each document by mean negative log
+  // likelihood; ppl = exp(nll). Scale shape: token stream joins the
+  // (vocabulary-sized) prob table — a broadcast hash join for any real
+  // vocabulary — then one partial-aggregated groupBy(doc). Unseen-token
+  // handling is exercised for real because the LM here trains on the
+  // same corpus it scores (every token is seen); the smoothing term
+  // still decides the probabilities.
+  private val qPerplexity = GQuery(
+    "q_perplexity",
+    (s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      val counts = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      val totals = counts.agg(sum("c").as("n"), count(lit(1)).as("v")).head()
+      val (n, v) = (totals.getLong(0), totals.getLong(1))
+      val scored = toks.join(broadcast(counts), Seq("w"))
+        .withColumn("_lp", log((col("c") + 1.0) / lit((n + v).toDouble)))
+        .groupBy("doc_id")
+        .agg((-avg(col("_lp"))).as("nll"), count(lit(1)).as("n_tokens"))
+      scored.select(col("doc_id"),
+        stableRound(col("nll"), 4).as("nll"),
+        stableRound(exp(col("nll")), 2).as("ppl"),
+        col("n_tokens"))
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                                        x -> x <> '')) AS w
+              FROM documents),
+            counts AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+            tot AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+            scored AS (
+              SELECT t.doc_id,
+                     -avg(ln((c + 1.0) / (tot.n + tot.v))) AS nll,
+                     count(*) AS n_tokens
+              FROM toks t JOIN counts USING (w) CROSS JOIN tot
+              GROUP BY t.doc_id)
+            SELECT doc_id,
+                   floor(nll * 10000 + 0.5) / 10000 AS nll,
+                   floor(exp(nll) * 100 + 0.5) / 100 AS ppl,
+                   n_tokens
+            FROM scored"""))
+
   val queries: Seq[GQuery] = Seq(qLangId, qTokens, qQuality, qFingerprint,
     qRollingFp, qCorpusFilter, qCorpusStats, qRedact, qVocab, qQuantiles,
-    qRepetition, qQualityModel)
+    qRepetition, qQualityModel, qPerplexity)
 }
