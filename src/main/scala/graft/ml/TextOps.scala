@@ -447,7 +447,43 @@ object TextOps {
                    n_tokens
             FROM scored"""))
 
+  /** Overlapping character windows (size `win`, stride `stride`) — the
+    * chunking step of RAG / long-document pretraining prep. In-row array
+    * construction (no shuffle): chunk starts are a `sequence`, substrings
+    * come from one `transform`. A final short chunk is kept (standard
+    * chunker behavior); exploding happens post-scan so the full text
+    * never shuffles.
+    */
+  def chunkText(text: Column, win: Int, stride: Int): Column = {
+    require(win > 0 && stride > 0, "chunkText: win and stride must be positive")
+    val n = length(text)
+    val starts = when(n <= win, array(lit(1))).otherwise(
+      sequence(lit(1), n - win + lit(stride), lit(stride)))
+    transform(starts, st => substring(text, st, lit(win)))
+  }
+
+  private val qChunk = GQuery(
+    "q_chunk",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          posexplode(chunkText(col("text"), 200, 150)).as(Seq("i", "chunk")))
+        .select(col("doc_id"), (col("i") + 1).cast("long").as("chunk_idx"),
+          col("chunk"), length(col("chunk")).cast("long").as("n_chars")),
+    Some("""WITH c AS (
+              SELECT doc_id,
+                     CASE WHEN length(text) <= 200 THEN [1]
+                          ELSE generate_series(1, length(text) - 200 + 150, 150)
+                     END AS starts, text
+              FROM documents)
+            SELECT doc_id,
+                   CAST(generate_subscripts(starts, 1) AS BIGINT) AS chunk_idx,
+                   substr(text, unnest(starts), 200) AS chunk,
+                   CAST(length(substr(text, unnest(starts), 200)) AS BIGINT)
+                     AS n_chars
+            FROM c"""))
+
   val queries: Seq[GQuery] = Seq(qLangId, qTokens, qQuality, qFingerprint,
     qRollingFp, qCorpusFilter, qCorpusStats, qRedact, qVocab, qQuantiles,
-    qRepetition, qQualityModel, qPerplexity)
+    qRepetition, qQualityModel, qPerplexity, qChunk)
 }
