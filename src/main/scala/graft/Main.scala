@@ -20,7 +20,7 @@ import org.apache.spark.sql.types.StructType
   *   graft.Main from-kafka <busRoot> <lakeRoot> <pool> <topic[,topic...]>
   *   graft.Main to-kafka <busRoot> <lakeRoot> <pool> <topic>
   *   graft.Main produce-avro <busRoot> <registryRoot> <topic> <file> [-namespace ns]
-  *   graft.Main consume-avro <busRoot> <registryRoot> <topic>
+  *   graft.Main consume-avro <busRoot> <registryRoot> <topic> [-f ...] [-o file] [-offset N]
   *   graft.Main schemas <registryRoot>             # zync ls parity
   *   graft.Main topic-info <busRoot> <topic>       # zync info parity
   * }}}
@@ -288,10 +288,17 @@ object Main {
         RawStringCodec,
         new graft.streaming.RegistryAvroCodec(df.schema, ns, registry))
       println(s"produced ${n.values.sum} records to $topic")
-    case "consume-avro" :: busRoot :: regRoot :: topic :: Nil =>
+    case "consume-avro" :: busRoot :: regRoot :: topic :: rest
+        if rest.size % 2 == 0 =>
+      val opts = parseOpts(rest, Set("-f", "-o", "-offset"))
       val b = bus(busRoot)
       val registry = avroRegistry(regRoot)
       import org.apache.spark.sql.functions.col
+      val offset = opts.get("-offset").map(_.toLong).getOrElse(-2L) match {
+        case -2L => 0L
+        case -1L => b.endOffsets(spark, Seq(topic))(topic)
+        case n => n
+      }
       // recover the value type from the first message's embedded schema id
       val first = b.readBatch(spark, Seq(topic), Map.empty)
         .orderBy("offset").select("value").limit(1)
@@ -302,9 +309,9 @@ object Main {
           val (id, _) = graft.codecs.ZAvro.unframe(msg)
           val avro = new org.apache.avro.Schema.Parser().parse(registry.getSchema(id))
           val schema = graft.codecs.ZAvro.avroToSpark(avro).asInstanceOf[StructType]
-          Commands.consume(spark, b, topic, RawStringCodec,
-            new graft.streaming.RegistryAvroCodec(schema, "namespace", registry))
-            .foreach(println)
+          emit(Commands.consumeDF(spark, b, topic, RawStringCodec,
+            new graft.streaming.RegistryAvroCodec(schema, "namespace", registry),
+            offset), opts)
       }
     case "schemas" :: regRoot :: Nil =>
       // zync ls parity: subjects with the latest schema of each

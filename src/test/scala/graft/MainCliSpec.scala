@@ -197,6 +197,11 @@ class MainCliSpec extends AnyFunSuite {
       """{kafka:{topic:"A",partition:0,offset:0},value:{op:"c",n:1}}""",
       """{kafka:{topic:"A",partition:0,offset:1},value:{op:"u",n:2}}"""), lines)
 
+    // output flags work on the avro path too
+    val json = capture("consume-avro", bus, reg, "A", "-f", "json")
+    assert(json.size == 2 && json.head.contains(""""op":"c""""), json)
+    assert(capture("consume-avro", bus, reg, "A", "-offset", "1").size == 1)
+
     // zync ls parity: one subject, RecordNameStrategy naming, v1
     val ls = capture("schemas", reg)
     assert(ls.head.startsWith("subject namespace.zng_"), ls.head)
