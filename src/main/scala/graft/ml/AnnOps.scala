@@ -345,6 +345,58 @@ object AnnOps {
                    floor(unnest(c) * 10000 + 0.5) / 10000 AS x
             FROM m"""))
 
+  // Nearest-centroid assignment (embedding-space labeling / outlier
+  // screening): label centroids via the deterministic sorted fold (same
+  // engine-independent accumulation as q_mean_pool), then every vector
+  // scores against the broadcast centroid table and takes the argmax.
+  // One broadcast join + per-vector argmax — the corpus never shuffles.
+  private val qCentroidAssign = GQuery(
+    "q_centroid_assign",
+    (s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"),
+        col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+      val cents = e
+        .select(col("label"), struct(col("vec_id"), col("v")).as("sv"))
+        .groupBy("label").agg(array_sort(collect_list(col("sv"))).as("svs"))
+        .select(col("label").as("c_label"),
+          meanPool(transform(col("svs"), sv => sv.getField("v"))).as("cent"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("sim").desc, col("c_label").asc)
+      e.join(broadcast(cents))
+        .select(col("vec_id"), col("label"), col("c_label"),
+          stableRound(cosine(col("v"), col("cent")), 4).as("sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("label").as("true_label"),
+          col("c_label").as("assigned_label"), col("sim"),
+          (col("label") === col("c_label")).as("is_match"))
+    },
+    Some("""WITH e AS (
+              SELECT vec_id, CAST(label AS BIGINT) AS label,
+                     CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+            g AS (SELECT label, list(v ORDER BY vec_id) AS vs FROM e GROUP BY label),
+            c AS (
+              SELECT label AS c_label,
+                     list_transform(
+                       reduce(vs, (a, b) -> list_transform(range(1, len(a) + 1),
+                                                           i -> a[i] + b[i])),
+                       x -> x / len(vs)) AS cent
+              FROM g),
+            p AS (
+              SELECT e.vec_id, e.label, c.c_label,
+                     floor(list_cosine_similarity(e.v, c.cent) * 10000 + 0.5) / 10000 AS sim
+              FROM e CROSS JOIN c),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY sim DESC, c_label ASC) AS rk
+              FROM p)
+            SELECT vec_id, label AS true_label, c_label AS assigned_label,
+                   sim, label = c_label AS is_match
+            FROM r WHERE rk = 1"""))
+
   val queries: Seq[GQuery] =
-    Seq(qAnnTopK, qAnnLsh, qAnnIvf, qAnnPq, qEmbedNorm, qMeanPool)
+    Seq(qAnnTopK, qAnnLsh, qAnnIvf, qAnnPq, qEmbedNorm, qMeanPool,
+      qCentroidAssign)
 }
