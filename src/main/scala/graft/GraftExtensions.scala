@@ -67,6 +67,9 @@ object GraftExtensions {
     "l2norm" -> ((args: Seq[Expression]) => e(l2norm(c(args.head)))),
     "l2_normalize" -> ((args: Seq[Expression]) => e(l2normalize(c(args.head)))),
     "mean_pool" -> ((args: Seq[Expression]) => e(meanPool(c(args.head)))),
+    "chunk_text" -> ((args: Seq[Expression]) =>
+      e(graft.ml.TextOps.chunkText(c(args(0)),
+        litInt(args(1), "chunk_text", 1), litInt(args(2), "chunk_text", 2)))),
     // aggregate: topk_pairs(sim, id, k) in GROUP BY queries — the
     // bounded-shuffle exact top-k (see functions.TopKPairsAgg)
     "topk_pairs" -> ((args: Seq[Expression]) =>

@@ -58,6 +58,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[Double](3) == Seq(2.0, 4.0))
   }
 
+  test("chunk_text works from SQL") {
+    import spark.implicits._
+    Seq(("x" * 250)).toDF("t").createOrReplaceTempView("ext_chunk")
+    val rows = spark.sql("SELECT chunk_text(t, 200, 150) AS cs FROM ext_chunk")
+      .selectExpr("transform(cs, c -> length(c)) AS ls")
+      .collect().head.getSeq[Int](0)
+    assert(rows == Seq(200, 100))
+  }
+
   test("topk_pairs aggregate works from SQL") {
     import spark.implicits._
     Seq((1L, 0.9, 10L), (1L, 0.7, 20L), (1L, 0.95, 30L), (2L, 0.5, 40L))
