@@ -47,6 +47,9 @@ private[codecs] object AvroCatalyst {
   private def isTsMicros(s: ASchema): Boolean =
     s.getLogicalType != null && s.getLogicalType.getName == "timestamp-micros"
 
+  private def isTsMillis(s: ASchema): Boolean =
+    s.getLogicalType != null && s.getLogicalType.getName == "timestamp-millis"
+
   /** Avro runtime value (from GenericDatumReader) → Catalyst value of
     * `dt`, guided by the writer schema. Permissive: mismatches → null.
     */
@@ -59,11 +62,17 @@ private[codecs] object AvroCatalyst {
           case None => dt match {
             case st: StructType if ZAvro.isTaggedUnion(st) =>
               val idx = GenericData.get().resolveUnion(s, v)
-              val row = new GenericInternalRow(st.fields.length)
-              row.update(0, idx)
-              row.update(idx + 1,
-                toCatalyst(v, s.getTypes.get(idx), st.fields(idx + 1).dataType))
-              row
+              // a foreign writer union can have more branches than the
+              // target tagged struct — permissive contract says null, not
+              // ArrayIndexOutOfBounds
+              if (idx + 1 >= st.fields.length) null
+              else {
+                val row = new GenericInternalRow(st.fields.length)
+                row.update(0, idx)
+                row.update(idx + 1,
+                  toCatalyst(v, s.getTypes.get(idx), st.fields(idx + 1).dataType))
+                row
+              }
             case _ => null
           }
         }
@@ -111,6 +120,8 @@ private[codecs] object AvroCatalyst {
       case ASchema.Type.LONG => dt match {
         case TimestampType | TimestampNTZType if isTsMicros(s) =>
           v.asInstanceOf[java.lang.Long].longValue()
+        case TimestampType | TimestampNTZType if isTsMillis(s) =>
+          Math.multiplyExact(v.asInstanceOf[java.lang.Long].longValue(), 1000L)
         case LongType => v.asInstanceOf[java.lang.Long].longValue()
         case DoubleType => v.asInstanceOf[java.lang.Long].doubleValue()
         case _ => null

@@ -167,14 +167,33 @@ final class HttpSchemaRegistry(baseUrl: String,
       case c => c.toString
     }
 
+  /** Send, check the HTTP status, and pull `field` out of the JSON body.
+    * A non-2xx (401/403 bad credentials, 404 unknown id/subject, 5xx)
+    * throws a descriptive error BEFORE parsing; a thrown closure is never
+    * inserted by `getOrElseUpdate`, so failures are not memoized.
+    */
+  private def sendForField(req: java.net.http.HttpRequest, field: String,
+      what: String): com.fasterxml.jackson.databind.JsonNode = {
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    val code = resp.statusCode()
+    if (code < 200 || code >= 300)
+      throw new java.io.IOException(
+        s"schema registry $what failed: HTTP $code from ${req.uri()}" +
+          (if (code == 401 || code == 403) " (authentication/authorization)" else "") +
+          s": ${resp.body().take(300)}")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(resp.body()).get(field)
+    if (node == null)
+      throw new java.io.IOException(
+        s"schema registry $what: HTTP $code but no '$field' in response: ${resp.body().take(300)}")
+    node
+  }
+
   override def getSchema(id: Int): String =
     idCache.getOrElseUpdate(id, {
       val req = withAuth(java.net.http.HttpRequest.newBuilder()
         .uri(java.net.URI.create(s"$baseUrl/schemas/ids/$id")).GET()).build()
-      val body = client.send(req,
-        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
-      val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      om.readTree(body).get("schema").asText()
+      sendForField(req, "schema", s"getSchema(id=$id)").asText()
     })
 
   override def createSchema(subject: String, schema: String): Int =
@@ -184,9 +203,6 @@ final class HttpSchemaRegistry(baseUrl: String,
         .uri(java.net.URI.create(s"$baseUrl/subjects/$subject/versions"))
         .header("Content-Type", "application/vnd.schemaregistry.v1+json")
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(payload))).build()
-      val body = client.send(req,
-        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
-      val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      om.readTree(body).get("id").asInt()
+      sendForField(req, "id", s"createSchema(subject=$subject)").asInt()
     })
 }

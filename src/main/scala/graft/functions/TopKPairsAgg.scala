@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -21,8 +21,13 @@ final class TopKHeap(k: Int) {
       if (c != 0) c else java.lang.Long.compare(b._2, a._2)
     })
 
-  private def beats(s: Double, i: Long, worst: (Double, Long)): Boolean =
-    s > worst._1 || (s == worst._1 && i < worst._2)
+  // Double.compare (not >) so NaN orders the same way here as in the heap
+  // comparator and in Spark's `sim DESC` sort: NaN ranks above every other
+  // value instead of being silently dropped once the heap fills.
+  private def beats(s: Double, i: Long, worst: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(s, worst._1)
+    c > 0 || (c == 0 && i < worst._2)
+  }
 
   def offer(s: Double, i: Long): Unit =
     if (heap.size < k) heap.add((s, i))
@@ -37,8 +42,10 @@ final class TopKHeap(k: Int) {
   def sortedBest: Array[(Double, Long)] = {
     val arr = new Array[(Double, Long)](heap.size)
     heap.toArray(arr)
-    arr.sortWith((a, b) =>
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+    arr.sortWith { (a, b) =>
+      val c = java.lang.Double.compare(a._1, b._1)
+      c > 0 || (c == 0 && a._2 < b._2)
+    }
   }
 
   def toBytes: Array[Byte] = {
@@ -82,11 +89,16 @@ final case class TopKPairsAgg(
     sim: Expression, id: Expression, k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKHeap] {
+  extends TypedImperativeAggregate[TopKHeap] with ImplicitCastInputTypes {
 
   require(k > 0, s"topk_pairs: k must be positive, got $k")
 
   override def children: Seq[Expression] = Seq(sim, id)
+  // Analyzer casts or rejects mistyped args (e.g. topk_pairs(int_col, id, 5)
+  // via the SQL surface) instead of a per-row ClassCastException in update().
+  // Return type inferred as Seq[DataType] (covariant with the base's
+  // Seq[AbstractDataType], which is private[sql] and unnameable here).
+  override def inputTypes = Seq[DataType](DoubleType, LongType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("n_id", LongType, nullable = false),

@@ -131,8 +131,15 @@ package object functions {
         (acc, v) => zip_with(acc, v, _ + _)),
       x => x / size(vs))
 
-  /** Cosine similarity over array<double> columns. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Cosine similarity over array<double> columns. Zero-norm inputs yield
+    * 0.0 (not NaN): a zero vector is "similar to nothing", and a NaN here
+    * would otherwise rank FIRST under Spark's `sim DESC` ordering and in
+    * [[graft.functions.TopKPairsAgg]].
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2norm(a) * l2norm(b)
+    when(denom === 0.0, 0.0).otherwise(dot(a, b) / denom)
+  }
 
   /** Polynomial rolling hash over tokens (document fingerprint).
     * fp = sum tok_i_hash * B^i mod p — order-sensitive, unlike minhash.

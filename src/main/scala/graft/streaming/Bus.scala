@@ -19,7 +19,15 @@ trait Bus {
   def readBatch(spark: SparkSession, topics: Seq[String],
       startOffsets: Map[String, Long]): DataFrame
 
-  /** Append records (topic, key, value); returns per-topic write counts. */
+  /** Append records (topic, key, value); returns per-topic write counts.
+    *
+    * Ordering contract: the broker receives rows in DataFrame order. A
+    * frame may carry an `_off` column to make that order explicit — the
+    * implementation then produces in ascending (topic, _off) order and
+    * does NOT write `_off` to the broker. The FIFO envelope model depends
+    * on this: broker order must equal pool offset order
+    * (ref fifo/producer.go:82-101 produces synchronously in order).
+    */
   def write(df: DataFrame): Map[String, Long]
 
   /** Next offset to be produced per topic (end watermark,
@@ -81,12 +89,26 @@ final class KafkaBus(bootstrapServers: String,
   }
 
   override def write(df: DataFrame): Map[String, Long] = {
-    df.select(col("topic"), col("key"), col("value"))
-      .write.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .save()
-    df.groupBy("topic").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Pin produce order: the kafka sink writes partitions as parallel
+    // tasks, so a multi-partition frame could reach the single-partition
+    // FIFO topic out of offset order. One partition + in-partition sort
+    // makes the produce a single in-order task — trivial at sync batch
+    // sizes (≤200 rows), and inherently serial anyway: ordered produce to
+    // a 1-partition topic cannot be parallelized.
+    val ordered = (if (df.columns.contains("_off"))
+        df.coalesce(1).sortWithinPartitions(col("topic"), col("_off"))
+      else df.coalesce(1))
+      .select(col("topic"), col("key"), col("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      ordered.write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .save()
+      // counts read the materialized cache — no second evaluation of the
+      // upstream plan
+      ordered.groupBy("topic").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    } finally { ordered.unpersist(); () }
   }
 
   /** Admin surface: AdminClient via [[KafkaAdmin]] (reflective — present
@@ -182,7 +204,9 @@ final class FileBus(root: String) extends Bus with BusAdmin {
   }
 
   override def write(df: DataFrame): Map[String, Long] = {
-    val rows = df.select(col("topic"),
+    val src = if (df.columns.contains("_off"))
+      df.orderBy(col("topic"), col("_off")) else df
+    val rows = src.select(col("topic"),
       col("key").cast("binary"), col("value").cast("binary")).collect()
     rows.foreach(r => publish(r.getString(0),
       r.getAs[Array[Byte]](1), r.getAs[Array[Byte]](2)))
@@ -232,7 +256,9 @@ final class MemoryBus extends Bus with BusAdmin {
   }
 
   override def write(df: DataFrame): Map[String, Long] = {
-    val rows = df.select(col("topic"),
+    val src = if (df.columns.contains("_off"))
+      df.orderBy(col("topic"), col("_off")) else df
+    val rows = src.select(col("topic"),
       col("key").cast("binary"), col("value").cast("binary")).collect()
     topicsMap.synchronized {
       rows.foreach(r => publish(r.getString(0),

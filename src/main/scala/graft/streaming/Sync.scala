@@ -170,10 +170,11 @@ final class ToKafka(bus: Bus, keyCodec: EnvelopeCodec, valueCodec: EnvelopeCodec
       // iteration filters the in-memory cache — no storage I/O.
       var c = lo
       while (c <= hi) {
+        // `_off` rides along so the bus itself pins produce order (see
+        // Bus.write's ordering contract) — a sort here would not survive
+        // the sink's parallel partition writes
         bus.write(pending
-          .filter(col("_off") >= c && col("_off") < c + batchSize)
-          .orderBy(col("_off"))
-          .drop("_off"))
+          .filter(col("_off") >= c && col("_off") < c + batchSize))
         c += batchSize
       }
       n

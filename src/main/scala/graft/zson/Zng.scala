@@ -81,6 +81,10 @@ object Zng {
     def uvarint(): Long = {
       var shift = 0; var out = 0L; var b = 0x80
       while ((b & 0x80) != 0) {
+        // a uvarint64 is at most 10 bytes; fail loudly on malformed input
+        // instead of silently wrapping the shift past 63
+        if (shift > 63) throw new IllegalArgumentException(
+          s"malformed ZNG uvarint: continuation past 10 bytes at pos $pos")
         b = u8(); out |= (b & 0x7fL) << shift; shift += 7
       }
       out
@@ -360,6 +364,9 @@ object Zng {
     val schema = df.schema
     val hasMarker = schema.fieldNames.contains("_type")
     val bare = StructType(schema.fields.filterNot(_.name == "_type"))
+    // row positions of the bare fields (positional; names may duplicate)
+    val srcIdx = schema.fields.zipWithIndex
+      .collect { case (f, i) if f.name != "_type" => i }
 
     val defs = new Out // typedef stream
     var nextId = FirstTypedefId
@@ -407,7 +414,7 @@ object Zng {
         val row = it.next()
         val name = if (hasMarker) Option(row.getAs[String]("_type")) else None
         batch.uvarint(name.flatMap(namedIds.get).getOrElse(bareId).toLong)
-        encodeTagged(rowValue(row, schema, bare), bareT, batch)
+        encodeTagged(rowValue(row, srcIdx, bare), bareT, batch)
         if (batch.buf.size() >= 128 * 1024) flush()
       }
       flush()
@@ -441,15 +448,21 @@ object Zng {
     case other => throw new IllegalArgumentException(s"no ZNG mapping for $other")
   }
 
-  /** Spark external row → Z, against the bare (marker-stripped) schema. */
-  private def rowValue(row: Row, schema: StructType, bare: StructType): Z =
-    ZRecord(bare.fields.toVector.map(f =>
-      f.name -> anyToZ(row.get(schema.fieldIndex(f.name)), f.dataType)))
+  /** Spark external row → Z. `srcIdx(i)` is the row position of the i-th
+    * bare field (positional — `fieldIndex` by name would alias duplicate
+    * column names, which Spark schemas allow).
+    */
+  private def rowValue(row: Row, srcIdx: Array[Int], bare: StructType): Z =
+    ZRecord(bare.fields.toVector.zipWithIndex.map { case (f, i) =>
+      f.name -> anyToZ(row.get(srcIdx(i)), f.dataType)
+    })
 
   private def anyToZ(v: Any, dt: DataType): Z = (v, dt) match {
     case (null, _) => ZNull
     case (r: Row, st: StructType) =>
-      ZRecord(st.fields.toVector.map(f => f.name -> anyToZ(r.get(st.fieldIndex(f.name)), f.dataType)))
+      ZRecord(st.fields.toVector.zipWithIndex.map { case (f, i) =>
+        f.name -> anyToZ(r.get(i), f.dataType)
+      })
     case (seq: scala.collection.Seq[_], ArrayType(inner, _)) =>
       ZArray(seq.toVector.map(anyToZ(_, inner)))
     case (m: scala.collection.Map[_, _], MapType(k, vt, _)) =>
@@ -484,8 +497,15 @@ object Zng {
 
   private def encodeBody(z: Z, t: ZT, out: Out): Unit = (z, t) match {
     case (ZRecord(fields), TRecord(fts)) =>
-      val byName = fields.toMap
-      fts.foreach { case (n, ft) => encodeTagged(byName.getOrElse(n, ZNull), ft, out) }
+      // positional, not by name: Spark schemas legally carry duplicate
+      // column names, and a name map would write one field's value into
+      // every same-named position
+      require(fields.length == fts.length,
+        s"record arity ${fields.length} != type arity ${fts.length}")
+      var i = 0
+      while (i < fields.length) {
+        encodeTagged(fields(i)._2, fts(i)._2, out); i += 1
+      }
     case (ZArray(items), TArray(inner)) => items.foreach(encodeTagged(_, inner, out))
     case (ZArray(items), TMap(k, v)) =>
       items.foreach {

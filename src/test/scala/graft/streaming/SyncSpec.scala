@@ -127,6 +127,59 @@ class SyncSpec extends AnyFunSuite {
     assert(to.syncOnce(spark, pool, "Out") == 0L)
   }
 
+  test("bus write pins produce order on a shuffled multi-partition batch") {
+    // The FIFO model requires broker order == pool offset order
+    // (fifo/producer.go:82-101 produces synchronously in order). A frame
+    // carrying `_off` must reach the topic in ascending _off order no
+    // matter how its partitions are arranged.
+    val bus = new MemoryBus
+    val n = 50
+    val scrambled = spark.range(n)
+      .select(lit("Ord").as("topic"),
+        // reverse offsets so natural row order is the WRONG produce order
+        (lit(n - 1) - col("id")).as("_off"),
+        lit(null).cast("binary").as("key"),
+        concat(lit("v"), lit(n - 1) - col("id")).cast("binary").as("value"))
+      .repartition(8) // hash-shuffle: partition order ≠ offset order
+    assert(scrambled.rdd.getNumPartitions == 8)
+    assert(bus.write(scrambled) == Map("Ord" -> n.toLong))
+    val got = bus.readBatch(spark, Seq("Ord"), Map.empty)
+      .orderBy("offset") // broker arrival order
+      .select(col("value").cast("string")).collect().map(_.getString(0)).toSeq
+    assert(got == (0 until n).map(i => s"v$i"))
+  }
+
+  test("to-kafka: a batch spanning several pool partitions produces in offset order") {
+    val bus = new MemoryBus
+    val root = Files.createTempDirectory("sync-order").toString
+    val pool = Pool.create(spark, root, "PoolOrd")
+    val from = new FromKafka(bus,
+      new ConnectJsonCodec(keySchema), new ConnectJsonCodec(valueSchema))
+    (0 until 30).foreach(i => bus.publish("T",
+      connectMsg(keySchema, s"""{"ID":$i}"""),
+      connectMsg(valueSchema, s"""{"op":"c","n":$i}""")))
+    assert(from.syncOnce(spark, Seq("T"), pool) == 30)
+
+    // Retarget the synced records at topic "Out" in a second pool (producing
+    // back onto "T" would pend nothing: T's end offset is already 30).
+    val root2 = Files.createTempDirectory("sync-order2").toString
+    val pool2 = Pool.create(spark, root2, "PoolOrd2")
+    pool2.append(pool.read().withColumn("kafka",
+      struct(lit("Out").as("topic"), col("kafka.partition").as("partition"),
+        col("kafka.offset").as("offset"))))
+
+    // batchSize 7 < 30: several produce windows per pass, each window a
+    // multi-partition frame filtered off the persisted pending set
+    val to = new ToKafka(bus, new ConnectJsonCodec(keySchema),
+      new ConnectJsonCodec(valueSchema), batchSize = 7)
+    assert(to.syncOnce(spark, pool2, "Out") == 30L)
+    val vals = bus.readBatch(spark, Seq("Out"), Map.empty)
+      .orderBy("offset")
+      .select(ConnectJson.decode(col("value").cast("string"), valueSchema).as("v"))
+      .select("v.n").collect().map(_.getLong(0)).toSeq
+    assert(vals == (0L until 30L)) // broker arrival order == pool offset order
+  }
+
   test("from-kafka: registry-avro codec end to end") {
     val bus = new MemoryBus
     val registry = new InMemorySchemaRegistry
