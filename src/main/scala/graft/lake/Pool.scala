@@ -43,6 +43,12 @@ final class Pool private (val spark: SparkSession, val name: String,
     */
   val manifestListings = new java.util.concurrent.atomic.AtomicLong
 
+  /** Parquet-data-read counter (test seam): metadata-backed paths like
+    * [[nextProducerOffsets]] promise NO data scan on a metadata-bearing
+    * pool — resume cost must stay O(commits), not O(pool), at 100 TB.
+    */
+  val dataReads = new java.util.concurrent.atomic.AtomicLong
+
   private def manifests(): Seq[Path] = {
     manifestListings.incrementAndGet()
     if (!Files.isDirectory(commitsDir)) Nil
@@ -75,8 +81,10 @@ final class Pool private (val spark: SparkSession, val name: String,
     val files = committedFiles()
     if (files.isEmpty)
       spark.emptyDataFrame
-    else
+    else {
+      dataReads.incrementAndGet()
       spark.read.option("mergeSchema", "true").parquet(files: _*)
+    }
   }
 
   /** Commit ids in order (visible history). */
@@ -128,10 +136,40 @@ final class Pool private (val spark: SparkSession, val name: String,
       Files.move(p, dataDir.resolve(nm), StandardCopyOption.ATOMIC_MOVE)
       nm
     }
-    val id = publishManifest(names, nonce)
+    // Record this commit's per-topic max kafka.offset in the manifest so
+    // resume/next-offset queries read commit metadata instead of scanning
+    // the pool — the reference's index-range `tail 1` cost (fifo/lake.go:
+    // 62-82) at any pool size. Computed from the just-written files
+    // (column-pruned, batch-scale), never by re-evaluating the input plan.
+    val id = publishManifest(
+      renderOffsets(computeOffsets(df.schema,
+        names.map(n => dataDir.resolve(n).toString))) +: names, nonce)
     deleteRecursively(staging)
     id
   }
+
+  /** Per-topic max kafka.offset of a freshly written file set (empty when
+    * the schema carries no kafka envelope — such a commit contributes no
+    * producer offsets). Column-pruned read of the new files only.
+    */
+  private def computeOffsets(schema: org.apache.spark.sql.types.StructType,
+      paths: Seq[String]): Map[String, Long] = {
+    val hasKafka = scala.util.Try {
+      val kt = schema("kafka").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      kt.fieldNames.contains("topic") && kt.fieldNames.contains("offset")
+    }.getOrElse(false)
+    if (!hasKafka) Map.empty
+    else spark.read.parquet(paths: _*)
+      .filter(col("kafka.topic").isNotNull && col("kafka.offset").isNotNull)
+      .groupBy(col("kafka.topic")).agg(max(col("kafka.offset")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  private def renderOffsets(m: Map[String, Long]): String =
+    "#offsets " + m.toSeq.sortBy(_._1).map { case (t, o) =>
+      s""""${t.replace("\\", "\\\\").replace("\"", "\\\"")}": $o"""
+    }.mkString("{", ", ", "}")
 
   /** Write the manifest under the next free sequence number; retry on
     * publish races. Returns the winning commit id.
@@ -194,7 +232,13 @@ final class Pool private (val spark: SparkSession, val name: String,
       nm
     }
     val tmp = commitsDir.resolve(s".tmp-$nonce")
-    Files.write(tmp, ("#compact" +: names).mkString("\n").getBytes)
+    // Offsets metadata for the compacted manifest: merged from the
+    // superseded manifests' metadata when complete, else recomputed from
+    // the compacted files — which is also the upgrade path that makes a
+    // legacy (pre-metadata) pool resumable without scans from here on.
+    val offLine = renderOffsets(manifestOffsets().getOrElse(
+      computeOffsets(df.schema, names.map(n => dataDir.resolve(n).toString))))
+    Files.write(tmp, ("#compact" +: offLine +: names).mkString("\n").getBytes)
     try {
       Files.createLink(commitsDir.resolve(s"$expected.txt"), tmp)
       deleteRecursively(staging)
@@ -269,17 +313,50 @@ final class Pool private (val spark: SparkSession, val name: String,
     buf.toMap
   }
 
+  /** Per-topic max kafka.offset merged from `#offsets` manifest metadata,
+    * or None when any visible manifest predates the metadata (legacy pool
+    * → caller falls back to a scan). O(commits) small file reads, no
+    * parquet I/O.
+    */
+  def manifestOffsets(): Option[Map[String, Long]] = {
+    val oms = visibleManifests().map { m =>
+      Files.readAllLines(m).asScala.find(_.startsWith("#offsets "))
+        .map(_.stripPrefix("#offsets "))
+    }
+    if (oms.exists(_.isEmpty)) None // legacy manifest in range
+    else Some {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val merged = scala.collection.mutable.Map[String, Long]()
+      oms.flatten.foreach { json =>
+        val it = om.readTree(json).properties().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val off = e.getValue.asLong()
+          merged(e.getKey) = merged.get(e.getKey).fold(off)(math.max(_, off))
+        }
+      }
+      merged.toMap
+    }
+  }
+
   /** Per-topic next producer offsets: max(kafka.offset)+1 by kafka.topic
     * (ref: etl/pool.go:60-81). Empty topics default to 0 at call sites.
+    *
+    * Reads `#offsets` commit metadata when every visible manifest carries
+    * it (no parquet scan — the 100 TB path); legacy pools fall back to a
+    * column-pruned scan, and upgrade to metadata on their next compact.
     */
-  def nextProducerOffsets(): Map[String, Long] = {
-    if (isEmpty) Map.empty
-    else read()
-      .groupBy(col("kafka.topic").as("topic"))
-      .agg(max("kafka.offset").as("off"))
-      .collect()
-      .map(r => r.getString(0) -> (r.getLong(1) + 1L)).toMap
-  }
+  def nextProducerOffsets(): Map[String, Long] =
+    manifestOffsets() match {
+      case Some(m) => m.view.mapValues(_ + 1L).toMap
+      case None =>
+        if (isEmpty) Map.empty
+        else read()
+          .groupBy(col("kafka.topic").as("topic"))
+          .agg(max("kafka.offset").as("off"))
+          .collect()
+          .map(r => r.getString(0) -> (r.getLong(1) + 1L)).toMap
+    }
 }
 
 object Pool {

@@ -46,14 +46,13 @@ final class FromKafka(bus: Bus, keyCodec: EnvelopeCodec, valueCodec: EnvelopeCod
     shaper: Option[DataFrame => DataFrame] = None,
     maxRecordsPerCommit: Long = 1L << 20) {
 
-  /** Recover per-topic resume offsets from the pool: max(kafka.offset)+1. */
-  def resumeOffsets(pool: Pool, topics: Seq[String]): Map[String, Long] = {
-    if (pool.isEmpty) Map.empty
-    else pool.read()
-      .filter(col("kafka.topic").isin(topics: _*))
-      .groupBy(col("kafka.topic")).agg(max(col("kafka.offset")).as("m"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1) + 1L)).toMap
-  }
+  /** Recover per-topic resume offsets from the pool: max(kafka.offset)+1.
+    * Served from `#offsets` commit metadata when the pool carries it (no
+    * parquet scan per sync pass — see Pool.nextProducerOffsets); legacy
+    * pools fall back to a column-pruned scan.
+    */
+  def resumeOffsets(pool: Pool, topics: Seq[String]): Map[String, Long] =
+    pool.nextProducerOffsets().view.filterKeys(topics.contains).toMap
 
   def envelope(records: DataFrame): DataFrame = {
     val env = records.select(

@@ -93,6 +93,52 @@ class PoolSpec extends AnyFunSuite {
     assert(p.read().count() == 9)
   }
 
+  test("resume offsets come from manifest metadata — no parquet read") {
+    val root = Files.createTempDirectory("pool-meta").toString
+    val p = Pool.create(spark, root, "M")
+    p.append(batch("a", 0 until 5))
+    p.append(batch("b", 0 until 3))
+    p.append(batch("a", 5 until 8))
+    assert(p.manifestOffsets() == Some(Map("a" -> 7L, "b" -> 2L)))
+    p.dataReads.set(0L)
+    assert(p.nextProducerOffsets() == Map("a" -> 8L, "b" -> 3L))
+    assert(p.dataReads.get() == 0L,
+      "metadata-bearing pool must resolve resume offsets without a data scan")
+  }
+
+  test("legacy manifests (no #offsets) fall back to a scan; compact upgrades them") {
+    val root = Files.createTempDirectory("pool-legacy").toString
+    val p = Pool.create(spark, root, "L")
+    p.append(batch("a", 0 until 5))
+    // strip the metadata line from the manifest: a pre-metadata commit
+    val commitsDir = Paths.get(root, "L", "_commits")
+    val m = Files.list(commitsDir).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".txt")).toSeq.head
+    Files.write(m, Files.readAllLines(m).asScala
+      .filterNot(_.startsWith("#offsets")).mkString("\n").getBytes)
+    assert(p.manifestOffsets().isEmpty)
+
+    p.dataReads.set(0L)
+    assert(p.nextProducerOffsets() == Map("a" -> 5L)) // scan fallback still right
+    assert(p.dataReads.get() > 0L)
+
+    p.compact() // upgrade path: compact recomputes and records metadata
+    assert(p.manifestOffsets() == Some(Map("a" -> 4L)))
+    p.dataReads.set(0L)
+    assert(p.nextProducerOffsets() == Map("a" -> 5L))
+    assert(p.dataReads.get() == 0L)
+  }
+
+  test("commits without a kafka envelope contribute no offsets but keep metadata intact") {
+    val root = Files.createTempDirectory("pool-nokafka").toString
+    val p = Pool.create(spark, root, "N", key = "v")
+    val plain = spark.createDataFrame(spark.sparkContext.parallelize(
+      Seq(Row(1L), Row(2L))), StructType(Seq(StructField("v", LongType))))
+    p.append(plain)
+    assert(p.manifestOffsets() == Some(Map.empty[String, Long]))
+    assert(p.nextProducerOffsets() == Map.empty)
+  }
+
   test("readAsOf returns consistent historical snapshots") {
     val root = Files.createTempDirectory("pool-t").toString
     val p = Pool.create(spark, root, "P")
