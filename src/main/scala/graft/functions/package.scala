@@ -46,7 +46,7 @@ package object functions {
   private val MersennePrime = (1L << 61) - 1
 
   /** Deterministic per-index affine coefficients for minhash permutations. */
-  private def coeff(tag: String, i: Int): Long = {
+  private[functions] def coeff(tag: String, i: Int): Long = {
     // splitmix64 over a stable seed — deterministic across JVMs/executors.
     var z = (tag.hashCode.toLong << 32) | i.toLong
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L

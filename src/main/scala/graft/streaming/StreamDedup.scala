@@ -40,14 +40,29 @@ object StreamDedup {
       ttlMs: Long, shingleN: Int = 3, k: Int = 64,
       bands: Int = 16): Dataset[Candidate] = {
     import docs.sparkSession.implicits._
-    val sig = minhashSignature(shingleHashes(shingles(tokens(col("text")), shingleN)), k)
-    docs
+    // One fused native expression from shingle hashes to band keys: the
+    // sliced-Column formulation duplicates the whole shingle pipeline
+    // k×bands times at the expression level, and with no persist barrier
+    // available in a streaming plan that really runs k×bands times once
+    // codegen falls back to interpreted (see MinHashExprs).
+    val hits = docs
       .withWatermark(tsCol, delay)
       .select(col("doc_id"), col(tsCol).as("ts"),
-        explode(lshBands(sig, bands, k / bands)).as("bk"))
+        explode(graft.functions.MinHashExprs.minhashBands(
+          shingleHashes(shingles(tokens(col("text")), shingleN)), k, bands)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
         col("doc_id"), col("ts"))
       .as[BandHit]
+    candidatesFromHits(hits, ttlMs)
+  }
+
+  /** The stateful stage alone, over precomputed band hits — the seam the
+    * batch-replay gate uses to feed both the streaming semantics and the
+    * batch replica from ONE materialized band-row set.
+    */
+  def candidatesFromHits(hits: Dataset[BandHit], ttlMs: Long): Dataset[Candidate] = {
+    import hits.sparkSession.implicits._
+    hits
       .groupByKey(h => (h.band, h.bucket))
       .flatMapGroupsWithState[BucketState, Candidate](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {

@@ -1,8 +1,9 @@
 package graft.streaming
 
 import graft.GQuery
-import graft.functions.stableRound
+import graft.functions._
 import graft.sources.Tables._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Gate queries for the streaming operators, run in batch mode over the
@@ -69,5 +70,53 @@ object StreamQueries {
                    count(*) AS n
             FROM e GROUP BY txn HAVING bool_or(done)"""))
 
-  val queries: Seq[GQuery] = Seq(qStreamWindow, qSessionWindow, qTxnBundle)
+  /** The streaming MinHash-LSH near-dup path, replayed batch-style:
+    * Spark runs `flatMapGroupsWithState` in batch queries too (one
+    * invocation per key over empty state), which is exactly the "replay
+    * the whole stream as one micro-batch" semantics. With event time
+    * derived from doc_id, bucket ownership goes to the lowest doc_id, so
+    * the candidate set must equal a batch replica computed with the same
+    * band keys — compared in-plan, asserted as booleans the constant
+    * oracle row pins (the q_ann_lsh self-verification pattern).
+    */
+  private val qStreamMinhash = GQuery(
+    "q_stream_minhash",
+    (s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      // Band rows computed ONCE (fused native band expression, persisted)
+      // and fed to BOTH sides — the streaming stateful stage and the batch
+      // replica — so the comparison is over identical bucket keys.
+      val bandRows = docs
+        .select(col("doc_id").cast("long").as("doc_id"),
+          timestamp_micros(col("doc_id").cast("long")).as("ts"),
+          explode(graft.functions.MinHashExprs.minhashBands(
+            shingleHashes(shingles(tokens(col("text")), 3)), 32, 8)).as("bk"))
+        .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
+          col("doc_id"), col("ts"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stream = StreamDedup.candidatesFromHits(
+          bandRows.as[StreamDedup.BandHit], ttlMs = 1L << 40)
+        .toDF().select("doc_id", "dup_of", "band", "bucket")
+      // batch replica over the same rows: owner = min doc_id per bucket
+      val batch = bandRows
+        .withColumn("dup_of",
+          min("doc_id").over(Window.partitionBy("band", "bucket")))
+        .filter(col("doc_id") =!= col("dup_of"))
+        .select("doc_id", "dup_of", "band", "bucket")
+      val cmp = stream.withColumn("src", lit(1))
+        .unionByName(batch.withColumn("src", lit(2)))
+        .groupBy("doc_id", "dup_of", "band", "bucket")
+        .agg(count_distinct(col("src")).as("nsrc"))
+        .agg((count(lit(1)) > 0).as("nonempty"),
+          (coalesce(sum(when(col("nsrc") < 2, 1).otherwise(0)), lit(0)) === 0)
+            .as("stream_matches_batch"))
+      docs.agg(count(lit(1)).as("n_docs")).crossJoin(cmp)
+    },
+    Some("""SELECT count(*) AS n_docs, true AS nonempty,
+                   true AS stream_matches_batch
+            FROM documents"""))
+
+  val queries: Seq[GQuery] =
+    Seq(qStreamWindow, qSessionWindow, qTxnBundle, qStreamMinhash)
 }
