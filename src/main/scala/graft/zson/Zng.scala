@@ -350,17 +350,21 @@ object Zng {
     * ~128 KiB, EOS). The `_type` marker column becomes a named-type
     * decoration per distinct name, mirroring [[Zson.render]].
     */
-  def write(df: DataFrame, path: String): Unit = {
+  def write(df: DataFrame, path: String): Unit = write(df, path, compress = false)
+
+  def write(df: DataFrame, path: String, compress: Boolean): Unit = {
     val out = new java.io.BufferedOutputStream(
       java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
-    try write(df, out) finally out.close()
+    try write(df, out, compress) finally out.close()
   }
 
   /** Encode to an already-open stream (caller closes); rows stream through
     * `toLocalIterator`, so the whole frame sequence never buffers more
-    * than one ~128 KiB values frame.
+    * than one ~128 KiB values frame. With `compress`, frames past a small
+    * threshold are LZ4 block frames (format 0), like zed's default writer.
     */
-  def write(df: DataFrame, out: java.io.OutputStream): Unit = {
+  def write(df: DataFrame, out: java.io.OutputStream,
+      compress: Boolean = false): Unit = {
     val schema = df.schema
     val hasMarker = schema.fieldNames.contains("_type")
     val bare = StructType(schema.fields.filterNot(_.name == "_type"))
@@ -403,11 +407,11 @@ object Zng {
         .map(n => n -> define(TNamed(n, bareT))).toMap
 
     {
-      writeFrame(out, 0, defs.result())
+      writeFrame(out, 0, defs.result(), compress)
       val batch = new Out
       def flush(): Unit =
         if (batch.buf.size() > 0) {
-          writeFrame(out, 1, batch.result()); batch.buf.reset()
+          writeFrame(out, 1, batch.result(), compress); batch.buf.reset()
         }
       val it = df.toLocalIterator()
       while (it.hasNext) {
@@ -423,11 +427,28 @@ object Zng {
     }
   }
 
-  private def writeFrame(out: java.io.OutputStream, kind: Int, payload: Array[Byte]): Unit = {
-    val hdr = new Out
-    hdr.u8((kind << 4) | (payload.length & 0xf))
-    hdr.uvarint((payload.length >> 4).toLong)
-    out.write(hdr.result()); out.write(payload)
+  private def writeFrame(out: java.io.OutputStream, kind: Int,
+      payload: Array[Byte], compress: Boolean = false): Unit = {
+    // tiny frames skip compression — the format/usize preamble plus LZ4
+    // bookkeeping outweighs any saving
+    if (compress && payload.length > 64) {
+      val comp = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+        .compress(payload)
+      val body = new Out
+      body.uvarint(0L) // format 0 = LZ4 block
+      body.uvarint(payload.length.toLong)
+      body.bytes(comp)
+      val b = body.result()
+      val hdr = new Out
+      hdr.u8(0x40 | (kind << 4) | (b.length & 0xf)) // C bit set
+      hdr.uvarint((b.length >> 4).toLong)
+      out.write(hdr.result()); out.write(b)
+    } else {
+      val hdr = new Out
+      hdr.u8((kind << 4) | (payload.length & 0xf))
+      hdr.uvarint((payload.length >> 4).toLong)
+      out.write(hdr.result()); out.write(payload)
+    }
   }
 
   private def toZngType(dt: DataType): ZT = dt match {

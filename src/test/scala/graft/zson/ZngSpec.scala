@@ -127,6 +127,142 @@ class ZngSpec extends AnyFunSuite {
     assert(bytes.toSeq == expected)
   }
 
+  // ---- hand-built wire-byte helpers (decode-direction goldens) ---------
+  private def uv(v: Long): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer[Byte]()
+    var x = v
+    while ((x & ~0x7fL) != 0) { out += ((x & 0x7f) | 0x80).toByte; x >>>= 7 }
+    out += x.toByte
+    out.toArray
+  }
+  private def zz(v: Long): Array[Byte] = uv((v << 1) ^ (v >> 63))
+  private def frame(kind: Int, payload: Array[Byte]): Array[Byte] =
+    Array(((kind << 4) | (payload.length & 0xf)).toByte) ++
+      uv(payload.length >> 4) ++ payload
+  private def tagged(body: Array[Byte]): Array[Byte] = uv(body.length + 1L) ++ body
+  private def stream(frames: Array[Byte]*): Array[Byte] =
+    frames.reduce(_ ++ _) ++ Array(0xff.toByte)
+
+  test("every primitive id 0-29 either decodes per spec or is rejected loudly") {
+    import ZsonValue._
+    def leF(f: Float): Array[Byte] = {
+      val b = java.lang.Float.floatToIntBits(f)
+      Array.tabulate(4)(i => ((b >> (8 * i)) & 0xff).toByte)
+    }
+    def leD(d: Double): Array[Byte] = {
+      val b = java.lang.Double.doubleToLongBits(d)
+      Array.tabulate(8)(i => ((b >> (8 * i)) & 0xff).toByte)
+    }
+    // id -> (value body bytes, expected decoded Z)
+    val supported: Map[Int, (Array[Byte], Z)] = Map(
+      0 -> (uv(200L), ZInt(200L)),                       // uint8
+      1 -> (uv(60000L), ZInt(60000L)),                   // uint16
+      2 -> (uv(4000000000L), ZInt(4000000000L)),         // uint32
+      3 -> (uv(123456789L), ZInt(123456789L)),           // uint64
+      6 -> (zz(-5L), ZInt(-5L)),                         // int8
+      7 -> (zz(-300L), ZInt(-300L)),                     // int16
+      8 -> (zz(123456L), ZInt(123456L)),                 // int32
+      9 -> (zz(-987654321L), ZInt(-987654321L)),         // int64
+      12 -> (zz(1500000000L), ZInt(1500000000L)),        // duration (ns)
+      13 -> (zz(1709287200123456789L),                   // time (ns)
+        ZTime(java.time.Instant.ofEpochSecond(1709287200L, 123456789L))),
+      15 -> (leF(1.5f), ZFloat(1.5)),                    // float32
+      16 -> (leD(-2.25), ZFloat(-2.25)),                 // float64
+      23 -> (Array(1.toByte), ZBool(true)),              // bool
+      24 -> (Array(0xde.toByte, 0xad.toByte), ZBytes(Array(0xde.toByte, 0xad.toByte))),
+      25 -> ("héllo".getBytes("UTF-8"), ZString("héllo")), // string
+      26 -> (Array(1, 2, 3, 4).map(_.toByte), ZString("1.2.3.4")), // ip
+      28 -> ("int64".getBytes("UTF-8"), ZString("int64")), // type
+      29 -> (Array.empty[Byte], ZNull))                  // null
+    val unsupported = // uint128/256, int128/256, float16/128/256, decimals, net
+      Seq(4, 5, 10, 11, 14, 17, 18, 19, 20, 21, 22, 27)
+    assert(supported.keySet ++ unsupported == (0 to 29).toSet,
+      "the two sets must enumerate every primitive id exactly once")
+
+    supported.foreach { case (id, (body, want)) =>
+      val bytes = stream(frame(1, uv(id.toLong) ++ tagged(body)))
+      val got = Zng.parse(bytes)
+      assert(got.size == 1, s"id $id")
+      (got.head.z, want) match {
+        case (ZBytes(a), ZBytes(b)) => assert(a.toSeq == b.toSeq, s"id $id")
+        case (g, w) => assert(g == w, s"id $id")
+      }
+    }
+    unsupported.foreach { id =>
+      val bytes = stream(frame(1, uv(id.toLong) ++ tagged(Array(0.toByte))))
+      val e = intercept[IllegalArgumentException](Zng.parse(bytes))
+      assert(e.getMessage.contains("unsupported ZNG primitive"), s"id $id: $e")
+    }
+  }
+
+  test("golden bytes: union and named-type typedefs decode per spec") {
+    import ZsonValue._
+    // types frame: typedef 30 = union(int64, string); 31 = named foo=30
+    val types = frame(0,
+      Array(4.toByte) ++ uv(2) ++ uv(9) ++ uv(25) ++
+        Array(7.toByte) ++ uv(3) ++ "foo".getBytes("UTF-8") ++ uv(30))
+    // value of type 31: union body = tagged zigzag selector + tagged inner
+    val unionBody = tagged(zz(1)) ++ tagged("hi".getBytes("UTF-8"))
+    val values = frame(1, uv(31) ++ tagged(unionBody))
+    val got = Zng.parse(stream(types ++ values))
+    assert(got == Seq(Value(ZString("hi"), Some("foo"))))
+
+    // selector 0 picks the int branch
+    val v2 = frame(1, uv(31) ++ tagged(tagged(zz(0)) ++ tagged(zz(-7))))
+    assert(Zng.parse(stream(types ++ v2)) == Seq(Value(ZInt(-7), Some("foo"))))
+  }
+
+  test("compressed write: C-bit frames on the wire, identical values back") {
+    val schema = StructType(Seq(
+      StructField("s", StringType), StructField("n", LongType)))
+    val rows = (0 until 500).map(i => Row("text-" * 10 + i, i.toLong))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val plain = tmp("plain.zng"); val comp = tmp("comp.zng")
+    Zng.write(df, plain)
+    Zng.write(df, comp, compress = true)
+    val pBytes = Files.readAllBytes(java.nio.file.Paths.get(plain))
+    val cBytes = Files.readAllBytes(java.nio.file.Paths.get(comp))
+    assert(cBytes.length < pBytes.length, "LZ4 must shrink repetitive text")
+    // walk the frames: the small types frame stays plain (below the
+    // threshold), but at least one values frame must carry the C bit
+    def frameCodes(bytes: Array[Byte]): Seq[Int] = {
+      var pos = 0
+      val codes = scala.collection.mutable.Buffer[Int]()
+      while (pos < bytes.length && (bytes(pos) & 0xff) != 0xff) {
+        val code = bytes(pos) & 0xff; pos += 1
+        var shift = 0; var len = 0L; var b = 0x80
+        while ((b & 0x80) != 0) {
+          b = bytes(pos) & 0xff; len |= (b & 0x7fL) << shift; shift += 7; pos += 1
+        }
+        codes += code
+        pos += ((len << 4) | (code & 0xf)).toInt
+      }
+      codes.toSeq
+    }
+    assert(frameCodes(cBytes).exists(c => (c & 0x40) != 0),
+      "a values frame must carry the C bit")
+    assert(frameCodes(pBytes).forall(c => (c & 0x40) == 0))
+    val got = Zng.read(spark, comp).orderBy("n").collect().map(_.toString).toSeq
+    val want = Zng.read(spark, plain).orderBy("n").collect().map(_.toString).toSeq
+    assert(got == want && got.size == 500)
+  }
+
+  test("cross-codec: demo batch fixtures agree between ZSON and ZNG") {
+    val fixtures = (1 to 4).map(i => s"/root/reference/demo/batch-$i.zson")
+    fixtures.foreach { f =>
+      assume(Files.exists(java.nio.file.Paths.get(f)))
+      val fromZson = ZsonValue.read(spark, f)
+      val path = tmp(new java.io.File(f).getName + ".zng")
+      Zng.write(fromZson, path, compress = true)
+      val fromZng = Zng.read(spark, path)
+      assert(fromZng.columns.sorted.toSeq == fromZson.columns.sorted.toSeq, f)
+      // ZSON text is the canonical comparison surface for both readers
+      val want = Zson.renderAll(fromZson).toSeq.sorted
+      val got = Zson.renderAll(fromZng).toSeq.sorted
+      assert(got == want, f)
+    }
+  }
+
   test("empty stream (types + EOS, no values) reads back with its schema") {
     val schema = StructType(Seq(StructField("a", LongType), StructField("s", StringType)))
     val df = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
