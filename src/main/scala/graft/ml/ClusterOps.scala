@@ -90,15 +90,7 @@ object ClusterOps {
   private val qDedupCluster = GQuery(
     "q_dedup_cluster",
     (s, d) => {
-      val emb = embeddings(s, d)
-        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-      val l = emb.select(col("label"), col("vec_id").as("a"), col("v").as("va"))
-      val r = emb.select(col("label"), col("vec_id").as("b"), col("v").as("vb"))
-      val pairs = l.join(r, Seq("label"))
-        .filter(col("a") < col("b"))
-        .select(col("a"), col("b"), stableRound(cosine(col("va"), col("vb")), 4).as("sim"))
-        .filter(col("sim") >= 0.35)
-        .select("a", "b")
+      val pairs = DedupOps.embedPairs(s, d, 0.35).select("a", "b")
       connectedComponents(pairs)
         .select(col("id").cast("long").as("vec_id"), col("component").cast("long").as("component"))
     },
@@ -135,15 +127,7 @@ object ClusterOps {
   private val qDedupKeep = GQuery(
     "q_dedup_keep",
     (s, d) => {
-      val emb = embeddings(s, d)
-        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-      val l = emb.select(col("label"), col("vec_id").as("a"), col("v").as("va"))
-      val r = emb.select(col("label"), col("vec_id").as("b"), col("v").as("vb"))
-      val pairs = l.join(r, Seq("label"))
-        .filter(col("a") < col("b"))
-        .select(col("a"), col("b"), stableRound(cosine(col("va"), col("vb")), 4).as("sim"))
-        .filter(col("sim") >= 0.35)
-        .select("a", "b")
+      val pairs = DedupOps.embedPairs(s, d, 0.35).select("a", "b")
       val quality = documents(s, d)
         .select(col("doc_id").as("id"), col("n_chars").cast("long").as("q"))
       keepers(connectedComponents(pairs), quality)

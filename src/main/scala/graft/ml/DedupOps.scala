@@ -150,6 +150,42 @@ object DedupOps {
     Some(SimhashOracle.sql(6)),
     headline = true)
 
+  /** Within-block all-pairs join with salted parallelism. A blocked
+    * self-join's parallelism is the number of BLOCKS, not the data volume
+    * — at 10× corpus scale the per-block n² work lands on the same
+    * handful of tasks and one reducer burns for hours (observed at a
+    * local sf1 run: one task, 10+ CPU-minutes). The left side takes salt
+    * hash(aCol) % salts; the right side replicates to every salt, so each
+    * (a, b) pair is generated exactly once — via a's salt — while the
+    * quadratic work spreads over blocks × salts tasks. Replication costs
+    * salts× of the RIGHT rows through the shuffle, linear and tiny next
+    * to the quadratic pair stream it parallelizes.
+    */
+  private[ml] def saltedBlockPairs(l: DataFrame, r: DataFrame,
+      blockCols: Seq[String], aCol: String, salts: Int = 32): DataFrame = {
+    val lS = l.withColumn("_salt",
+      pmod(xxhash64(col(aCol)), lit(salts.toLong)).cast("int"))
+    val rS = r.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    lS.join(rS, blockCols :+ "_salt").drop("_salt")
+  }
+
+  /** Label-blocked exact cosine pairs over the embeddings table — shared
+    * by q_dedup_embed and the clustering gates, salted per
+    * [[saltedBlockPairs]].
+    */
+  private[ml] def embedPairs(s: SparkSession, d: String,
+      threshold: Double): DataFrame = {
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val l = emb.select(col("label"), col("vec_id").as("a"), col("v").as("va"))
+    val r = emb.select(col("label"), col("vec_id").as("b"), col("v").as("vb"))
+    saltedBlockPairs(l, r, Seq("label"), "a")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), stableRound(cosine(col("va"), col("vb")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   // ---- n-gram Jaccard (exact, blocked) -----------------------------------
   // Exact trigram-set jaccard over candidate pairs blocked by (lang, source)
   // — the "verify" side without LSH; quadratic within block only.
@@ -160,7 +196,7 @@ object DedupOps {
         array_distinct(shingles(tokens(col("text")), 3)).as("grams"))
       val l = docs.select(col("lang"), col("source"), col("doc_id").as("a"), col("grams").as("ga"))
       val r = docs.select(col("lang"), col("source"), col("doc_id").as("b"), col("grams").as("gb"))
-      l.join(r, Seq("lang", "source"))
+      saltedBlockPairs(l, r, Seq("lang", "source"), "a")
         .filter(col("a") < col("b"))
         .select(col("a"), col("b"), stableRound(jaccard(col("ga"), col("gb")), 4).as("sim"))
         .filter(col("sim") >= 0.3)
@@ -221,16 +257,7 @@ object DedupOps {
   // Exact within label blocks (cheap blocking on provided cluster labels).
   private val qDedupEmbed = GQuery(
     "q_dedup_embed",
-    (s, d) => {
-      val emb = embeddings(s, d)
-        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-      val l = emb.select(col("label"), col("vec_id").as("a"), col("v").as("va"))
-      val r = emb.select(col("label"), col("vec_id").as("b"), col("v").as("vb"))
-      l.join(r, Seq("label"))
-        .filter(col("a") < col("b"))
-        .select(col("a"), col("b"), stableRound(cosine(col("va"), col("vb")), 4).as("sim"))
-        .filter(col("sim") >= 0.35)
-    },
+    (s, d) => embedPairs(s, d, 0.35),
     Some("""SELECT a, b, sim FROM (
               SELECT e1.vec_id AS a, e2.vec_id AS b,
                      floor(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])) * 10000 + 0.5) / 10000 AS sim

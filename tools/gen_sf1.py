@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""Scale sf0.1 testdata 10x into an sf1 directory (dev tool; the driver's
+generator is not available locally). Copies preserve the properties the
+gates rely on:
+
+- region/nation: fixed dimensions, copied as-is;
+- customer/supplier/part/orders/lineitem/events: keys offset per copy so
+  referential structure holds (copy c's orders point at copy c's
+  customers, etc.); event timestamps unchanged (10x density per window);
+- documents: every token gets a copy-specific prefix, so within-copy
+  dup/near-dup clusters are preserved while cross-copy shingle sets are
+  disjoint (otherwise every doc would gain 9 near-duplicates and the
+  quadratic dedup gates would not resemble real corpus scaling);
+  n_chars recomputed from the perturbed text;
+- embeddings: the vector is rotated by c positions — norm-preserving,
+  direction-randomizing — so copies are not exact or near duplicates.
+
+usage: gen_sf1.py <srcDir> <dstDir> [copies=10]
+"""
+import sys
+
+import duckdb
+
+def main(src: str, dst: str, copies: int = 10) -> None:
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW sf AS SELECT 1")  # placeholder
+    import os
+    os.makedirs(dst, exist_ok=True)
+
+    def copy_as_is(table: str) -> None:
+        con.execute(f"""
+            COPY (SELECT * FROM read_parquet('{src}/{table}.parquet'))
+            TO '{dst}/{table}.parquet' (FORMAT PARQUET)""")
+
+    def scaled(table: str, select: str, order: str) -> None:
+        parts = " UNION ALL ".join(
+            f"SELECT {select.format(c=c)} FROM t" for c in range(copies))
+        con.execute(f"""
+            CREATE OR REPLACE VIEW t AS
+            SELECT * FROM read_parquet('{src}/{table}.parquet')""")
+        con.execute(f"""
+            COPY ({parts} ORDER BY {order})
+            TO '{dst}/{table}.parquet' (FORMAT PARQUET)""")
+
+    def span(table: str, key: str) -> int:
+        return con.execute(
+            f"SELECT max({key}) + 1 FROM read_parquet('{src}/{table}.parquet')"
+        ).fetchone()[0]
+
+    copy_as_is("region")
+    copy_as_is("nation")
+
+    C = span("customer", "c_custkey")
+    S = span("supplier", "s_suppkey")
+    P = span("part", "p_partkey")
+    O = span("orders", "o_orderkey")
+    E = span("events", "event_id")
+    U = span("events", "user_id")
+    D = span("documents", "doc_id")
+    V = span("embeddings", "vec_id")
+
+    scaled("customer",
+           f"c_custkey + {{c}} * {C} AS c_custkey, * EXCLUDE (c_custkey)",
+           "c_custkey")
+    scaled("supplier",
+           f"s_suppkey + {{c}} * {S} AS s_suppkey, * EXCLUDE (s_suppkey)",
+           "s_suppkey")
+    scaled("part",
+           f"p_partkey + {{c}} * {P} AS p_partkey, * EXCLUDE (p_partkey)",
+           "p_partkey")
+    scaled("orders",
+           f"o_orderkey + {{c}} * {O} AS o_orderkey, "
+           f"o_custkey + {{c}} * {C} AS o_custkey, "
+           "* EXCLUDE (o_orderkey, o_custkey)",
+           "o_orderkey")
+    scaled("lineitem",
+           f"l_orderkey + {{c}} * {O} AS l_orderkey, "
+           f"l_partkey + {{c}} * {P} AS l_partkey, "
+           f"l_suppkey + {{c}} * {S} AS l_suppkey, "
+           "* EXCLUDE (l_orderkey, l_partkey, l_suppkey)",
+           "l_orderkey, l_linenumber")
+    # events goes through pyarrow, not duckdb: ts must stay ns-precision
+    # parquet (the repo's sessions read ns timestamps as LongType via
+    # nanosAsLong; duckdb 1.0 truncates ns to us on read AND write)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    ev = pq.read_table(f"{src}/events.parquet")
+    assert str(ev.schema.field("ts").type) == "timestamp[ns]", ev.schema
+    pieces = []
+    for c in range(copies):
+        t = ev.set_column(ev.schema.get_field_index("event_id"), "event_id",
+                          pc.add(ev["event_id"], c * E))
+        t = t.set_column(t.schema.get_field_index("user_id"), "user_id",
+                         pc.add(t["user_id"], c * U))
+        pieces.append(t)
+    out = pa.concat_tables(pieces).sort_by("event_id")
+    pq.write_table(out, f"{dst}/events.parquet")
+    assert str(pq.ParquetFile(f"{dst}/events.parquet")
+               .schema_arrow.field("ts").type) == "timestamp[ns]"
+    scaled("documents",
+           f"doc_id + {{c}} * {D} AS doc_id, "
+           "CASE WHEN {c} = 0 THEN text "
+           "     ELSE regexp_replace(text, '([A-Za-z0-9'']+)', 'k{c}\\1', 'g') "
+           "END AS text, "
+           "length(CASE WHEN {c} = 0 THEN text "
+           "     ELSE regexp_replace(text, '([A-Za-z0-9'']+)', 'k{c}\\1', 'g') "
+           "END) AS n_chars, "
+           "* EXCLUDE (doc_id, text, n_chars)",
+           "doc_id")
+    scaled("embeddings",
+           f"vec_id + {{c}} * {V} AS vec_id, "
+           "CASE WHEN {c} = 0 THEN embedding "
+           "     ELSE embedding[({c}+1):] || embedding[1:{c}] END AS embedding, "
+           "* EXCLUDE (vec_id, embedding)",
+           "vec_id")
+
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{dst}/{t}.parquet')").fetchone()[0]
+        print(f"{t}: {n}")
+
+if __name__ == "__main__":
+    copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    main(sys.argv[1], sys.argv[2], copies)
