@@ -31,6 +31,15 @@ object GraftSession {
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // Local test data is ONE parquet file per table; at the default
+      // 128 MiB split size a 50 MiB documents table scans as a single
+      // task and every CPU-heavy per-row stage (tokenize, shingle, JSON
+      // parse) serializes on one core of 32. 8 MiB splits restore scan
+      // parallelism for single-file tables; on a real cluster with
+      // thousands of files per table the default would be fine either way
+      // (row-group boundaries, not files, set the floor here).
+      .config("spark.sql.files.maxPartitionBytes", (8L << 20).toString)
+      .config("spark.sql.files.openCostInBytes", (1L << 20).toString)
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native one-pass cosine similarity over two array<double> columns.
+  *
+  * The Column formulation (`aggregate(zip_with(a, b, _*_), 0.0, _+_)` per
+  * dot product, three of them) is built from higher-order functions, which
+  * are CodegenFallback in Spark: every evaluation interprets a deep
+  * expression tree, allocating a zipped array and boxing each element.
+  * On the quadratic near-dup paths that evaluation IS the workload — tens
+  * of millions of pairs × 64 dims. This expression runs the same
+  * arithmetic as three tight loops.
+  *
+  * Value parity with [[graft.functions.cosine]]'s Column formulation is
+  * exact and pinned by VectorExprsSpec: identical left-fold accumulation
+  * order (IEEE addition is order-sensitive), `sqrt(Σa²) * sqrt(Σb²)`
+  * denominator, 0.0 on zero norms, null on null/length-mismatched/
+  * null-element inputs — the same outcomes null propagation gives the
+  * Column version.
+  */
+case class CosineExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    while (i < nx) { if (x.isNullAt(i)) return null; i += 1 }
+    i = 0
+    while (i < ny) { if (y.isNullAt(i)) return null; i += 1 }
+    var dx = 0.0
+    i = 0
+    while (i < nx) { val v = x.getDouble(i); dx += v * v; i += 1 }
+    var dy = 0.0
+    i = 0
+    while (i < ny) { val v = y.getDouble(i); dy += v * v; i += 1 }
+    val denom = math.sqrt(dx) * math.sqrt(dy)
+    if (denom == 0.0) java.lang.Double.valueOf(0.0)
+    else if (nx != ny) null // zip_with's null padding nulls the dot product
+    else {
+      var dot = 0.0
+      i = 0
+      while (i < nx) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+      java.lang.Double.valueOf(dot / denom)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExprs {
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  def cosineNative(a: Column, b: Column): Column =
+    Bridge.column(CosineExpr(
+      Bridge.expression(a.cast("array<double>")),
+      Bridge.expression(b.cast("array<double>"))))
+}

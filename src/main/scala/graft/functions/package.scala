@@ -135,8 +135,19 @@ package object functions {
     * 0.0 (not NaN): a zero vector is "similar to nothing", and a NaN here
     * would otherwise rank FIRST under Spark's `sim DESC` ordering and in
     * [[graft.functions.TopKPairsAgg]].
+    *
+    * Backed by the native one-pass [[CosineExpr]] — the higher-order-
+    * function formulation is CodegenFallback and interprets a deep tree
+    * per evaluation, which dominates the quadratic near-dup joins.
+    * [[cosineColumns]] keeps that formulation as the parity reference.
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column = VectorExprs.cosineNative(a, b)
+
+  /** The builtin-composed reference formulation of [[cosine]] (tested
+    * value-identical; kept for VectorExprsSpec and as documentation of
+    * the exact semantics the native expression implements).
+    */
+  def cosineColumns(a: Column, b: Column): Column = {
     val denom = l2norm(a) * l2norm(b)
     when(denom === 0.0, 0.0).otherwise(dot(a, b) / denom)
   }

@@ -165,6 +165,15 @@ object DedupOps {
       blockCols: Seq[String], aCol: String, salts: Int = 32): DataFrame = {
     val lS = l.withColumn("_salt",
       pmod(xxhash64(col(aCol)), lit(salts.toLong)).cast("int"))
+      // The explicit repartition is the point, not an afterthought: when
+      // the right side is small enough to broadcast there is NO shuffle in
+      // this join, so left parallelism = input FILE partitions — a compact
+      // single-file table runs its whole quadratic pair stream on one task
+      // no matter how the salt distributes keys. Repartitioning the salted
+      // left (linear rows, cheap) pins parallel tasks under both broadcast
+      // and sort-merge plans; the explicit count keeps AQE from coalescing
+      // the small-by-bytes shuffle whose per-row JOIN cost it cannot see.
+      .repartition(salts, (blockCols :+ "_salt").map(col): _*)
     val rS = r.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     lS.join(rS, blockCols :+ "_salt").drop("_salt")
