@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
@@ -24,7 +24,7 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * Column version.
   */
 case class CosineExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -55,6 +55,48 @@ case class CosineExpr(left: Expression, right: Expression)
       java.lang.Double.valueOf(dot / denom)
     }
   }
+
+  /** Same loops as [[nullSafeEval]], emitted into whole-stage codegen so
+    * the quadratic pair stages never leave generated code (the fallback
+    * path boxes an InternalRow per call).
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (xs, ys) => {
+      val i = ctx.freshName("i")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val anyNull = ctx.freshName("anyNull")
+      val dx = ctx.freshName("dx")
+      val dy = ctx.freshName("dy")
+      val dot = ctx.freshName("dot")
+      val denom = ctx.freshName("denom")
+      val v = ctx.freshName("v")
+      s"""
+         |final int $nx = $xs.numElements();
+         |final int $ny = $ys.numElements();
+         |boolean $anyNull = false;
+         |for (int $i = 0; $i < $nx && !$anyNull; $i++) $anyNull = $xs.isNullAt($i);
+         |for (int $i = 0; $i < $ny && !$anyNull; $i++) $anyNull = $ys.isNullAt($i);
+         |if ($anyNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dx = 0.0;
+         |  for (int $i = 0; $i < $nx; $i++) { final double $v = $xs.getDouble($i); $dx += $v * $v; }
+         |  double $dy = 0.0;
+         |  for (int $i = 0; $i < $ny; $i++) { final double $v = $ys.getDouble($i); $dy += $v * $v; }
+         |  final double $denom = java.lang.Math.sqrt($dx) * java.lang.Math.sqrt($dy);
+         |  if ($denom == 0.0) {
+         |    ${ev.value} = 0.0;
+         |  } else if ($nx != $ny) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $nx; $i++) $dot += $xs.getDouble($i) * $ys.getDouble($i);
+         |    ${ev.value} = $dot / $denom;
+         |  }
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineExpr =

@@ -36,6 +36,35 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(rows.length == 202)
   }
 
+  test("doGenCode compiles: codegen-only mode matches interpreted eval") {
+    import spark.implicits._
+    // CODEGEN_ONLY makes janino failures throw instead of silently falling
+    // back to nullSafeEval — this pins that the generated Java is valid,
+    // which the parity test alone would not catch.
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val rnd = new scala.util.Random(7)
+      val df = (0 until 50).map { i =>
+        (i.toLong, Array.fill(16)(rnd.nextGaussian()), Array.fill(16)(rnd.nextGaussian()))
+      }.toDF("id", "a", "b")
+      val rows = df.select(col("id"),
+        cosine(col("a"), col("b")).as("nat"),
+        cosineColumns(col("a"), col("b")).as("ref")).collect()
+      rows.foreach { r =>
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2)))
+      }
+      assert(rows.length == 50)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("null array, null element, and length mismatch all yield null (like zip_with)") {
     import spark.implicits._
     val df = Seq(
