@@ -15,7 +15,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce collapses every narrow
+      // stage above it to ONE task (a scan→transform query would compute
+      // single-threaded end to end — observed 10+ CPU-minutes on one core
+      // at sf1), while repartition inserts a shuffle so the plan runs at
+      // full parallelism and only the one-file write is serial.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native one-pass text tokenization and shingle hashing.
+  *
+  * The Column formulations (`filter(split(lower(text), …))` for tokens;
+  * `array_distinct(transform(shingles(…), xxhash64))` on top for shingle
+  * hashes) are higher-order-function trees: CodegenFallback, interpreted
+  * per evaluation, one boxed allocation per node per element. Thread dumps
+  * of the document gates show exactly that chain AS the workload — the
+  * scan-side cost of every dedup/fingerprint/minhash query. These
+  * expressions run the same pipeline as tight loops over UTF8String bytes,
+  * one evaluation per row.
+  *
+  * Value parity is exact and pinned by TextExprsSpec: tokens reuse Spark's
+  * own lowercase (`UTF8String.toLowerCase`, the UTF8_BINARY path `lower()`
+  * takes) and regex split (`UTF8String.split`, identical to `split()`),
+  * then drop empty tokens; shingle hashes join n-token windows with a
+  * single space and hash bytes with XXH64 seed 42 — bit-identical to
+  * `xxhash64(array_join(slice(…), " "))` — preserving the Column version's
+  * edges: ≤n tokens collapse to ONE shingle of all tokens, zero tokens
+  * yield the hash of the empty string, duplicates keep first-occurrence
+  * order (`array_distinct`).
+  */
+object TextExprs {
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  /** The shared token regex — byte-for-byte the one [[graft.functions.tokens]] uses. */
+  private[functions] val TokenSep = "[^a-z0-9']+"
+
+  private[functions] def tokenize(s: UTF8String): Array[UTF8String] = {
+    val parts = s.toLowerCase.split(UTF8String.fromString(TokenSep), -1)
+    var n = 0
+    var i = 0
+    while (i < parts.length) { if (parts(i).numBytes() > 0) n += 1; i += 1 }
+    if (n == parts.length) parts
+    else {
+      val out = new Array[UTF8String](n)
+      var j = 0
+      i = 0
+      while (i < parts.length) {
+        if (parts(i).numBytes() > 0) { out(j) = parts(i); j += 1 }
+        i += 1
+      }
+      out
+    }
+  }
+
+  def tokensNative(text: Column): Column =
+    Bridge.column(TokensExpr(Bridge.expression(text.cast("string"))))
+
+  def shingleHashesNative(text: Column, n: Int): Column =
+    Bridge.column(ShingleHashesExpr(Bridge.expression(text.cast("string")), n))
+}
+
+/** string → array<string> of lowercased word tokens (empty tokens dropped).
+  * Equals `filter(split(lower(text), "[^a-z0-9']+"), t => length(t) > 0)`.
+  */
+case class TokensExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tokens"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      TextExprs.tokenize(input.asInstanceOf[UTF8String]).asInstanceOf[Array[Any]])
+
+  override protected def withNewChildInternal(newChild: Expression): TokensExpr =
+    copy(child = newChild)
+}
+
+/** string → array<long> of distinct XXH64(seed 42) hashes of n-token
+  * shingles. Equals `shingleHashes(shingles(tokens(text), n))` — the fused
+  * scan-side pipeline of the MinHash/contamination gates.
+  */
+case class ShingleHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n > 0, s"shingle size must be positive: $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = TextExprs.tokenize(input.asInstanceOf[UTF8String])
+    val m = toks.length
+    // the Column formulation collapses short docs to ONE shingle of all
+    // tokens (array_join of everything), empty docs to the empty string
+    val count = if (m <= n) 1 else m - n + 1
+    val width = if (m <= n) m else n
+    var buf = new Array[Byte](64)
+    val seen = new java.util.HashSet[java.lang.Long](count * 2)
+    val out = new Array[Long](count)
+    var nOut = 0
+    var i = 0
+    while (i < count) {
+      var len = 0
+      var j = i
+      while (j < i + width) { len += toks(j).numBytes(); j += 1 }
+      if (width > 1) len += width - 1 // single-space separators
+      if (buf.length < len) buf = new Array[Byte](math.max(len, buf.length * 2))
+      var pos = 0
+      j = i
+      while (j < i + width) {
+        if (j > i) { buf(pos) = ' '; pos += 1 }
+        toks(j).writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + pos)
+        pos += toks(j).numBytes()
+        j += 1
+      }
+      val h = XxHash64Function.hash(
+        UTF8String.fromBytes(buf, 0, len), StringType, 42L)
+      if (seen.add(h)) { out(nOut) = h; nOut += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (nOut == count) out else java.util.Arrays.copyOf(out, nOut))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}

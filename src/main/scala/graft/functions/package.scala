@@ -24,8 +24,18 @@ package object functions {
     floor(c * p + 0.5) / p
   }
 
-  /** Whitespace-ish tokenizer: lowercased word tokens. */
-  def tokens(text: Column): Column =
+  /** Whitespace-ish tokenizer: lowercased word tokens. Backed by the native
+    * one-pass [[TokensExpr]] — the `filter(split(lower(…)))` formulation is
+    * interpreted (higher-order functions are CodegenFallback) and was the
+    * measured scan-side workload of the text gates. [[tokensColumns]] keeps
+    * the builtin formulation as the parity reference.
+    */
+  def tokens(text: Column): Column = TextExprs.tokensNative(text)
+
+  /** The builtin-composed reference formulation of [[tokens]] (tested
+    * value-identical in TextExprsSpec).
+    */
+  def tokensColumns(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9']+"), t => length(t) > 0)
 
   /** BPE-ish token count: words, numbers, and punctuation runs each count. */

@@ -74,6 +74,32 @@ final class Pool private (val spark: SparkSession, val name: String,
       .flatMap(m => Files.readAllLines(m).asScala.filterNot(_.startsWith("#")))
       .map(rel => dataDir.resolve(rel).toString)
 
+  /** Read only the files whose zone map can overlap `[lower, upper]`
+    * (inclusive; None = unbounded) on the pool key. Returns a SUPERSET of
+    * `read().filter(key in range)`: files lacking zone-map metadata are
+    * always kept, and kept files may hold out-of-range rows — callers keep
+    * their exact predicate on top. The value is the file-LIST prune: a
+    * resume-style tail scan (`offset >= hwm`) on a 100 TB pool opens only
+    * the tail files, instead of handing Spark every file for listing +
+    * footer reads before parquet row-group pruning can even start —
+    * the reference's index-range cost (fifo/lake.go:62-82).
+    */
+  def readRange(lower: Option[Long] = None, upper: Option[Long] = None): DataFrame = {
+    val lines = visibleManifests().map(m => Files.readAllLines(m).asScala.toSeq)
+    val zones = lines.flatMap(parseRanges).toMap
+    val kept = lines.flatten.filterNot(_.startsWith("#")).filter { rel =>
+      zones.get(rel) match {
+        case Some((lo, hi)) => lower.forall(_ <= hi) && upper.forall(_ >= lo)
+        case None => true // no zone map for this file — never prune it
+      }
+    }.map(rel => dataDir.resolve(rel).toString)
+    if (kept.isEmpty) spark.emptyDataFrame
+    else {
+      dataReads.incrementAndGet()
+      spark.read.option("mergeSchema", "true").parquet(kept: _*)
+    }
+  }
+
   def isEmpty: Boolean = committedFiles().isEmpty
 
   /** Read the full pool (fused schema across commits). */
@@ -141,9 +167,10 @@ final class Pool private (val spark: SparkSession, val name: String,
     // the pool — the reference's index-range `tail 1` cost (fifo/lake.go:
     // 62-82) at any pool size. Computed from the just-written files
     // (column-pruned, batch-scale), never by re-evaluating the input plan.
+    val paths = names.map(n => dataDir.resolve(n).toString)
     val id = publishManifest(
-      renderOffsets(computeOffsets(df.schema,
-        names.map(n => dataDir.resolve(n).toString))) +: names, nonce)
+      renderOffsets(computeOffsets(df.schema, paths)) +:
+        renderRanges(computeRanges(paths)) +: names, nonce)
     deleteRecursively(staging)
     id
   }
@@ -170,6 +197,46 @@ final class Pool private (val spark: SparkSession, val name: String,
     "#offsets " + m.toSeq.sortBy(_._1).map { case (t, o) =>
       s""""${t.replace("\\", "\\\\").replace("\"", "\\\"")}": $o"""
     }.mkString("{", ", ", "}")
+
+  /** Per-file [min, max] of the pool key for a freshly written file set —
+    * the zone map [[readRange]] prunes with. Long-keyed pools only (the
+    * FIFO pool key is kafka.offset, an int64): a key that is absent or not
+    * castable to long yields no entries, and such files are never pruned.
+    * Column-pruned read of the new files only, batch scale.
+    */
+  private def computeRanges(paths: Seq[String]): Map[String, (Long, Long)] = {
+    if (paths.isEmpty) return Map.empty
+    val df = spark.read.parquet(paths: _*)
+    scala.util.Try(df(key).cast("long")) match {
+      case scala.util.Failure(_) => Map.empty
+      case scala.util.Success(k) =>
+        df.select(input_file_name().as("f"), k.as("k"))
+          .filter(col("k").isNotNull)
+          .groupBy("f").agg(min("k").as("lo"), max("k").as("hi"))
+          .collect()
+          .map(r => r.getString(0).split('/').last -> (r.getLong(1), r.getLong(2)))
+          .toMap
+    }
+  }
+
+  private def renderRanges(m: Map[String, (Long, Long)]): String =
+    "#ranges " + m.toSeq.sortBy(_._1).map { case (f, (lo, hi)) =>
+      s""""${f.replace("\\", "\\\\").replace("\"", "\\\"")}": [$lo, $hi]"""
+    }.mkString("{", ", ", "}")
+
+  private def parseRanges(lines: Seq[String]): Map[String, (Long, Long)] =
+    lines.find(_.startsWith("#ranges ")).map(_.stripPrefix("#ranges ")) match {
+      case None => Map.empty
+      case Some(json) =>
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val it = om.readTree(json).properties().iterator()
+        val buf = scala.collection.mutable.Map[String, (Long, Long)]()
+        while (it.hasNext) {
+          val e = it.next()
+          buf(e.getKey) = (e.getValue.get(0).asLong(), e.getValue.get(1).asLong())
+        }
+        buf.toMap
+    }
 
   /** Write the manifest under the next free sequence number; retry on
     * publish races. Returns the winning commit id.
@@ -238,7 +305,11 @@ final class Pool private (val spark: SparkSession, val name: String,
     // legacy (pre-metadata) pool resumable without scans from here on.
     val offLine = renderOffsets(manifestOffsets().getOrElse(
       computeOffsets(df.schema, names.map(n => dataDir.resolve(n).toString))))
-    Files.write(tmp, ("#compact" +: offLine +: names).mkString("\n").getBytes)
+    // zone maps always recompute — they describe the NEW file set (the
+    // globally sorted rewrite makes them tight: disjoint key ranges)
+    val rangeLine = renderRanges(
+      computeRanges(names.map(n => dataDir.resolve(n).toString)))
+    Files.write(tmp, ("#compact" +: offLine +: rangeLine +: names).mkString("\n").getBytes)
     try {
       Files.createLink(commitsDir.resolve(s"$expected.txt"), tmp)
       deleteRecursively(staging)

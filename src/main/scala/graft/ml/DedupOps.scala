@@ -31,11 +31,15 @@ object DedupOps {
             FROM documents GROUP BY 1"""),
     headline = true)
 
-  /** Shared doc→signature prep. k=32 hashes, 8 bands × 4 rows. */
+  /** Shared doc→signature prep. k=32 hashes, 8 bands × 4 rows. The fused
+    * native shingle-hash expression replaces the interpreted
+    * `shingleHashes(shingles(tokens(…)))` chain — one pass over the text
+    * per row (TextExprsSpec pins value parity).
+    */
   private[ml] def minhashed(df: DataFrame, k: Int = 32): DataFrame =
     df.select(
       col("doc_id"),
-      shingleHashes(shingles(tokens(col("text")), 3)).as("sh"))
+      TextExprs.shingleHashesNative(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), k))
 

@@ -23,6 +23,14 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame   = table(s, d, "events")
+  // NOTE on scan parallelism: parquet scans split by ROW GROUP, not by
+  // `maxPartitionBytes` — a single-file table written with huge row groups
+  // (duckdb's 122,880-row default swallows these corpora whole) runs every
+  // narrow stage above it on one task no matter the core count. That is a
+  // test-DATA artifact, not an engine concern: a blanket repartition here
+  // would put a full-text shuffle into plans that are correctly shuffle-free
+  // at 100 TB (PlanAuditSpec pins those shapes). tools/gen_sf1.py writes
+  // scale-run fixtures with small row groups instead.
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

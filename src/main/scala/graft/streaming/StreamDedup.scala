@@ -49,7 +49,8 @@ object StreamDedup {
       .withWatermark(tsCol, delay)
       .select(col("doc_id"), col(tsCol).as("ts"),
         explode(graft.functions.MinHashExprs.minhashBands(
-          shingleHashes(shingles(tokens(col("text")), shingleN)), k, bands)).as("bk"))
+          graft.functions.TextExprs.shingleHashesNative(col("text"), shingleN),
+          k, bands)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
         col("doc_id"), col("ts"))
       .as[BandHit]

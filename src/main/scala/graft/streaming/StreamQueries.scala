@@ -91,7 +91,8 @@ object StreamQueries {
         .select(col("doc_id").cast("long").as("doc_id"),
           timestamp_micros(col("doc_id").cast("long")).as("ts"),
           explode(graft.functions.MinHashExprs.minhashBands(
-            shingleHashes(shingles(tokens(col("text")), 3)), 32, 8)).as("bk"))
+            graft.functions.TextExprs.shingleHashesNative(col("text"), 3),
+            32, 8)).as("bk"))
         .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
           col("doc_id"), col("ts"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

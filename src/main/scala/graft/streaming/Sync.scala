@@ -136,18 +136,20 @@ final class ToKafka(bus: Bus, keyCodec: EnvelopeCodec, valueCodec: EnvelopeCodec
     batchSize: Int = 200) {
 
   def syncOnce(spark: SparkSession, pool: Pool, topic: String): Long = {
-    // ONE pool.read() per sync pass (one manifest listing, one scan plan);
-    // the batch loop below iterates offset windows over the cached pending
-    // set instead of re-planning the pool per batch (the round-2 version
-    // re-listed the manifest and re-planned the full scan every 200
-    // records — O(N/200) planning passes per sync). Mirrors the
-    // reference's range-query-per-batch (fifo/to.go:31-55) without its
-    // full-pool rescans.
-    val all = pool.read()
-    // An empty pool reads as a zero-column DataFrame; the kafka.* column
-    // references below would fail to resolve. Nothing to produce anyway.
-    if (all.columns.isEmpty) return 0L
     val start = bus.endOffsets(spark, Seq(topic)).getOrElse(topic, 0L)
+    // ONE range-pruned pool read per sync pass (one manifest listing, one
+    // scan plan); the batch loop below iterates offset windows over the
+    // cached pending set instead of re-planning the pool per batch (the
+    // round-2 version re-listed the manifest and re-planned the full scan
+    // every 200 records — O(N/200) planning passes per sync). The zone-map
+    // prune drops already-produced files from the scan entirely — the
+    // reference's range query (fifo/to.go:31-55) at manifest cost; the
+    // exact `kafka.offset >= start` predicate below still applies.
+    val all = pool.readRange(lower = Some(start))
+    // A fully pruned/empty pool reads as a zero-column DataFrame; the
+    // kafka.* column references below would fail to resolve. Nothing to
+    // produce anyway.
+    if (all.columns.isEmpty) return 0L
     val dataOnly = // done markers never produce; pools without the
       // marker column are all data
       if (all.columns.contains("_type")) all.filter(col("_type").isNull)

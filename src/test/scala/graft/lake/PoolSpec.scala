@@ -139,6 +139,65 @@ class PoolSpec extends AnyFunSuite {
     assert(p.nextProducerOffsets() == Map.empty)
   }
 
+  test("readRange prunes non-overlapping files via manifest zone maps") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("pool-zones").toString
+    val p = Pool.create(spark, root, "Z")
+    p.append(batch("t", 0 until 10))
+    p.append(batch("t", 10 until 20))
+    p.append(batch("t", 20 until 30))
+    val allFiles = p.read().inputFiles.length
+
+    // a tail scan opens only files that can hold offsets >= 25
+    val tail = p.readRange(lower = Some(25L))
+    assert(tail.inputFiles.length < allFiles,
+      s"zone maps must prune: kept ${tail.inputFiles.length} of $allFiles")
+    assert(tail.inputFiles.forall(_.contains("/data/")))
+    // superset contract: exact predicate on top gives exactly read()'s rows
+    val want = p.read().filter(col("kafka.offset") >= 25)
+      .orderBy("kafka.offset").collect().toSeq
+    assert(tail.filter(col("kafka.offset") >= 25)
+      .orderBy("kafka.offset").collect().toSeq == want)
+
+    // upper bound prunes the other direction
+    val head = p.readRange(upper = Some(5L))
+    assert(head.inputFiles.length < allFiles)
+    assert(head.filter(col("kafka.offset") <= 5).count() == 6)
+
+    // both bounds: a middle window keeps only the middle commit's files
+    val mid = p.readRange(lower = Some(12L), upper = Some(17L))
+    assert(mid.filter(col("kafka.offset").between(12, 17)).count() == 6)
+
+    // fully out-of-range prunes everything (zero-column empty frame)
+    assert(p.readRange(lower = Some(1000L)).columns.isEmpty)
+
+    // compact rewrites keep (tight, recomputed) zone maps
+    p.compact()
+    val tail2 = p.readRange(lower = Some(25L))
+    assert(tail2.filter(col("kafka.offset") >= 25)
+      .orderBy("kafka.offset").collect().toSeq == want)
+    assert(tail2.inputFiles.length <= p.read().inputFiles.length)
+  }
+
+  test("files without zone-map metadata are never pruned (legacy manifests)") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("pool-zones-legacy").toString
+    val p = Pool.create(spark, root, "ZL")
+    p.append(batch("t", 0 until 10))
+    p.append(batch("t", 10 until 20))
+    // strip #ranges from every manifest: a pre-zone-map pool
+    val commitsDir = Paths.get(root, "ZL", "_commits")
+    Files.list(commitsDir).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".txt")).foreach { m =>
+        Files.write(m, Files.readAllLines(m).asScala
+          .filterNot(_.startsWith("#ranges")).mkString("\n").getBytes)
+      }
+    val all = p.readRange(lower = Some(15L))
+    assert(all.inputFiles.length == p.read().inputFiles.length,
+      "no zone maps -> no pruning, never a wrong answer")
+    assert(all.filter(col("kafka.offset") >= 15).count() == 5)
+  }
+
   test("readAsOf returns consistent historical snapshots") {
     val root = Files.createTempDirectory("pool-t").toString
     val p = Pool.create(spark, root, "P")

@@ -27,10 +27,17 @@ def main(src: str, dst: str, copies: int = 10) -> None:
     import os
     os.makedirs(dst, exist_ok=True)
 
+    # Small row groups matter: Spark parallelism on a single parquet file is
+    # bounded by ROW GROUPS (a row group cannot split across tasks). duckdb's
+    # default 122,880-row groups turn the 50k-row documents table into ONE
+    # row group = one scan task, serializing every CPU-heavy text pipeline
+    # no matter how many cores — observed as a 1-core, 10+-minute stall.
+    RG = 4096
+
     def copy_as_is(table: str) -> None:
         con.execute(f"""
             COPY (SELECT * FROM read_parquet('{src}/{table}.parquet'))
-            TO '{dst}/{table}.parquet' (FORMAT PARQUET)""")
+            TO '{dst}/{table}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE {RG})""")
 
     def scaled(table: str, select: str, order: str) -> None:
         parts = " UNION ALL ".join(
@@ -40,7 +47,7 @@ def main(src: str, dst: str, copies: int = 10) -> None:
             SELECT * FROM read_parquet('{src}/{table}.parquet')""")
         con.execute(f"""
             COPY ({parts} ORDER BY {order})
-            TO '{dst}/{table}.parquet' (FORMAT PARQUET)""")
+            TO '{dst}/{table}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE {RG})""")
 
     def span(table: str, key: str) -> int:
         return con.execute(
@@ -95,7 +102,7 @@ def main(src: str, dst: str, copies: int = 10) -> None:
                          pc.add(t["user_id"], c * U))
         pieces.append(t)
     out = pa.concat_tables(pieces).sort_by("event_id")
-    pq.write_table(out, f"{dst}/events.parquet")
+    pq.write_table(out, f"{dst}/events.parquet", row_group_size=RG * 4)
     assert str(pq.ParquetFile(f"{dst}/events.parquet")
                .schema_arrow.field("ts").type) == "timestamp[ns]"
     scaled("documents",
