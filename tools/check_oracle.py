@@ -4,7 +4,13 @@ DuckDB against the sf parquet tables, compare to the Verify parquet dump
 (columns sorted by name, rows sorted, values hashed). Dev tool only — not
 part of the library.
 
-usage: check_oracle.py <sfDir> <verifyOutDir>
+usage: check_oracle.py <sfDir> <verifyOutDir> [--skip name,name,...]
+
+--skip exists for scale runs where an ORACLE is intractable, not the
+engine: q_dedup_minhash's oracle is a full all-pairs jaccard (the point
+of the gate at driver sf), which at 50k docs is 1.25B list-intersects in
+single-threaded DuckDB. Skipped gates must be verified another way (see
+tools/check_minhash_sf1.py for the copy-isomorphism cross-check).
 """
 import json, sys, hashlib
 import duckdb
@@ -26,13 +32,16 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def h(df: pd.DataFrame) -> str:
     return hashlib.md5(df.to_csv(index=False, float_format="%.10g").encode()).hexdigest()
 
-def main(sf, out):
+def main(sf, out, skip=()):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     fails = []
     for name, sql in sorted(oracle.items()):
+        if name in skip:
+            print(f"SKIP  {name} (oracle intractable at this sf; verified separately)")
+            continue
         try:
             got = pd.read_parquet(f"{out}/{name}")
             want = con.execute(sql).df()
@@ -55,8 +64,16 @@ def main(sf, out):
             fails.append((name, f"EXC {type(e).__name__}: {e}"))
     for name, why in fails:
         print(f"FAIL  {name}: {why}")
-    print(f"\n{len(oracle)-len(fails)}/{len(oracle)} oracle queries match")
+    n_run = len(oracle) - len([s for s in skip if s in oracle])
+    print(f"\n{n_run-len(fails)}/{n_run} oracle queries match"
+          + (f" ({len(skip)} skipped)" if skip else ""))
     sys.exit(1 if fails else 0)
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    skip = ()
+    args = sys.argv[1:]
+    if "--skip" in args:
+        i = args.index("--skip")
+        skip = tuple(args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    main(args[0], args[1], skip)
