@@ -84,10 +84,18 @@ final class Pipeline(spark: SparkSession, transform: Transform, root: String) {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
-  /** Returns number of records written (data + done), across all pools. */
-  def run(): Long = {
+  /** Everything `run` computes before executing the program — exposed for
+    * tests to assert SCAN shape (which files the incremental input read
+    * actually plans), not just results.
+    */
+  private[etl] final case class RunPlan(
+      prunedIn: DataFrame, prunedDone: DataFrame,
+      contBases: Map[String, Long], storeBases: Map[String, Long],
+      persisted: Map[String, (Long, Long)], cursors: Map[String, Long])
+
+  private[etl] def plan(): Option[RunPlan] = {
     val in = inputPool.read()
-    if (in.columns.isEmpty) return 0L
+    if (in.columns.isEmpty) return None
 
     val dataIn =
       if (in.columns.contains(Compiler.TypeCol)) in.filter(col(Compiler.TypeCol).isNull)
@@ -134,12 +142,39 @@ final class Pipeline(spark: SparkSession, transform: Transform, root: String) {
         trusted.get(t).map(_._1).getOrElse(Long.MinValue))
     }.filter(_._2 != Long.MinValue).toMap
 
-    val prunedIn = cursors.foldLeft(dataIn) { case (df, (t, c)) =>
+    // File-level prune via manifest zone maps: when EVERY input topic has a
+    // cursor, a file whose zone max ≤ min(cursors) holds only rows with
+    // offset ≤ their topic's cursor — provably done, droppable from the
+    // FILE LIST before Spark lists or footer-reads it. The per-topic
+    // predicates below stay as the exact gate; this only shrinks the scan.
+    // Guard: a pruned subset could surface a narrower fused schema than the
+    // full pool (mergeSchema over fewer files) — fall back to the full scan
+    // if any column would disappear, so downstream resolution never breaks.
+    val scanIn: DataFrame =
+      if (cursors.nonEmpty && minMap.keySet.subsetOf(cursors.keySet)) {
+        val ranged = inputPool.readRange(lower = Some(cursors.values.min + 1L))
+        if (in.columns.toSet.subsetOf(ranged.columns.toSet)) {
+          if (ranged.columns.contains(Compiler.TypeCol))
+            ranged.filter(col(Compiler.TypeCol).isNull)
+          else ranged
+        } else dataIn
+      } else dataIn
+
+    val prunedIn = cursors.foldLeft(scanIn) { case (df, (t, c)) =>
       df.filter(!(col("kafka.topic") === t && col("kafka.offset") <= c))
     }
     val prunedDone = cursors.foldLeft(doneReduced) { case (df, (t, c)) =>
       df.filter(!(col("topic") === t && col("offset") <= c))
     }
+    Some(RunPlan(prunedIn, prunedDone, contBases, storeBases, persisted, cursors))
+  }
+
+  /** Returns number of records written (data + done), across all pools. */
+  def run(): Long = {
+    val p = plan().getOrElse(return 0L)
+    val (prunedIn, prunedDone) = (p.prunedIn, p.prunedDone)
+    val (contBases, storeBases) = (p.contBases, p.storeBases)
+    val (persisted, cursors) = (p.persisted, p.cursors)
 
     // next producer offsets per out topic, from each topic's own pool.
     // max-reduce, not toMap: if routing changed between runs the same out

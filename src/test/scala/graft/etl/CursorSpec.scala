@@ -74,6 +74,35 @@ class CursorSpec extends AnyFunSuite {
     assert(doneOffsets == Seq(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("incremental scans drop fully-done FILES via manifest zone maps") {
+    val root = Files.createTempDirectory("cursor-zones").toString
+    val raw = Pool.create(spark, root, "Raw")
+    val transform = Transform.fromYaml(yaml)
+
+    raw.append(rows(Seq(0L, 1L, 2L)))
+    raw.append(rows(Seq(3L, 4L, 5L)))
+    assert(new Pipeline(spark, transform, root).run() == 12)
+
+    // a new batch arrives; the next run's input scan must not even LIST the
+    // two fully-done commits' files — the zone-map prune, not just parquet
+    // row-group stats, keeps the done prefix out of the plan
+    raw.append(rows(Seq(6L, 7L)))
+    val p = new Pipeline(spark, transform, root)
+    val plan = p.plan().get
+    assert(plan.cursors == Map("T" -> 5L))
+    val scanned = plan.prunedIn.inputFiles
+    val all = raw.read().inputFiles
+    assert(scanned.length < all.length,
+      s"zone maps must shrink the file list: ${scanned.length} of ${all.length}")
+    assert(p.run() == 4, "the new batch still processes exactly-once")
+
+    // and the result content is unaffected by the file-level prune
+    val out = Pool.open(spark, root, "Staging").read()
+    assert(out.filter("_type IS NULL").select("value.x")
+      .collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L to 7L).map(_ * 10).toSeq)
+  }
+
   val multiYaml: String =
     """inputs:
       |  - topic: T
