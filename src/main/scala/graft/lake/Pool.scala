@@ -228,14 +228,25 @@ final class Pool private (val spark: SparkSession, val name: String,
     lines.find(_.startsWith("#ranges ")).map(_.stripPrefix("#ranges ")) match {
       case None => Map.empty
       case Some(json) =>
-        val om = new com.fasterxml.jackson.databind.ObjectMapper()
-        val it = om.readTree(json).properties().iterator()
-        val buf = scala.collection.mutable.Map[String, (Long, Long)]()
-        while (it.hasNext) {
-          val e = it.next()
-          buf(e.getKey) = (e.getValue.get(0).asLong(), e.getValue.get(1).asLong())
-        }
-        buf.toMap
+        // zone maps are an optimization: a malformed line (hand-edited or
+        // foreign-writer manifest) must degrade to "no pruning", never
+        // break the read path
+        scala.util.Try {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val it = om.readTree(json).properties().iterator()
+          val buf = scala.collection.mutable.Map[String, (Long, Long)]()
+          while (it.hasNext) {
+            val e = it.next()
+            val v = e.getValue
+            // entries that aren't an exact [long, long] are dropped (their
+            // file is then simply never pruned) — asLong() would coerce
+            // garbage to 0 and wrongly prune
+            if (v.isArray && v.size == 2 &&
+                v.get(0).canConvertToLong && v.get(1).canConvertToLong)
+              buf(e.getKey) = (v.get(0).asLong(), v.get(1).asLong())
+          }
+          buf.toMap
+        }.getOrElse(Map.empty)
     }
 
   /** Write the manifest under the next free sequence number; retry on
