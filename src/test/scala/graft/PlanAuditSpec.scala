@@ -91,4 +91,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("InMemoryTableScan"),
       "signature base should come from the persisted cache")
   }
+
+  test("blocked all-pairs stages pin salted parallelism explicitly") {
+    // saltedBlockPairs must repartition by an explicit COUNT: under a
+    // broadcast plan there is no shuffle, so without it the quadratic
+    // pair stream would run at input-file parallelism (one task on a
+    // compact single-file table) no matter how the salt distributes
+    Seq("q_ngram_jaccard", "q_dedup_embed").foreach { n =>
+      val plan = planOf(n)
+      assert(plan.contains("REPARTITION_BY_NUM"),
+        s"$n: expected an explicit-count salted repartition\n${plan.take(1500)}")
+      assert(plan.contains("_salt"),
+        s"$n: salt column missing from the pair-generation shuffle")
+    }
+  }
+
+  test("native per-row expressions run inside whole-stage codegen") {
+    // CosineExpr has doGenCode: the projection evaluating it must carry a
+    // codegen span marker (`*(n)`), not fall back to interpreted eval.
+    // The HOF formulation this replaced was CodegenFallback — a silent
+    // regression here would put interpretation back on the quadratic path.
+    // AQE only inserts WholeStageCodegen per stage at execution, so drive
+    // the query before rendering the (now final) plan.
+    val df = Registry.byName("q_dedup_embed").run(spark, dir)
+    df.collect() // count() would plan a different query; drive THIS plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), plan.take(300))
+    val cosineLines = plan.linesIterator.filter(_.contains("cosine_sim")).toSeq
+    assert(cosineLines.nonEmpty, "q_dedup_embed should evaluate cosine_sim")
+    assert(cosineLines.exists(_.contains("*(")),
+      s"cosine_sim left whole-stage codegen:\n${cosineLines.mkString("\n")}")
+  }
 }
