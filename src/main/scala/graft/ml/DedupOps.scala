@@ -31,17 +31,19 @@ object DedupOps {
             FROM documents GROUP BY 1"""),
     headline = true)
 
-  /** Shared doc→signature prep. k=32 hashes, 8 bands × 4 rows. The fused
-    * native shingle-hash expression replaces the interpreted
-    * `shingleHashes(shingles(tokens(…)))` chain — one pass over the text
-    * per row (TextExprsSpec pins value parity).
+  /** Shared doc→signature prep. k=32 hashes, 8 bands × 4 rows. Native
+    * one-pass expressions on both stages: the fused shingle-hash replaces
+    * the interpreted `shingleHashes(shingles(tokens(…)))` chain, and the
+    * signature runs k permutations as one loop instead of the k-copy
+    * `array(array_min(transform(…)) × k)` tree (TextExprsSpec /
+    * MinHashExprsSpec pin value parity).
     */
   private[ml] def minhashed(df: DataFrame, k: Int = 32): DataFrame =
     df.select(
       col("doc_id"),
       TextExprs.shingleHashesNative(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), k))
+      .withColumn("sig", MinHashExprs.minhashSigNative(col("sh"), k))
 
   /** MinHash-LSH candidate pairs with exact-jaccard verification.
     * Pipeline: shingle → minhash sig → band keys → explode → within-bucket
