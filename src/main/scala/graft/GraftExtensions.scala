@@ -16,9 +16,10 @@ import org.apache.spark.sql.graftbridge.Bridge
   * or onto a live session with [[GraftExtensions.install]] (what
   * [[GraftSession.tune]] does).
   *
-  * The two native Catalyst expressions (simhash64, hyperplane_sigs)
-  * register directly; the rest are Column compositions bridged back to
-  * expressions — they stay fully codegen-able either way.
+  * The native Catalyst expressions (simhash64, hyperplane_sigs, tokens,
+  * shingle-hash and minhash-signature pipelines, cosine) register
+  * directly; the rest are Column compositions bridged back to
+  * expressions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -51,8 +52,13 @@ object GraftExtensions {
     "shingles" -> ((args: Seq[Expression]) =>
       e(shingles(c(args(0)), litInt(args(1), "shingles", 1)))),
     "shingle_hashes" -> ((args: Seq[Expression]) => e(shingleHashes(c(args.head)))),
+    // the fused text→distinct-shingle-hash pipeline (one pass per row)
+    "shingle_hashes_text" -> ((args: Seq[Expression]) =>
+      e(graft.functions.TextExprs.shingleHashesNative(c(args(0)),
+        litInt(args(1), "shingle_hashes_text", 1)))),
     "minhash_sig" -> ((args: Seq[Expression]) =>
-      e(minhashSignature(c(args(0)), litInt(args(1), "minhash_sig", 1)))),
+      e(graft.functions.MinHashExprs.minhashSigNative(c(args(0)),
+        litInt(args(1), "minhash_sig", 1)))),
     "lsh_bands" -> ((args: Seq[Expression]) =>
       e(lshBands(c(args(0)), litInt(args(1), "lsh_bands", 1),
         litInt(args(2), "lsh_bands", 2)))),

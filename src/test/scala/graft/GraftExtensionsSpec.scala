@@ -28,6 +28,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val viaSql = spark.sql(
       """SELECT simhash64(graft_tokens(text)) AS sh,
                 minhash_sig(shingle_hashes(shingles(graft_tokens(text), 3)), 16) AS mh,
+                minhash_sig(shingle_hashes_text(text, 3), 16) AS mh2,
                 stable_round(cosine(va, vb), 4) AS cos,
                 stable_round(jaccard(graft_tokens(text), graft_tokens(text)), 4) AS jac,
                 bpeish_token_count(text) AS bpe,
@@ -37,13 +38,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val viaDf = df.select(
       SimHash64Expr.simhash64Native(tokens(col("text"))).as("sh"),
       minhashSignature(shingleHashes(shingles(tokens(col("text")), 3)), 16).as("mh"),
+      minhashSignature(shingleHashes(shingles(tokens(col("text")), 3)), 16).as("mh2"),
       stableRound(cosine(col("va"), col("vb")), 4).as("cos"),
       stableRound(jaccard(tokens(col("text")), tokens(col("text"))), 4).as("jac"),
       bpeishTokenCount(col("text")).as("bpe"),
       rollingHash(tokens(col("text"))).as("rh"),
       HyperplaneSigsExpr.hyperplaneSigs(col("va"), 8, 4).as("hp")).collect()
     assert(viaSql.map(_.toString).toSeq == viaDf.map(_.toString).toSeq)
-    assert(viaSql.head.getSeq[Long](6).size == 4) // 4 tables' signatures
+    assert(viaSql.head.getSeq[Long](7).size == 4) // 4 tables' signatures
   }
 
   test("vector utilities: l2norm, l2_normalize, mean_pool") {
