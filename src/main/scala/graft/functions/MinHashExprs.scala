@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -54,18 +54,26 @@ private object MinHash {
   * Equals `minhashSignature` column-for-column; empty input yields the
   * all-null array `array_min(empty)` produces there.
   */
-case class MinHashSigExpr(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "minhash_sig"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Called from both eval and generated code. */
+  def run(arr: ArrayData): ArrayData =
     if (arr.numElements() == 0)
       new GenericArrayData(Array.fill[Any](k)(null))
     else
       new GenericArrayData(MinHash.mins(arr, k))
+
+  override protected def nullSafeEval(input: Any): Any =
+    run(input.asInstanceOf[ArrayData])
+
+  // reference-object call, NOT CodegenFallback — the fallback path would
+  // re-materialize the input row inside whole-stage codegen spans
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSigExpr", this, classOf[MinHashSigExpr].getName)
+    nullSafeCodeGen(ctx, ev, input => s"${ev.value} = $ref.run($input);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
@@ -78,7 +86,7 @@ case class MinHashSigExpr(child: Expression, k: Int)
   * way.
   */
 case class MinHashBandsExpr(child: Expression, k: Int, bands: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   private val rowsPerBand = k / bands
   require(bands * rowsPerBand == k, s"k=$k not divisible into $bands bands")
@@ -88,8 +96,17 @@ case class MinHashBandsExpr(child: Expression, k: Int, bands: Int)
     StructField("bucket", LongType, nullable = false))), containsNull = false)
   override def prettyName: String = "minhash_bands"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    run(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashBandsExpr", this,
+      classOf[MinHashBandsExpr].getName)
+    nullSafeCodeGen(ctx, ev, input => s"${ev.value} = $ref.run($input);")
+  }
+
+  /** Called from both eval and generated code. */
+  def run(arr: ArrayData): ArrayData = {
     val empty = arr.numElements() == 0
     val sig = if (empty) null else MinHash.mins(arr, k)
     val out = new Array[Any](bands)

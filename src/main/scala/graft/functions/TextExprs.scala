@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
@@ -63,15 +63,26 @@ object TextExprs {
 /** string → array<string> of lowercased word tokens (empty tokens dropped).
   * Equals `filter(split(lower(text), "[^a-z0-9']+"), t => length(t) > 0)`.
   */
-case class TokensExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class TokensExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "tokens"
 
+  /** Called from both eval and generated code. */
+  def run(input: UTF8String): ArrayData =
+    new GenericArrayData(TextExprs.tokenize(input).asInstanceOf[Array[Any]])
+
   override protected def nullSafeEval(input: Any): Any =
-    new GenericArrayData(
-      TextExprs.tokenize(input.asInstanceOf[UTF8String]).asInstanceOf[Array[Any]])
+    run(input.asInstanceOf[UTF8String])
+
+  // reference-object call, NOT CodegenFallback: the fallback path needs the
+  // materialized input row, which forces row reconstruction inside a
+  // whole-stage-codegen span — this takes the child's generated value
+  // directly (the AvroExprs pattern)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokensExpr", this, classOf[TokensExpr].getName)
+    nullSafeCodeGen(ctx, ev, input => s"${ev.value} = $ref.run($input);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): TokensExpr =
     copy(child = newChild)
@@ -81,16 +92,25 @@ case class TokensExpr(child: Expression)
   * shingles. Equals `shingleHashes(shingles(tokens(text), n))` — the fused
   * scan-side pipeline of the MinHash/contamination gates.
   */
-case class ShingleHashesExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
 
   require(n > 0, s"shingle size must be positive: $n")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = TextExprs.tokenize(input.asInstanceOf[UTF8String])
+  override protected def nullSafeEval(input: Any): Any =
+    run(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashesExpr", this,
+      classOf[ShingleHashesExpr].getName)
+    nullSafeCodeGen(ctx, ev, input => s"${ev.value} = $ref.run($input);")
+  }
+
+  /** Called from both eval and generated code. */
+  def run(input: UTF8String): ArrayData = {
+    val toks = TextExprs.tokenize(input)
     val m = toks.length
     // the Column formulation collapses short docs to ONE shingle of all
     // tokens (array_join of everything), empty docs to the empty string

@@ -53,6 +53,28 @@ class MinHashExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("doGenCode compiles: codegen-only mode matches interpreted eval") {
+    // the reference-object doGenCode must emit valid Java — CODEGEN_ONLY
+    // turns a silent interpreted fallback into a hard failure
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val sh = TextExprs.shingleHashesNative(col("text"), 3)
+      val rows = docs.select(col("doc_id"),
+        lshBands(minhashSignature(shingleHashes(shingles(tokensColumns(col("text")), 3)), 32), 8, 4).as("ref"),
+        MinHashExprs.minhashBands(sh, 32, 8).as("nat")).collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r => assert(r.getSeq[Any](1) == r.getSeq[Any](2),
+        s"codegen band keys mismatch for doc ${r.getLong(0)}"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("empty shingle-hash array: null signature, bucket of empty string") {
     import spark.implicits._
     val empty = Seq((1L, Array.empty[Long])).toDF("doc_id", "sh")

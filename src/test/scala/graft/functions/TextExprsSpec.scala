@@ -53,6 +53,29 @@ class TextExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("doGenCode compiles: codegen-only mode matches interpreted eval") {
+    import spark.implicits._
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val df = corpus.zipWithIndex.map(_.swap).toDF("id", "text")
+      val bad = df.select(col("id"),
+        TextExprs.tokensNative(col("text")).as("nt"),
+        tokensColumns(col("text")).as("rt"),
+        TextExprs.shingleHashesNative(col("text"), 3).as("ns"),
+        shingleHashes(shingles(tokensColumns(col("text")), 3)).as("rs"))
+        .filter(not(col("nt") === col("rt")) || not(col("ns") === col("rs")))
+        .collect()
+      assert(bad.isEmpty, s"codegen mismatches: ${bad.take(3).mkString("; ")}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("null text yields null in both expressions") {
     import spark.implicits._
     val df = Seq((1, None: Option[String]), (2, Some("ok"))).toDF("id", "text")
