@@ -19,11 +19,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * expressions run the same pipeline as tight loops over UTF8String bytes,
   * one evaluation per row.
   *
-  * Value parity is exact and pinned by TextExprsSpec: tokens reuse Spark's
-  * own lowercase (`UTF8String.toLowerCase`, the UTF8_BINARY path `lower()`
-  * takes) and regex split (`UTF8String.split`, identical to `split()`),
-  * then drop empty tokens; shingle hashes join n-token windows with a
-  * single space and hash bytes with XXH64 seed 42 — bit-identical to
+  * Value parity is exact and pinned by TextExprsSpec: lowercasing IS
+  * Spark's own `Lower` expression (placed under these as the child — not
+  * re-implemented), the split is `UTF8String.split` (identical to
+  * `split()`), empty tokens drop; shingle hashes join n-token windows with
+  * a single space and hash bytes with XXH64 seed 42 — bit-identical to
   * `xxhash64(array_join(slice(…), " "))` — preserving the Column version's
   * edges: ≤n tokens collapse to ONE shingle of all tokens, zero tokens
   * yield the hash of the empty string, duplicates keep first-occurrence
@@ -31,12 +31,20 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextExprs {
   import org.apache.spark.sql.graftbridge.Bridge
+  import org.apache.spark.sql.functions.lower
 
   /** The shared token regex — byte-for-byte the one [[graft.functions.tokens]] uses. */
   private[functions] val TokenSep = "[^a-z0-9']+"
 
-  private[functions] def tokenize(s: UTF8String): Array[UTF8String] = {
-    val parts = s.toLowerCase.split(UTF8String.fromString(TokenSep), -1)
+  /** Split + drop-empties over an ALREADY-LOWERCASED string. Lowercasing is
+    * deliberately NOT re-implemented here: the builders below put Spark's
+    * own `Lower` under the expression, so case mapping (which routes
+    * through CollationSupport/ICU and differs from naive
+    * `UTF8String.toLowerCase` on exotic case-mapping characters) is
+    * identical to the `lower()` Column formulation by construction.
+    */
+  private[functions] def tokenize(lowered: UTF8String): Array[UTF8String] = {
+    val parts = lowered.split(UTF8String.fromString(TokenSep), -1)
     var n = 0
     var i = 0
     while (i < parts.length) { if (parts(i).numBytes() > 0) n += 1; i += 1 }
@@ -54,10 +62,10 @@ object TextExprs {
   }
 
   def tokensNative(text: Column): Column =
-    Bridge.column(TokensExpr(Bridge.expression(text.cast("string"))))
+    Bridge.column(TokensExpr(Bridge.expression(lower(text.cast("string")))))
 
   def shingleHashesNative(text: Column, n: Int): Column =
-    Bridge.column(ShingleHashesExpr(Bridge.expression(text.cast("string")), n))
+    Bridge.column(ShingleHashesExpr(Bridge.expression(lower(text.cast("string"))), n))
 }
 
 /** string → array<string> of lowercased word tokens (empty tokens dropped).
