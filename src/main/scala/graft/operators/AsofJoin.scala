@@ -162,5 +162,36 @@ object AsofJoin {
             FROM e ASOF LEFT JOIN p
               ON e.user_id = p.user_id AND e.ts >= p.ts"""))
 
-  val queries: Seq[GQuery] = Seq(qAsofJoin)
+  // The skew escape hatch must be COLUMN-IDENTICAL to the plain as-of
+  // join, so it shares the oracle: same clicks-to-latest-purchase query
+  // through the time-bucketed shuffle with carry-in rows. A divergence
+  // between the two formulations (or from DuckDB's native ASOF) fails the
+  // hash gate.
+  private val qAsofJoinSkewed = GQuery(
+    "q_asof_join_skewed",
+    (s, d) => {
+      val ev = events(s, d).withColumn("ts", eventMicros(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
+        .withColumn("purchase_ts", col("ts"))
+      asofJoinSkewed(clicks, purchases, Seq("user_id"), "ts",
+        Seq("purchase_ts", "purchase_value"), buckets = 16)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_purchase_ts").as("purchase_ts"),
+          col("asof_purchase_value").as("purchase_value"))
+    },
+    Some("""WITH e AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts
+              FROM events WHERE event_type = 'click'),
+            p AS (
+              SELECT user_id, epoch_us(ts) AS ts, max(value) AS purchase_value
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+            SELECT e.event_id, e.user_id, e.ts,
+                   p.ts AS purchase_ts, p.purchase_value
+            FROM e ASOF LEFT JOIN p
+              ON e.user_id = p.user_id AND e.ts >= p.ts"""))
+
+  val queries: Seq[GQuery] = Seq(qAsofJoin, qAsofJoinSkewed)
 }
