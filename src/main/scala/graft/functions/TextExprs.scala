@@ -42,6 +42,21 @@ object TextExprs {
     * through CollationSupport/ICU and differs from naive
     * `UTF8String.toLowerCase` on exotic case-mapping characters) is
     * identical to the `lower()` Column formulation by construction.
+    *
+    * Collation contract: the split itself is raw `UTF8String.split`, i.e.
+    * the UTF8_BINARY (default-collation) behavior of Spark's `StringSplit`.
+    * Under a non-default session collation Spark 4 rewrites `split()`
+    * through `CollationSupport.collationAwareRegex` (case-/accent-
+    * insensitive regex flags), so the documented parity with
+    * `filter(split(lower(text), TokenSep), …)` holds ONLY under
+    * UTF8_BINARY. That is deliberate: the separator class `[^a-z0-9']+`
+    * operates on already-lowercased ASCII classes, where the
+    * collation-aware flags (`(?ui)`) change nothing for well-formed input,
+    * and tokenization for dedup/fingerprinting must be deterministic
+    * across sessions regardless of per-session collation settings — a
+    * session-collation-sensitive fingerprint would silently split the same
+    * corpus differently on two clusters. The `Lower` child remains
+    * collation-aware, matching `lower()` exactly in all configurations.
     */
   private[functions] def tokenize(lowered: UTF8String): Array[UTF8String] = {
     val parts = lowered.split(UTF8String.fromString(TokenSep), -1)

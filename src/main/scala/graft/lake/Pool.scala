@@ -168,56 +168,58 @@ final class Pool private (val spark: SparkSession, val name: String,
     // 62-82) at any pool size. Computed from the just-written files
     // (column-pruned, batch-scale), never by re-evaluating the input plan.
     val paths = names.map(n => dataDir.resolve(n).toString)
+    val (offsets, ranges) = computeCommitMeta(df.schema, paths)
     val id = publishManifest(
-      renderOffsets(computeOffsets(df.schema, paths)) +:
-        renderRanges(computeRanges(paths)) +: names, nonce)
+      renderOffsets(offsets) +: renderRanges(ranges) +: names, nonce)
     deleteRecursively(staging)
     id
   }
 
-  /** Per-topic max kafka.offset of a freshly written file set (empty when
-    * the schema carries no kafka envelope — such a commit contributes no
-    * producer offsets). Column-pruned read of the new files only.
+  /** Per-topic max kafka.offset and per-file pool-key [min, max] of a
+    * freshly written file set, in ONE column-pruned read + ONE aggregation
+    * over the new files (the hot append path pays one metadata job, not
+    * two). Group cardinality is files × topics — batch-scale — so the
+    * driver-side fold into the two maps is trivial. Offsets are empty when
+    * the schema carries no kafka envelope (such a commit contributes no
+    * producer offsets); ranges are empty when the pool key is absent or not
+    * castable to long (such files are simply never pruned).
     */
-  private def computeOffsets(schema: org.apache.spark.sql.types.StructType,
-      paths: Seq[String]): Map[String, Long] = {
+  private def computeCommitMeta(schema: org.apache.spark.sql.types.StructType,
+      paths: Seq[String]): (Map[String, Long], Map[String, (Long, Long)]) = {
+    if (paths.isEmpty) return (Map.empty, Map.empty)
     val hasKafka = scala.util.Try {
       val kt = schema("kafka").dataType
         .asInstanceOf[org.apache.spark.sql.types.StructType]
       kt.fieldNames.contains("topic") && kt.fieldNames.contains("offset")
     }.getOrElse(false)
-    if (!hasKafka) Map.empty
-    else spark.read.parquet(paths: _*)
-      .filter(col("kafka.topic").isNotNull && col("kafka.offset").isNotNull)
-      .groupBy(col("kafka.topic")).agg(max(col("kafka.offset")))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val df = spark.read.parquet(paths: _*)
+    val keyCol = scala.util.Try(df(key).cast("long")).toOption
+    if (!hasKafka && keyCol.isEmpty) return (Map.empty, Map.empty)
+    val rows = df.select(
+        input_file_name().as("f"),
+        (if (hasKafka) col("kafka.topic") else lit(null).cast("string")).as("t"),
+        (if (hasKafka) col("kafka.offset").cast("long")
+         else lit(null).cast("long")).as("o"),
+        keyCol.getOrElse(lit(null).cast("long")).as("k"))
+      .groupBy("f", "t")
+      .agg(min("k").as("lo"), max("k").as("hi"), max("o").as("mo"))
+      .collect()
+    val offsets = rows.iterator
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(4))
+      .toSeq.groupBy(_.getString(1))
+      .map { case (t, rs) => t -> rs.map(_.getLong(4)).max }
+    val ranges = rows.iterator
+      .filter(r => !r.isNullAt(2) && !r.isNullAt(3))
+      .toSeq.groupBy(_.getString(0).split('/').last)
+      .map { case (f, rs) =>
+        f -> (rs.map(_.getLong(2)).min, rs.map(_.getLong(3)).max) }
+    (offsets, ranges)
   }
 
   private def renderOffsets(m: Map[String, Long]): String =
     "#offsets " + m.toSeq.sortBy(_._1).map { case (t, o) =>
       s""""${t.replace("\\", "\\\\").replace("\"", "\\\"")}": $o"""
     }.mkString("{", ", ", "}")
-
-  /** Per-file [min, max] of the pool key for a freshly written file set —
-    * the zone map [[readRange]] prunes with. Long-keyed pools only (the
-    * FIFO pool key is kafka.offset, an int64): a key that is absent or not
-    * castable to long yields no entries, and such files are never pruned.
-    * Column-pruned read of the new files only, batch scale.
-    */
-  private def computeRanges(paths: Seq[String]): Map[String, (Long, Long)] = {
-    if (paths.isEmpty) return Map.empty
-    val df = spark.read.parquet(paths: _*)
-    scala.util.Try(df(key).cast("long")) match {
-      case scala.util.Failure(_) => Map.empty
-      case scala.util.Success(k) =>
-        df.select(input_file_name().as("f"), k.as("k"))
-          .filter(col("k").isNotNull)
-          .groupBy("f").agg(min("k").as("lo"), max("k").as("hi"))
-          .collect()
-          .map(r => r.getString(0).split('/').last -> (r.getLong(1), r.getLong(2)))
-          .toMap
-    }
-  }
 
   private def renderRanges(m: Map[String, (Long, Long)]): String =
     "#ranges " + m.toSeq.sortBy(_._1).map { case (f, (lo, hi)) =>
@@ -310,16 +312,15 @@ final class Pool private (val spark: SparkSession, val name: String,
       nm
     }
     val tmp = commitsDir.resolve(s".tmp-$nonce")
-    // Offsets metadata for the compacted manifest: merged from the
-    // superseded manifests' metadata when complete, else recomputed from
-    // the compacted files — which is also the upgrade path that makes a
-    // legacy (pre-metadata) pool resumable without scans from here on.
-    val offLine = renderOffsets(manifestOffsets().getOrElse(
-      computeOffsets(df.schema, names.map(n => dataDir.resolve(n).toString))))
-    // zone maps always recompute — they describe the NEW file set (the
-    // globally sorted rewrite makes them tight: disjoint key ranges)
-    val rangeLine = renderRanges(
-      computeRanges(names.map(n => dataDir.resolve(n).toString)))
+    // Zone maps always recompute — they describe the NEW file set (the
+    // globally sorted rewrite makes them tight: disjoint key ranges); the
+    // same single metadata job also yields offsets, used when the
+    // superseded manifests' metadata is incomplete — the upgrade path that
+    // makes a legacy (pre-metadata) pool resumable without scans from here.
+    val (scanOffsets, ranges) =
+      computeCommitMeta(df.schema, names.map(n => dataDir.resolve(n).toString))
+    val offLine = renderOffsets(manifestOffsets().getOrElse(scanOffsets))
+    val rangeLine = renderRanges(ranges)
     Files.write(tmp, ("#compact" +: offLine +: rangeLine +: names).mkString("\n").getBytes)
     try {
       Files.createLink(commitsDir.resolve(s"$expected.txt"), tmp)

@@ -145,11 +145,20 @@ final class ToKafka(bus: Bus, keyCodec: EnvelopeCodec, valueCodec: EnvelopeCodec
     // prune drops already-produced files from the scan entirely — the
     // reference's range query (fifo/to.go:31-55) at manifest cost; the
     // exact `kafka.offset >= start` predicate below still applies.
-    val all = pool.readRange(lower = Some(start))
+    val ranged = pool.readRange(lower = Some(start))
     // A fully pruned/empty pool reads as a zero-column DataFrame; the
     // kafka.* column references below would fail to resolve. Nothing to
     // produce anyway.
-    if (all.columns.isEmpty) return 0L
+    if (ranged.columns.isEmpty) return 0L
+    // Guard (mirrors Pipeline.plan): mergeSchema over the pruned tail can
+    // surface a narrower fused schema than the full pool if a referenced
+    // column (key/value/kafka/_type) only appears in pruned files —
+    // heterogeneous commits are a supported pool feature. Fall back to the
+    // full scan rather than fail resolution; the offset predicate below
+    // still gates exactly.
+    val all =
+      if (Seq("kafka", "key", "value").forall(ranged.columns.contains)) ranged
+      else pool.read()
     val dataOnly = // done markers never produce; pools without the
       // marker column are all data
       if (all.columns.contains("_type")) all.filter(col("_type").isNull)

@@ -38,7 +38,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val viaDf = df.select(
       SimHash64Expr.simhash64Native(tokens(col("text"))).as("sh"),
       minhashSignature(shingleHashes(shingles(tokens(col("text")), 3)), 16).as("mh"),
-      minhashSignature(shingleHashes(shingles(tokens(col("text")), 3)), 16).as("mh2"),
+      // mh2's reference is built from the builtin-composed tokensColumns so
+      // the fused shingle_hashes_text SQL path is checked against an
+      // INDEPENDENT formulation, not the same native expression twice
+      minhashSignature(shingleHashes(shingles(tokensColumns(col("text")), 3)), 16).as("mh2"),
       stableRound(cosine(col("va"), col("vb")), 4).as("cos"),
       stableRound(jaccard(tokens(col("text")), tokens(col("text"))), 4).as("jac"),
       bpeishTokenCount(col("text")).as("bpe"),
