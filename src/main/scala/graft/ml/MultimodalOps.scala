@@ -7,12 +7,16 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column handling: media as opaque `binary` columns with typed
-  * metadata. The container has no image/audio codecs, so the decode step is
-  * a clearly-marked deterministic stub (`StubDecode`) — the Spark-side
-  * plumbing (schema, batching, partition-wise decode, metadata extraction)
-  * is real and is what matters at scale: decode runs `mapPartitions`-style
-  * per executor, media bytes never shuffle, and only small extracted
-  * features flow downstream.
+  * metadata.
+  *
+  * Image decode/resize/frame-sampling is REAL: `javax.imageio` PNG decode
+  * (ships with the JDK) through [[ImageCodec]] — the correctness gates
+  * verify actual pixel statistics of an encode → decode round trip against
+  * a codec-free SQL oracle. Formats ImageIO lacks (audio, video) keep the
+  * clearly-marked deterministic stub behind the same closure seam. In both
+  * cases the Spark-side shape is what matters at scale: decode runs
+  * executor-side on the scan partitioning, media bytes never shuffle, and
+  * only small extracted features flow downstream.
   */
 object MultimodalOps {
 
@@ -38,14 +42,51 @@ object MultimodalOps {
         length(col("text").cast("binary")).cast("long").as("n_bytes"),
         substring(md5(col("text")), 1, 8).as("content_id")).as("meta"))
 
-  /** STUB media decode: a real deployment plugs a codec (JNI/FFI or a
-    * Python worker via a Pandas-UDF bridge) into this exact signature —
-    * batch of payload bytes in, fixed-size feature vector out. Here it is a
-    * deterministic fake: byte histogram moments, so tests have stable
-    * output. Runs per-partition; payload bytes never leave the executor.
+  /** Synthetic PNG asset table: every row carries REAL PNG bytes (encoded
+    * executor-side by `ImageIO` from the deterministic pixel formula in
+    * [[ImageCodec.syntheticImage]]). Dimensions vary per asset (w ∈ [8,16],
+    * h ∈ [8,14]) so decode genuinely recovers them from the PNG header.
+    */
+  def imageAssets(s: SparkSession, d: String): DataFrame = {
+    val enc = udf((id: Long, w: Int, h: Int) =>
+      ImageCodec.encodePng(ImageCodec.syntheticImage(id, w, h)))
+    documents(s, d).select(
+        col("doc_id").as("asset_id"),
+        lit("image/png").as("media_type"),
+        (lit(8) + col("doc_id") % 9).cast("int").as("gen_w"),
+        (lit(8) + col("doc_id") % 7).cast("int").as("gen_h"))
+      .withColumn("payload", enc(col("asset_id"), col("gen_w"), col("gen_h")))
+      .drop("gen_w", "gen_h")
+  }
+
+  /** Real image decode → pixel statistics, executor-side; payloads never
+    * shuffle and are dropped right after. Dimensions come from the decoded
+    * PNG, not the generator.
+    */
+  def decodeImageStats(assets: DataFrame): DataFrame = {
+    val dec = udf((p: Array[Byte]) => ImageCodec.decodeStats(p))
+    assets.withColumn("s", dec(col("payload"))).drop("payload")
+  }
+
+  /** Real frame sampling: decode once per asset, emit one row per
+    * horizontal band with its pixel stats ([[ImageCodec.frameStats]]).
+    */
+  def sampleImageFrames(assets: DataFrame, n: Int): DataFrame = {
+    val fr = udf((p: Array[Byte]) => ImageCodec.frameStats(p, n))
+    assets.select(col("asset_id"), explode(fr(col("payload"))).as("f"))
+      .select(col("asset_id"), col("f.frame_idx").as("frame_idx"),
+        col("f.f_h").as("f_h"), col("f.mean_r").as("mean_r"))
+  }
+
+  /** STUB media decode for formats the JDK has no codec for (audio, video):
+    * a real deployment plugs a codec (JNI/FFI or a Python worker via a
+    * Pandas-UDF bridge) into this exact signature — batch of payload bytes
+    * in, fixed-size feature vector out. Here it is a deterministic fake:
+    * byte histogram moments, so tests have stable output. Runs
+    * per-partition; payload bytes never leave the executor.
     */
   def stubDecodeFeatures(payload: Array[Byte]): Array[Double] = {
-    // ??? <- real codec goes here (image decode / resize / frame-sample)
+    // ??? <- real audio/video codec goes here (ImageIO covers images)
     if (payload == null || payload.isEmpty) Array.fill(4)(0.0)
     else {
       val n = payload.length.toDouble
@@ -84,26 +125,55 @@ object MultimodalOps {
                    substr(md5(text), 1, 8) AS content_id
             FROM documents"""))
 
-  // The stub features are byte-histogram moments over the (ascii)
-  // stand-in payloads — pure arithmetic DuckDB can replicate char-wise,
-  // which upgrades this from a rows-only check to a full oracle. A real
-  // codec would drop the oracle back to rows-only (codec output is not
-  // SQL-expressible), keeping the same plumbing assertions.
+  // REAL decode gate: ImageIO-encoded PNGs are ImageIO-decoded and the
+  // recovered dimensions + exact per-channel pixel means (plus the mean of
+  // a 4x4 nearest-neighbor resize of the decoded raster) must match a
+  // codec-free oracle that re-derives every pixel from the deterministic
+  // generator formula. A wrong decode, a lossy write, a channel swap, or a
+  // resize off-by-one all hash-mismatch.
   private val qMultimodalDecode = GQuery(
     "q_multimodal_decode",
     (s, d) =>
-      decodeFeatures(assets(s, d)).select(
-        col("asset_id"), col("media_type"),
-        graft.functions.stableRound(element_at(col("features"), 2), 4).as("byte_mean"),
-        element_at(col("features"), 1).cast("long").as("n_bytes")),
-    Some("""SELECT doc_id AS asset_id,
-                   CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END
-                     AS media_type,
-                   floor((list_sum(list_transform(range(1, length(text) + 1),
-                          i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS DOUBLE)))
-                          / length(text)) * 10000 + 0.5) / 10000 AS byte_mean,
-                   CAST(length(text) AS BIGINT) AS n_bytes
-            FROM documents"""))
+      decodeImageStats(imageAssets(s, d)).select(
+        col("asset_id"),
+        col("s.width").as("width"),
+        col("s.height").as("height"),
+        graft.functions.stableRound(col("s.mean_r"), 4).as("mean_r"),
+        graft.functions.stableRound(col("s.mean_g"), 4).as("mean_g"),
+        graft.functions.stableRound(col("s.mean_b"), 4).as("mean_b"),
+        graft.functions.stableRound(col("s.rs_mean_r"), 4).as("rs_mean_r")),
+    Some("""WITH dims AS (
+              SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+              FROM documents
+            ),
+            px AS (
+              SELECT doc_id, w, h, p % w AS x, p // w AS y
+              FROM dims, (SELECT unnest(range(0, 224)) AS p) WHERE p < w * h
+            ),
+            full_stats AS (
+              SELECT doc_id,
+                     avg((doc_id * 31 + 7 * x + 13 * y) % 256) AS mr,
+                     avg((doc_id * 17 + 5 * x + 11 * y) % 256) AS mg,
+                     avg((doc_id * 29 + 3 * x + 19 * y) % 256) AS mb
+              FROM px GROUP BY doc_id
+            ),
+            rs AS (
+              SELECT doc_id,
+                     avg((doc_id * 31 + 7 * ((p % 4) * w // 4)
+                          + 13 * ((p // 4) * h // 4)) % 256) AS rr
+              FROM dims, (SELECT unnest(range(0, 16)) AS p)
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id AS asset_id,
+                   CAST(d.w AS INT) AS width,
+                   CAST(d.h AS INT) AS height,
+                   floor(f.mr * 10000 + 0.5) / 10000 AS mean_r,
+                   floor(f.mg * 10000 + 0.5) / 10000 AS mean_g,
+                   floor(f.mb * 10000 + 0.5) / 10000 AS mean_b,
+                   floor(r.rr * 10000 + 0.5) / 10000 AS rs_mean_r
+            FROM dims d
+            JOIN full_stats f ON d.doc_id = f.doc_id
+            JOIN rs r ON d.doc_id = r.doc_id"""))
 
   /** STUB resize: strided byte sample down to `target` bytes — a real
     * codec swaps in behind the same (payload → payload) signature. Keeps
@@ -133,23 +203,35 @@ object MultimodalOps {
         col("frame"))
   }
 
-  // Frame slicing of the (ascii) stand-in payloads is pure byte algebra,
-  // so the oracle mirrors it with substr on the text — frame boundaries,
-  // sizes, and content ids must all agree.
+  // REAL frame gate: each decoded PNG is sliced into 4 horizontal bands
+  // ("frames" of a still image — true video decode keeps the stub seam, no
+  // JDK codec exists) and per-band heights + red-channel means must match
+  // the formula-derived oracle. Band boundary bugs shift rows between
+  // bands and change the means.
   private val qMultimodalFrames = GQuery(
     "q_multimodal_frames",
     (s, d) =>
-      sampleFrames(assets(s, d), 4).drop("frame"),
-    Some("""SELECT doc_id AS asset_id,
-                   CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END
-                     AS media_type,
-                   CAST(i AS BIGINT) AS frame_idx,
-                   CAST(((i + 1) * length(text)) // 4 - (i * length(text)) // 4 AS BIGINT)
-                     AS f_bytes,
-                   substr(md5(substr(text, CAST((i * length(text)) // 4 AS INT) + 1,
-                     CAST(((i + 1) * length(text)) // 4 - (i * length(text)) // 4 AS INT))), 1, 8)
-                     AS f_id
-            FROM documents, (SELECT unnest(generate_series(0, 3)) AS i)"""))
+      sampleImageFrames(imageAssets(s, d), 4).select(
+        col("asset_id"), col("frame_idx"), col("f_h"),
+        graft.functions.stableRound(col("mean_r"), 4).as("mean_r")),
+    Some("""WITH dims AS (
+              SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+              FROM documents
+            ),
+            band AS (
+              SELECT doc_id, w, h, i,
+                     (i * h) // 4 AS y0, ((i + 1) * h) // 4 AS y1
+              FROM dims, (SELECT unnest(range(0, 4)) AS i)
+            )
+            SELECT b.doc_id AS asset_id,
+                   CAST(b.i AS INT) AS frame_idx,
+                   CAST(b.y1 - b.y0 AS INT) AS f_h,
+                   floor(avg((b.doc_id * 31 + 7 * (p % b.w)
+                              + 13 * (b.y0 + p // b.w)) % 256) * 10000 + 0.5)
+                     / 10000 AS mean_r
+            FROM band b, (SELECT unnest(range(0, 224)) AS p)
+            WHERE p < b.w * (b.y1 - b.y0)
+            GROUP BY b.doc_id, b.i, b.y0, b.y1"""))
 
   val queries: Seq[GQuery] = Seq(qMultimodalMeta, qMultimodalDecode, qMultimodalFrames)
 }

@@ -41,4 +41,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rejoined.join(orig, Seq("asset_id"))
       .filter(col("fp") =!= col("fp0")).isEmpty)
   }
+
+  test("PNG round trip: ImageIO decode recovers every pixel exactly") {
+    val img = ImageCodec.syntheticImage(42L, 11, 9)
+    val bytes = ImageCodec.encodePng(img)
+    // a real PNG: magic header present, and it is NOT the raw raster
+    assert(bytes.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val back = ImageCodec.decode(bytes)
+    assert(back.getWidth == 11 && back.getHeight == 9)
+    for (y <- 0 until 9; x <- 0 until 11)
+      assert((back.getRGB(x, y) & 0xffffff) == (img.getRGB(x, y) & 0xffffff),
+        s"pixel ($x,$y)")
+  }
+
+  test("nearest-neighbor resize samples exactly floor(x*sw/dw, y*sh/dh)") {
+    val img = ImageCodec.syntheticImage(7L, 16, 12)
+    val small = ImageCodec.resizeNearest(img, 4, 4)
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert((small.getRGB(x, y) & 0xffffff) ==
+        (img.getRGB(x * 16 / 4, y * 12 / 4) & 0xffffff))
+  }
+
+  test("decodeStats matches the generator formula (independent ground truth)") {
+    val (id, w, h) = (123L, 13, 10)
+    val st = ImageCodec.decodeStats(ImageCodec.encodePng(ImageCodec.syntheticImage(id, w, h)))
+    assert(st.width == w && st.height == h)
+    val px = for (y <- 0 until h; x <- 0 until w) yield (x, y)
+    def mean(f: (Int, Int) => Long) = px.map(f.tupled).sum.toDouble / (w * h)
+    assert(st.mean_r == mean((x, y) => (id * 31 + 7L * x + 13L * y) % 256))
+    assert(st.mean_g == mean((x, y) => (id * 17 + 5L * x + 11L * y) % 256))
+    assert(st.mean_b == mean((x, y) => (id * 29 + 3L * x + 19L * y) % 256))
+    val rp = for (y <- 0 until 4; x <- 0 until 4) yield (x * w / 4, y * h / 4)
+    assert(st.rs_mean_r ==
+      rp.map { case (x, y) => (id * 31 + 7L * x + 13L * y) % 256 }.sum.toDouble / 16)
+  }
+
+  test("frame bands partition the decoded image height exactly") {
+    val fs = ImageCodec.frameStats(
+      ImageCodec.encodePng(ImageCodec.syntheticImage(5L, 9, 14)), 4)
+    assert(fs.map(_.frame_idx) == Seq(0, 1, 2, 3))
+    assert(fs.map(_.f_h).sum == 14)
+    // band means are over disjoint row ranges: mean of band means weighted
+    // by height equals the full-image mean
+    val full = ImageCodec.decodeStats(
+      ImageCodec.encodePng(ImageCodec.syntheticImage(5L, 9, 14)))
+    val weighted = fs.map(f => f.mean_r * f.f_h).sum / 14
+    assert(math.abs(weighted - full.mean_r) < 1e-9)
+  }
+
+  test("decode rejects non-image payloads loudly") {
+    intercept[IllegalArgumentException] {
+      ImageCodec.decodeStats("not a png".getBytes)
+    }
+  }
 }
