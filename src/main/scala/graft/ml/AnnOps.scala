@@ -34,11 +34,25 @@ object AnnOps {
     * |corpus| × |queries| pair stream a rank window would shuffle. The sim
     * is rounded BEFORE the aggregate so ranking ties resolve exactly like
     * the oracle's `row_number() OVER (ORDER BY sim DESC, n_id ASC)`.
+    *
+    * BOUNDED-QUERY CONTRACT: `broadcast(q)` materializes the query set on
+    * the driver before shipping it — correct and fastest for interactive /
+    * dashboard-sized query sets (up to roughly the broadcast threshold).
+    * For large query batches use [[bruteForceTopKDistributed]], which
+    * keeps queries as a DataFrame end to end and never drives them through
+    * driver memory.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), col("v").as("qv"))
     val c = corpus.select(col("vec_id").as("n_id"), col("v").as("nv"))
-    c.join(broadcast(q), col("q_id") =!= col("n_id"))
+    scoredTopK(c.join(broadcast(q), col("q_id") =!= col("n_id")), k)
+  }
+
+  /** Shared tail of every exact-search variant: codegen'd cosine, rounded
+    * BEFORE the aggregate, bounded per-partition heaps, tiny final merge.
+    */
+  private def scoredTopK(pairs: DataFrame, k: Int): DataFrame =
+    pairs
       .select(col("q_id"), col("n_id"),
         stableRound(cosine(col("qv"), col("nv")), 4).as("sim"))
       .groupBy("q_id")
@@ -46,7 +60,67 @@ object AnnOps {
       .select(col("q_id"), posexplode(col("top")).as(Seq("rk0", "t")))
       .select(col("q_id"), col("t.n_id").as("n_id"), col("t.sim").as("sim"),
         (col("rk0") + 1).cast("long").as("rk"))
+
+  /** Distributed-query exact top-k: the query set stays a DataFrame end to
+    * end — never collected to or broadcast from the driver, so driver
+    * memory is flat in |Q| (the contract a million-query batch needs).
+    *
+    * Shape: the corpus hashes into `blocks` buckets on its id; the query
+    * set replicates across those buckets through an ordinary shuffle
+    * (|Q| × blocks small rows — executor-to-executor, no driver hop), and
+    * a shuffled hash join on the bucket id block-partitions the
+    * query × corpus product. No cartesian node, no broadcast exchange.
+    * The pair stream is scored inside whole-stage codegen and immediately
+    * folded into per-partition k-entry heaps ([[topkPairs]]), so the only
+    * volume crossing the agg exchange is blocks × |Q| × k.
+    */
+  def bruteForceTopKDistributed(corpus: DataFrame, queries: DataFrame, k: Int,
+      blocks: Int = 0): DataFrame = {
+    val p = if (blocks > 0) blocks
+      else corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val c = corpus.select(col("vec_id").as("n_id"), col("v").as("nv"),
+      pmod(xxhash64(col("vec_id")), lit(p.toLong)).cast("int").as("cb"))
+    val q = queries.select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .withColumn("cb", explode(sequence(lit(0), lit(p - 1))))
+    // build side = the per-bucket query slice (every bucket sees all |Q|
+    // queries, the point of the replication); corpus streams through
+    scoredTopK(
+      c.join(q.hint("shuffle_hash"), Seq("cb")).filter(col("q_id") =!= col("n_id")), k)
   }
+
+  /** A 20×-amplified deterministic query batch derived from the corpus —
+    * 10,000 queries at the gate's 500-vector base — each variant an
+    * element-wise perturbation a codec-free SQL oracle reproduces exactly.
+    */
+  private[ml] def batchQueries(corpus: DataFrame): DataFrame =
+    corpus.filter(col("vec_id") < 500)
+      .withColumn("j", explode(sequence(lit(0L), lit(19L))))
+      .select((col("vec_id") * 20 + col("j")).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          x + (((col("j") * 7 + i * 3) % 11) - 5) * lit(0.05)).as("v"))
+
+  // The 10k-query batch gate: exact top-3 for 10,000 queries against the
+  // full corpus through the distributed (no-driver-broadcast) plan,
+  // hash-checked against DuckDB. DistributedQuerySpec additionally pins
+  // the plan shape (ShuffledHashJoin, zero BroadcastExchange).
+  private val qAnnBatch = GQuery(
+    "q_ann_batch",
+    (s, d) => bruteForceTopKDistributed(corpus(s, d), batchQueries(corpus(s, d)), 3),
+    Some("""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+                 q AS (SELECT vec_id * 20 + j AS q_id,
+                              [v[CAST(i AS INT) + 1]
+                               + ((j * 7 + i * 3) % 11 - 5) * CAST(0.05 AS DOUBLE)
+                               FOR i IN range(64)] AS v
+                       FROM c, (SELECT unnest(range(0, 20)) AS j)
+                       WHERE vec_id < 500),
+                 p AS (SELECT q.q_id, n.vec_id AS n_id,
+                              floor(list_cosine_similarity(q.v, n.v) * 10000 + 0.5) / 10000 AS sim
+                       FROM q JOIN c n ON q.q_id <> n.vec_id),
+                 r AS (SELECT q_id, n_id, sim,
+                              row_number() OVER (PARTITION BY q_id
+                                                 ORDER BY sim DESC, n_id ASC) AS rk
+                       FROM p)
+            SELECT q_id, n_id, sim, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 3"""))
 
   private val qAnnTopK = GQuery(
     "q_ann_topk",
@@ -397,6 +471,6 @@ object AnnOps {
             FROM r WHERE rk = 1"""))
 
   val queries: Seq[GQuery] =
-    Seq(qAnnTopK, qAnnLsh, qAnnIvf, qAnnPq, qEmbedNorm, qMeanPool,
+    Seq(qAnnTopK, qAnnBatch, qAnnLsh, qAnnIvf, qAnnPq, qEmbedNorm, qMeanPool,
       qCentroidAssign)
 }

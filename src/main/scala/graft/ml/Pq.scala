@@ -87,6 +87,12 @@ object Pq {
   /** Per-query M×K ADC lookup tables as a tiny broadcastable DataFrame
     * (q_id, table). Codebook and queries are metadata scale; the tables
     * are what let the corpus pass run on codes alone.
+    *
+    * BOUNDED-QUERY CONTRACT: this collects the query set to the driver
+    * (each per-query table is built in a driver loop) — right for
+    * interactive query sets, wrong for million-query batches. Large
+    * batches go through [[queryTablesDistributed]] /
+    * [[searchTopKDistributed]], which build the same tables executor-side.
     */
   private[ml] def queryTables(cents: DataFrame, queries: DataFrame): DataFrame = {
     val spark = cents.sparkSession
@@ -121,6 +127,55 @@ object Pq {
     zip_with(col("codes"), col("table"),
       (c, row) => element_at(row, c.cast("int") + 1)),
     lit(0.0), (acc, x) => acc + x)
+
+  /** Executor-side ADC tables: the same (q_id, table) rows as
+    * [[queryTables]] — bit-identical doubles, both fold subvector
+    * differences in index order — but built entirely in-plan, so queries
+    * never reach the driver. The codebook (M×K rows, genuine metadata)
+    * broadcasts; each query row scores against every centroid through
+    * codegen'd array ops, then two keyed aggregations (query-set scale)
+    * assemble the M×K table per query.
+    */
+  private[ml] def queryTablesDistributed(cents: DataFrame,
+      queries: DataFrame): DataFrame = {
+    val dsub = cents.select(size(col("cent"))).head().getInt(0) // metadata
+    queries.select(col("vec_id").as("q_id"), col("v"))
+      .crossJoin(broadcast(cents)) // |Q| × (M×K tiny codebook)
+      .select(col("q_id"), col("m"), col("k"),
+        l2sq(slice(col("v"), col("m") * dsub + 1, lit(dsub)), col("cent")).as("d2"))
+      .groupBy("q_id", "m")
+      .agg(transform(array_sort(collect_list(struct(col("k"), col("d2")))),
+        p => p.getField("d2")).as("trow"))
+      .groupBy("q_id")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("trow")))),
+        p => p.getField("trow")).as("table"))
+  }
+
+  /** Distributed-query ADC search: same ranking as [[searchTopK]]
+    * (d2 asc, n_id asc) but the query side stays a DataFrame end to end —
+    * block-partitioned against the code table exactly like
+    * [[graft.ml.AnnOps.bruteForceTopKDistributed]], with bounded
+    * [[graft.functions.topkPairs]] heaps (keyed on -d2 so "best" = lowest
+    * distance) instead of a rank window. Driver memory flat in |Q|.
+    */
+  def searchTopKDistributed(codes: DataFrame, cents: DataFrame,
+      queries: DataFrame, topK: Int, blocks: Int = 0): DataFrame = {
+    import graft.functions.topkPairs
+    val p = if (blocks > 0) blocks
+      else codes.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val c = codes.select(col("vec_id").as("n_id"), col("codes"),
+      pmod(xxhash64(col("vec_id")), lit(p.toLong)).cast("int").as("cb"))
+    val q = queryTablesDistributed(cents, queries)
+      .withColumn("cb", explode(sequence(lit(0), lit(p - 1))))
+    c.join(q.hint("shuffle_hash"), Seq("cb"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), adcDist.as("d2"))
+      .groupBy("q_id")
+      .agg(topkPairs(negate(col("d2")), col("n_id"), topK).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("rk0", "t")))
+      .select(col("q_id"), col("t.n_id").as("n_id"),
+        negate(col("t.sim")).as("d2"), (col("rk0") + 1).cast("int").as("rk"))
+  }
 
   def searchTopK(codes: DataFrame, cents: DataFrame, queries: DataFrame,
       topK: Int): DataFrame = {
