@@ -1,0 +1,385 @@
+package graft.etl
+
+import graft.GraftSession
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential fuzzing of the ETL compiler (Transform → ZedExpr parse →
+  * Catalyst plan): randomly generated rule sets (stateless + denorm, random
+  * predicates / record constructions rendered to the actual expression
+  * STRINGS, so the parser is fuzzed too) run through [[Compiler]] on Spark
+  * and through an independent collection-based interpreter of the
+  * documented semantics (anti-join, first-match routing, inner join, dense
+  * per-topic renumbering). Outputs must match as multisets, and a second
+  * run with the emitted done-set folded in must emit nothing (exactly-once
+  * idempotency).
+  *
+  * Generation is deterministic (seeded, the CodecPropertySpec pattern — no
+  * scalatestplus bridge in the build), ≥100 programs per run.
+  */
+class EtlFuzzSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.local(4)
+
+  // ------------------------------------------------------------ input data
+
+  private val topics = Seq("t0", "t1", "t2")
+  private val ops = Seq("c", "r", "u", "d")
+  private val names = Seq("ann", "bob", "cyd", "dee")
+
+  /** One input envelope row, as a nested map the interpreter evaluates
+    * directly and the builder turns into a Spark Row.
+    */
+  type RowMap = Map[String, Any]
+
+  private val inputSchema = StructType(Seq(
+    StructField("kafka", StructType(Seq(
+      StructField("topic", StringType), StructField("partition", LongType),
+      StructField("offset", LongType)))),
+    StructField("key", StructType(Seq(StructField("id", LongType)))),
+    StructField("value", StructType(Seq(
+      StructField("op", StringType), StructField("id", LongType),
+      StructField("amount", LongType), StructField("name", StringType))))))
+
+  private def genRows(seed: Seed): (Seq[RowMap], Seq[(String, Long)]) = {
+    val g = for {
+      perTopic <- Gen.sequence[Seq[Seq[RowMap]], Seq[RowMap]](topics.map { t =>
+        for {
+          n <- Gen.choose(2, 8)
+          offs <- Gen.pick(n, 0 until 40)
+          // value.id and key.id each distinct WITHIN a topic so every
+          // denorm join is at most 1:1 per pair of topics — ties in the
+          // renumbering window would otherwise make row_number output
+          // genuinely nondeterministic (same (left-kafka) sort key twice)
+          vids <- Gen.pick(n, 0 until 12)
+          kids <- Gen.pick(n, 0 until 12)
+          rows <- Gen.sequence[Seq[RowMap], RowMap]((0 until n).map { i =>
+            for {
+              op <- Gen.oneOf(ops)
+              amount <- Gen.choose(-50L, 200L)
+              name <- Gen.oneOf(names)
+            } yield Map(
+              "kafka" -> Map("topic" -> t, "partition" -> 0L,
+                "offset" -> offs(i).toLong),
+              "key" -> Map("id" -> kids(i).toLong),
+              "value" -> Map("op" -> op, "id" -> vids(i).toLong,
+                "amount" -> amount, "name" -> name))
+          })
+        } yield rows
+      })
+      all = perTopic.flatten
+      doneFrac <- Gen.choose(0, 3)
+      done <- Gen.pick(math.min(doneFrac, all.size), all)
+    } yield (all, done.map(r => kafkaOf(r)).toSeq)
+    g(Gen.Parameters.default, seed).getOrElse(sys.error("row gen failed"))
+  }
+
+  private def kafkaOf(r: RowMap): (String, Long) = {
+    val k = r("kafka").asInstanceOf[RowMap]
+    (k("topic").asInstanceOf[String], k("offset").asInstanceOf[Long])
+  }
+
+  private def toSparkRows(rows: Seq[RowMap]): DataFrame = {
+    val data = rows.map { r =>
+      val k = r("kafka").asInstanceOf[RowMap]
+      val key = r("key").asInstanceOf[RowMap]
+      val v = r("value").asInstanceOf[RowMap]
+      Row(Row(k("topic"), k("partition"), k("offset")), Row(key("id")),
+        Row(v("op"), v("id"), v("amount"), v("name")))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 2), inputSchema)
+  }
+
+  // ------------------------------------------ expression generator + eval
+
+  /** A generated expression: its rendered Zed-ish source plus an
+    * interpreter. Paths resolve against an environment of nested maps.
+    */
+  private case class FExpr(src: String, eval: RowMap => Any)
+
+  private def resolve(env: RowMap, path: Seq[String]): Any =
+    path.foldLeft(env: Any) {
+      case (m: Map[_, _], p) => m.asInstanceOf[RowMap].getOrElse(p, null)
+      case (null, _) => null
+      case (other, p) => sys.error(s"cannot descend into $other at $p")
+    }
+
+  /** Long-valued paths relative to one input row. */
+  private val longPaths = Seq(
+    Seq("value", "amount"), Seq("value", "id"), Seq("key", "id"),
+    Seq("kafka", "offset"))
+  private val strPaths = Seq(Seq("value", "op"), Seq("value", "name"))
+
+  private def pathExpr(prefix: Seq[String], p: Seq[String]): FExpr =
+    FExpr((prefix ++ p).mkString("."), env => resolve(env, prefix ++ p))
+
+  private def genLong(prefix: Seq[String], depth: Int): Gen[FExpr] = {
+    val leaf = Gen.oneOf(
+      Gen.oneOf(longPaths).map(p => pathExpr(prefix, p)),
+      Gen.choose(-9L, 99L).map(n => FExpr(n.toString, _ => n)))
+    if (depth <= 0) leaf
+    else Gen.frequency(
+      3 -> leaf,
+      2 -> (for {
+        op <- Gen.oneOf("+", "-", "*")
+        l <- genLong(prefix, depth - 1)
+        r <- genLong(prefix, depth - 1)
+      } yield FExpr(s"(${l.src} $op ${r.src})", { env =>
+        val (a, b) = (l.eval(env).asInstanceOf[Long], r.eval(env).asInstanceOf[Long])
+        op match { case "+" => a + b case "-" => a - b case "*" => a * b }
+      })))
+  }
+
+  private def genStr(prefix: Seq[String]): Gen[FExpr] = Gen.oneOf(
+    Gen.oneOf(strPaths).map(p => pathExpr(prefix, p)),
+    Gen.oneOf(ops ++ names).map(s => FExpr(s""""$s"""", _ => s)))
+
+  private def genBool(prefix: Seq[String], depth: Int): Gen[FExpr] = {
+    val cmpLong = for {
+      op <- Gen.oneOf("==", "!=", "<", "<=", ">", ">=")
+      l <- genLong(prefix, 1)
+      r <- genLong(prefix, 1)
+    } yield FExpr(s"${l.src} $op ${r.src}", { env =>
+      val (a, b) = (l.eval(env).asInstanceOf[Long], r.eval(env).asInstanceOf[Long])
+      op match {
+        case "==" => a == b case "!=" => a != b case "<" => a < b
+        case "<=" => a <= b case ">" => a > b case ">=" => a >= b
+      }
+    })
+    val cmpStr = for {
+      op <- Gen.oneOf("==", "!=")
+      l <- Gen.oneOf(strPaths).map(p => pathExpr(prefix, p))
+      r <- Gen.oneOf(ops ++ names)
+    } yield FExpr(s"""${l.src} $op "$r"""", { env =>
+      val a = l.eval(env).asInstanceOf[String]
+      if (op == "==") a == r else a != r
+    })
+    val inList = for {
+      l <- Gen.oneOf(strPaths).map(p => pathExpr(prefix, p))
+      items <- Gen.nonEmptyListOf(Gen.oneOf(ops ++ names)).map(_.distinct)
+    } yield FExpr(
+      s"""${l.src} in [${items.map(s => s""""$s"""").mkString(", ")}]""",
+      env => items.contains(l.eval(env).asInstanceOf[String]))
+    val leaf = Gen.oneOf(cmpLong, cmpStr, inList)
+    if (depth <= 0) leaf
+    else Gen.frequency(
+      4 -> leaf,
+      1 -> (for { l <- genBool(prefix, depth - 1); r <- genBool(prefix, depth - 1) }
+        yield FExpr(s"(${l.src} and ${r.src})",
+          env => l.eval(env).asInstanceOf[Boolean] && r.eval(env).asInstanceOf[Boolean])),
+      1 -> (for { l <- genBool(prefix, depth - 1); r <- genBool(prefix, depth - 1) }
+        yield FExpr(s"(${l.src} or ${r.src})",
+          env => l.eval(env).asInstanceOf[Boolean] || r.eval(env).asInstanceOf[Boolean])),
+      1 -> genBool(prefix, depth - 1).map(e =>
+        FExpr(s"not (${e.src})", env => !e.eval(env).asInstanceOf[Boolean])))
+  }
+
+  /** The out-record construction: typed field pool so heterogeneous rule
+    * outputs always fuse under unionByName (same name ⇒ same type).
+    */
+  private def genOutRecord(prefix: Seq[String]): Gen[FExpr] = {
+    val fieldGens: Seq[(String, Gen[FExpr])] = Seq(
+      "n1" -> genLong(prefix, 2), "n2" -> genLong(prefix, 1),
+      "s1" -> genStr(prefix), "s2" -> genStr(prefix),
+      "b1" -> genBool(prefix, 1),
+      "z1" -> Gen.const(FExpr(
+        s"cast(null, typeof(${(prefix ++ Seq("value", "amount")).mkString(".")}))",
+        _ => null)),
+      "r1" -> (for { x <- genLong(prefix, 1); y <- genStr(prefix) }
+        yield FExpr(s"{ x: ${x.src}, y: ${y.src} }",
+          env => Map("x" -> x.eval(env), "y" -> y.eval(env)))))
+    for {
+      picked <- Gen.someOf(fieldGens).suchThat(_.nonEmpty)
+      exprs <- Gen.sequence[Seq[FExpr], FExpr](picked.map(_._2))
+    } yield {
+      val fields = picked.map(_._1).zip(exprs)
+      FExpr(
+        fields.map { case (n, e) => s"$n: ${e.src}" }.mkString("{ ", ", ", " }"),
+        env => fields.map { case (n, e) => n -> e.eval(env) }.toMap)
+    }
+  }
+
+  // ------------------------------------------------------- rule generator
+
+  private case class FRule(rule: Rule, where: Option[FExpr], out: FExpr)
+
+  private def genRule: Gen[FRule] = Gen.oneOf(
+    for { // stateless
+      in <- Gen.oneOf(topics)
+      outTopic <- Gen.oneOf("o0", "o1")
+      whereOpt <- Gen.option(genBool(Nil, 2))
+      outRec <- genOutRecord(Seq("in"))
+    } yield FRule(
+      Rule("stateless", whereOpt.map(_.src).getOrElse(""), in, "", "", "",
+        outTopic, s"out := ${outRec.src}"),
+      whereOpt, outRec),
+    for { // denorm
+      lr <- Gen.pick(2, topics)
+      outTopic <- Gen.oneOf("o0", "o1")
+      whereOpt <- Gen.option(genBool(Nil, 1))
+      lKey <- Gen.oneOf(Seq("value", "id"), Seq("key", "id"))
+      rKey <- Gen.oneOf(Seq("value", "id"), Seq("key", "id"))
+      outRec <- genOutRecord(Seq("left"))
+    } yield FRule(
+      Rule("denorm", whereOpt.map(_.src).getOrElse(""), "", lr(0), lr(1),
+        s"left.${lKey.mkString(".")} = right.${rKey.mkString(".")}",
+        outTopic, s"out := ${outRec.src}"),
+      whereOpt, outRec))
+
+  private case class FProgram(transform: Transform, rules: Seq[FRule],
+      baseOffsets: Map[String, Long])
+
+  private def genProgram(seed: Seed): FProgram = {
+    val g = for {
+      n <- Gen.choose(1, 3)
+      rules <- Gen.listOfN(n, genRule)
+      b0 <- Gen.choose(0L, 100L)
+      b1 <- Gen.choose(0L, 100L)
+    } yield FProgram(
+      Transform(topics.map(t => TopicPool(t, "rawpool")),
+        Seq(TopicPool("o0", "stagepool")), rules.map(_.rule)),
+      rules, Map("o0" -> b0, "o1" -> b1))
+    g(Gen.Parameters.default, seed).getOrElse(sys.error("program gen failed"))
+  }
+
+  // ------------------------------------------------- reference interpreter
+
+  /** Straight-line implementation of the documented ETL semantics over
+    * plain collections — the oracle the Catalyst plan must match.
+    */
+  private def interpret(prog: FProgram, rows: Seq[RowMap],
+      done: Set[(String, Long)]): Seq[RowMap] = {
+    val undone = rows.filter(r => !done(kafkaOf(r)))
+    // first-match routing
+    def ruleFor(r: RowMap): Int = prog.rules.indexWhere { fr =>
+      val whereOk = fr.where.forall(_.eval(r).asInstanceOf[Boolean])
+      fr.rule.ruleType match {
+        case "stateless" =>
+          whereOk && r("kafka").asInstanceOf[RowMap]("topic") == fr.rule.in
+        case "denorm" => whereOk
+      }
+    }
+    val routed = undone.map(r => (r, ruleFor(r)))
+    // (out-map, in-kafka, out-topic) data rows + done kafkas per rule
+    val parts = prog.rules.zipWithIndex.map { case (fr, i) =>
+      val matched = routed.collect { case (r, ri) if ri == i => r }
+      fr.rule.ruleType match {
+        case "stateless" =>
+          val data = matched.map { r =>
+            (fr.out.eval(Map("in" -> r)).asInstanceOf[RowMap], kafkaOf(r),
+              fr.rule.out)
+          }
+          (data, matched.map(r => (kafkaOf(r), fr.rule.out)))
+        case "denorm" =>
+          val Array(lp, rp) = fr.rule.joinOn.split("=").map(_.trim.split('.').toSeq)
+          val lrows = matched.filter(r =>
+            r("kafka").asInstanceOf[RowMap]("topic") == fr.rule.left)
+          val rrows = matched.filter(r =>
+            r("kafka").asInstanceOf[RowMap]("topic") == fr.rule.right)
+          val joined = for {
+            l <- lrows; r <- rrows
+            if resolve(Map("left" -> l), lp) == resolve(Map("right" -> r), rp)
+          } yield (l, r)
+          val data = joined.map { case (l, r) =>
+            (fr.out.eval(Map("left" -> l, "right" -> r)).asInstanceOf[RowMap],
+              kafkaOf(l), fr.rule.out)
+          }
+          (data, joined.flatMap { case (l, r) =>
+            Seq((kafkaOf(l), fr.rule.out), (kafkaOf(r), fr.rule.out)) })
+      }
+    }
+    val allData = parts.flatMap(_._1)
+    val allDone = parts.flatMap(_._2)
+    val fieldUnion = prog.rules
+      .flatMap(_.out.eval(Map("in" -> sampleRow, "left" -> sampleRow,
+        "right" -> sampleRow)).asInstanceOf[RowMap].keys).distinct
+    // dense renumbering per out topic in (in-offset, in-topic) order
+    val renumbered = allData.groupBy(_._3).toSeq.flatMap { case (ot, group) =>
+      val base = prog.baseOffsets.getOrElse(ot, 0L)
+      group.sortBy { case (_, (t, o), _) => (o, t) }.zipWithIndex.map {
+        case ((out, _, _), i) =>
+          fieldUnion.map(f => f -> out.getOrElse(f, null)).toMap ++ Map(
+            "kafka" -> Map("topic" -> ot, "offset" -> (base + i)),
+            "_type" -> null, "_outtopic" -> ot)
+      }
+    }
+    val doneOut = allDone.map { case ((t, o), ot) =>
+      fieldUnion.map(f => f -> (null: Any)).toMap ++ Map(
+        "kafka" -> Map("topic" -> t, "offset" -> o),
+        "_type" -> "done", "_outtopic" -> ot)
+    }
+    renumbered ++ doneOut
+  }
+
+  /** Any well-formed row works for discovering a rule's output field set
+    * (field names don't depend on values).
+    */
+  private val sampleRow: RowMap = Map(
+    "kafka" -> Map("topic" -> "t0", "partition" -> 0L, "offset" -> 0L),
+    "key" -> Map("id" -> 0L),
+    "value" -> Map("op" -> "c", "id" -> 0L, "amount" -> 0L, "name" -> "ann"))
+
+  // --------------------------------------------------------- canonicalizer
+
+  private def canonSpark(v: Any): Any = v match {
+    case r: Row =>
+      r.schema.fieldNames.sorted.toList.map(n => n -> canonSpark(r.getAs[Any](n)))
+    case other => other
+  }
+
+  private def canonMap(v: Any): Any = v match {
+    case m: Map[_, _] =>
+      m.asInstanceOf[RowMap].toList.sortBy(_._1).map { case (k, x) => k -> canonMap(x) }
+    case other => other
+  }
+
+  // ---------------------------------------------------------------- tests
+
+  test("120 random ETL programs: Catalyst plan == reference interpreter, then idempotent") {
+    var checkedRows = 0L
+    for (caseNo <- 0 until 120) {
+      val seed = Seed(1000L + caseNo)
+      val (rows, doneSeq) = genRows(seed)
+      val prog = genProgram(seed.next)
+      val done = doneSeq.toSet
+      val label = s"case $caseNo: ${prog.transform.rules.map(r =>
+        s"${r.ruleType}(${r.where})->${r.zed}").mkString(" | ")}"
+
+      val inputDf = toSparkRows(rows)
+      val doneDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          doneSeq.map { case (t, o) => Row(t, o) }, 1),
+        StructType(Seq(StructField("topic", StringType),
+          StructField("offset", LongType))))
+
+      val got = Compiler.compile(prog.transform)
+        .run(inputDf, doneDf, prog.baseOffsets)
+      val gotRows = got.collect().toSeq.map(canonSpark).map(_.toString).sorted
+      val want = interpret(prog, rows, done).map(canonMap).map(_.toString).sorted
+      assert(gotRows == want, s"\n$label\ngot=${gotRows.take(6)}\nwant=${want.take(6)}")
+      checkedRows += gotRows.size
+
+      // idempotency: fold emitted done pairs into the done set; re-run
+      // must emit nothing
+      val emittedDone = interpret(prog, rows, done).collect {
+        case m if m("_type") == "done" =>
+          val k = m("kafka").asInstanceOf[RowMap]
+          (k("topic").asInstanceOf[String], k("offset").asInstanceOf[Long])
+      }
+      val done2 = (doneSeq ++ emittedDone).distinct
+      val doneDf2 = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          done2.map { case (t, o) => Row(t, o) }, 1),
+        StructType(Seq(StructField("topic", StringType),
+          StructField("offset", LongType))))
+      val rerun = Compiler.compile(prog.transform)
+        .run(inputDf, doneDf2, prog.baseOffsets).count()
+      assert(rerun == 0L, s"$label: re-run emitted $rerun rows, expected 0")
+    }
+    info(s"120 programs, $checkedRows output rows compared")
+  }
+}
