@@ -29,11 +29,13 @@ import scala.jdk.CollectionConverters._
   * Appends are multi-writer safe (nonce'd file names + create-exclusive
   * manifest publication, see [[append]]) — past the reference's
   * single-writer decree (README.md:148-155,168-177); compaction aborts if
-  * it loses the race (see [[compact]]). On object stores without hard
-  * links, swap the publish primitive for a conditional PUT.
+  * it loses the race (see [[compact]]). Publication goes through the
+  * pluggable [[CommitPublisher]] create-if-absent primitive — hard link on
+  * POSIX (default), conditional PUT on object stores.
   */
 final class Pool private (val spark: SparkSession, val name: String,
-    val root: Path, val key: String) {
+    val root: Path, val key: String,
+    val publisher: CommitPublisher = CommitPublisher.HardLink) {
 
   private def commitsDir = root.resolve("_commits")
   private def dataDir = root.resolve("data")
@@ -262,14 +264,12 @@ final class Pool private (val spark: SparkSession, val name: String,
     try {
       while (attempt < maxAttempts) {
         val commitId = f"${nextSeq()}%08d"
-        try {
-          // hard link = atomic create-exclusive on POSIX: fails (rather
-          // than replaces) if another writer took this sequence number
-          Files.createLink(commitsDir.resolve(s"$commitId.txt"), tmp)
+        // create-if-absent CAS (hard link on POSIX, conditional PUT on
+        // object stores): fails — rather than replaces — if another
+        // writer took this sequence number
+        if (publisher.publish(commitsDir.resolve(s"$commitId.txt"), tmp))
           return commitId
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => attempt += 1
-        }
+        attempt += 1
       }
       throw new IllegalStateException(
         s"pool $name: lost $maxAttempts commit races, giving up")
@@ -323,14 +323,14 @@ final class Pool private (val spark: SparkSession, val name: String,
     val rangeLine = renderRanges(ranges)
     Files.write(tmp, ("#compact" +: offLine +: rangeLine +: names).mkString("\n").getBytes)
     try {
-      Files.createLink(commitsDir.resolve(s"$expected.txt"), tmp)
-      deleteRecursively(staging)
-      expected
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
+      if (publisher.publish(commitsDir.resolve(s"$expected.txt"), tmp)) {
+        deleteRecursively(staging)
+        expected
+      } else {
         names.foreach(n => Files.deleteIfExists(dataDir.resolve(n)))
         deleteRecursively(staging)
         "conflict"
+      }
     } finally Files.deleteIfExists(tmp)
   }
 
@@ -452,7 +452,8 @@ object Pool {
     * etl/pool.go:36-40.
     */
   def create(spark: SparkSession, root: String, name: String,
-      key: String = "kafka.offset"): Pool = {
+      key: String = "kafka.offset",
+      publisher: CommitPublisher = CommitPublisher.HardLink): Pool = {
     val dir = Paths.get(root, name)
     Files.createDirectories(dir)
     val meta = dir.resolve("pool.json")
@@ -463,15 +464,16 @@ object Pool {
     } else {
       Files.write(meta, s"""{"key": "$key"}""".getBytes)
     }
-    new Pool(spark, name, dir, key)
+    new Pool(spark, name, dir, key, publisher)
   }
 
-  def open(spark: SparkSession, root: String, name: String): Pool = {
+  def open(spark: SparkSession, root: String, name: String,
+      publisher: CommitPublisher = CommitPublisher.HardLink): Pool = {
     val dir = Paths.get(root, name)
     require(Files.exists(dir.resolve("pool.json")), s"no such pool: $name under $root")
     val meta = new String(Files.readAllBytes(dir.resolve("pool.json")))
     val key = "\"key\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(meta)
       .map(_.group(1)).getOrElse("kafka.offset")
-    new Pool(spark, name, dir, key)
+    new Pool(spark, name, dir, key, publisher)
   }
 }

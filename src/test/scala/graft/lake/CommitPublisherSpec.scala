@@ -1,0 +1,91 @@
+package graft.lake
+
+import graft.GraftSession
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import java.util.concurrent.CountDownLatch
+
+/** The conditional-PUT publish primitive must give the same multi-writer
+  * guarantees the POSIX hard-link path gives: exactly one winner per
+  * manifest name, losers observe the loss (and retry at the next sequence
+  * number), readers never see a partial manifest.
+  */
+class CommitPublisherSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(4)
+
+  val schema: StructType = StructType(Seq(
+    StructField("kafka", StructType(Seq(
+      StructField("topic", StringType), StructField("offset", LongType)))),
+    StructField("v", LongType)))
+
+  def batch(topic: String, offsets: Range): org.apache.spark.sql.DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(
+      offsets.map(o => Row(Row(topic, o.toLong), o.toLong * 10))), schema)
+
+  test("conditional PUT: one winner among racing writers, content is the winner's") {
+    val dir = Files.createTempDirectory("cput")
+    val target = dir.resolve("00000001.txt")
+    val pub = new CommitPublisher.ConditionalPut
+    val n = 16
+    val latch = new CountDownLatch(1)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = (0 until n).map { i =>
+      val tmp = dir.resolve(s".tmp-$i")
+      Files.write(tmp, s"writer-$i".getBytes)
+      Future { latch.await(); (i, pub.publish(target, tmp)) }
+    }
+    latch.countDown()
+    val done = Await.result(Future.sequence(results), 60.seconds)
+    val winners = done.filter(_._2)
+    assert(winners.size == 1, s"expected one winner, got $winners")
+    assert(new String(Files.readAllBytes(target)) == s"writer-${winners.head._1}")
+  }
+
+  test("conditional PUT: a pre-existing object (earlier process) counts as taken") {
+    val dir = Files.createTempDirectory("cput-pre")
+    val target = dir.resolve("00000001.txt")
+    Files.write(target, "earlier process".getBytes)
+    val tmp = dir.resolve(".tmp")
+    Files.write(tmp, "latecomer".getBytes)
+    assert(!new CommitPublisher.ConditionalPut().publish(target, tmp))
+    assert(new String(Files.readAllBytes(target)) == "earlier process")
+  }
+
+  test("concurrent appends through conditional PUT: every commit lands exactly once") {
+    val root = Files.createTempDirectory("pool-cput").toString
+    // separate Pool instances on the same root = separate writer processes
+    Pool.create(spark, root, "C", publisher = new CommitPublisher.ConditionalPut)
+    val writers = 8
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val ids = Await.result(
+      Future.sequence((0 until writers).map(i => Future {
+        Pool.open(spark, root, "C", new CommitPublisher.ConditionalPut)
+          .append(batch(s"t$i", 0 until 10))
+      })), 120.seconds)
+    assert(ids.toSet.size == writers, s"duplicate commit ids: $ids")
+    val p = Pool.open(spark, root, "C", new CommitPublisher.ConditionalPut)
+    assert(p.commits().size == writers)
+    assert(p.read().count() == writers * 10L)
+    val perTopic = p.read().groupBy("kafka.topic").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perTopic == (0 until writers).map(i => s"t$i" -> 10L).toMap)
+    assert(p.vacuum(graceMs = 0L) == 0, "no dead files after contended appends")
+  }
+
+  test("compact through conditional PUT aborts on conflict like the hard-link path") {
+    val root = Files.createTempDirectory("pool-cput-cmp").toString
+    val p = Pool.create(spark, root, "K", publisher = new CommitPublisher.ConditionalPut)
+    p.append(batch("a", 0 until 5))
+    p.append(batch("a", 5 until 9))
+    assert(p.compact() != "conflict")
+    assert(p.read().count() == 9)
+    assert(p.nextProducerOffsets() == Map("a" -> 9L))
+  }
+}
