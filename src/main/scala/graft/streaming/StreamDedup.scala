@@ -38,7 +38,8 @@ object StreamDedup {
     */
   def minhashCandidates(docs: DataFrame, tsCol: String, delay: String,
       ttlMs: Long, shingleN: Int = 3, k: Int = 64,
-      bands: Int = 16): Dataset[Candidate] = {
+      bands: Int = 16,
+      metrics: Option[StreamMetrics.DedupMetrics] = None): Dataset[Candidate] = {
     import docs.sparkSession.implicits._
     // One fused native expression from shingle hashes to band keys: the
     // sliced-Column formulation duplicates the whole shingle pipeline
@@ -54,24 +55,32 @@ object StreamDedup {
       .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
         col("doc_id"), col("ts"))
       .as[BandHit]
-    candidatesFromHits(hits, ttlMs)
+    candidatesFromHits(hits, ttlMs, metrics)
   }
 
   /** The stateful stage alone, over precomputed band hits — the seam the
     * batch-replay gate uses to feed both the streaming semantics and the
     * batch replica from ONE materialized band-row set.
+    *
+    * @param metrics optional ops counters (live/expired buckets, candidate
+    *                pairs) — see [[StreamMetrics.DedupMetrics]]
     */
-  def candidatesFromHits(hits: Dataset[BandHit], ttlMs: Long): Dataset[Candidate] = {
+  def candidatesFromHits(hits: Dataset[BandHit], ttlMs: Long,
+      metrics: Option[StreamMetrics.DedupMetrics] = None): Dataset[Candidate] = {
     import hits.sparkSession.implicits._
     hits
       .groupByKey(h => (h.band, h.bucket))
       .flatMapGroupsWithState[BucketState, Candidate](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case ((band, bucket), hits, state) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
+          if (state.hasTimedOut) {
+            state.remove()
+            metrics.foreach { m => m.bucketsExpired.add(1); m.bucketsLive.add(-1) }
+            Iterator.empty
+          } else {
             // deterministic first-arrival within the micro-batch
             val sorted = hits.toSeq.sortBy(h => (h.ts.getTime, h.doc_id))
+            val hadState = state.exists
             var st = state.getOption
             val out = Seq.newBuilder[Candidate]
             for (h <- sorted) st match {
@@ -86,7 +95,14 @@ object StreamDedup {
               state.update(s)
               state.setTimeoutTimestamp(s.lastMs + ttlMs)
             }
-            out.result().iterator
+            val cands = out.result()
+            metrics.foreach { m =>
+              if (!hadState && st.nonEmpty) {
+                m.bucketsLive.add(1); m.bucketsCreated.add(1)
+              }
+              m.candidates.add(cands.size)
+            }
+            cands.iterator
           }
       }
   }

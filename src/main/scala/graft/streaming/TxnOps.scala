@@ -84,8 +84,13 @@ object TxnOps {
     * Caller must set a watermark on `ts` before calling (event-time
     * timeouts require one); at 100 TB scale this is what keeps the state
     * store from accreting every crashed producer's half-finished txn.
+    *
+    * @param metrics optional ops counters (completed / timed-out /
+    *                in-flight) updated from the state function — see
+    *                [[StreamMetrics.TxnMetrics]] for the delivery contract
     */
-  def assembleStreamWithTtl(events: Dataset[TimedTxnEvent], ttlMs: Long): Dataset[TxnResult] = {
+  def assembleStreamWithTtl(events: Dataset[TimedTxnEvent], ttlMs: Long,
+      metrics: Option[StreamMetrics.TxnMetrics] = None): Dataset[TxnResult] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.txn)
@@ -95,9 +100,11 @@ object TxnOps {
           if (state.hasTimedOut) {
             val buf = state.get
             state.remove()
+            metrics.foreach { m => m.timedOut.add(1); m.inFlight.add(-1) }
             val sorted = buf.records.sortBy(_.seqno).map(_.payload)
             Iterator.single(TxnResult(txn, sorted, sorted.size.toLong, complete = false))
           } else {
+            val hadState = state.exists
             val prev = state.getOption.getOrElse(TxnBuf(Nil, done = false))
             val evs = it.toList
             val buf = TxnBuf(
@@ -105,10 +112,15 @@ object TxnOps {
               prev.done || evs.exists(_.done))
             if (buf.done) {
               state.remove()
+              metrics.foreach { m =>
+                m.completed.add(1)
+                if (hadState) m.inFlight.add(-1)
+              }
               val sorted = buf.records.sortBy(_.seqno).map(_.payload)
               Iterator.single(TxnResult(txn, sorted, sorted.size.toLong, complete = true))
             } else {
               state.update(buf)
+              metrics.foreach(m => if (!hadState) m.inFlight.add(1))
               // Deadline = newest event in this txn + TTL, kept strictly
               // ahead of the watermark (setTimeoutTimestamp requires it).
               val maxTs = evs.map(_.ts.getTime).foldLeft(0L)(math.max)

@@ -169,4 +169,57 @@ class StreamSpec extends AnyFunSuite {
     assert(kept == Seq("alpha", "beta", "gamma"),
       s"each content survives exactly once, got $kept")
   }
+
+  test("ops metrics: dedup bucket/candidate counters move, TTL expiry counted") {
+    val base = "the quick brown fox jumps over the lazy dog and then runs far " +
+      "away across the wide green field toward the old stone bridge by the river"
+    val dir = Files.createTempDirectory("sminhash-metrics-src")
+    def writeBatch(name: String, lines: Seq[String]): Unit = {
+      val tmp = dir.resolve(s".$name"); Files.write(tmp, lines.mkString("\n").getBytes)
+      Files.move(tmp, dir.resolve(name))
+    }
+    def rec(id: Long, text: String, ts: String) =
+      s"""{"doc_id":$id,"text":"$text","ts":"$ts"}"""
+    writeBatch("b1.json", Seq(rec(1, base, "2024-01-01T00:00:00Z")))
+
+    val metrics = new StreamMetrics.DedupMetrics(spark)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .json(dir.toString)
+    val q = StreamDedup.minhashCandidates(stream, "ts", "1 second",
+      ttlMs = 2000L, metrics = Some(metrics))
+      .writeStream.outputMode("append").format("memory").queryName("sminhash_m_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val liveAfterFirst = metrics.bucketsLive.value
+      assert(liveAfterFirst >= 1L, "doc 1 occupies its band buckets")
+      assert(metrics.candidates.value == 0L)
+
+      // an exact duplicate within the TTL: candidates fire
+      writeBatch("b2.json", Seq(rec(2, base, "2024-01-01T00:00:01Z")))
+      q.processAllAvailable()
+      assert(metrics.candidates.value >= 1L, "duplicate produced candidates")
+
+      // an event far past every deadline advances the watermark (timeouts
+      // then fire in whatever batch — including a no-data batch — runs
+      // against it) and reclaims doc 1/2's idle buckets; doc 4 duplicates
+      // doc 3 exactly, so it claims no new buckets
+      writeBatch("b3.json", Seq(rec(3, "totally unrelated words here",
+        "2024-01-01T01:00:00Z")))
+      q.processAllAvailable()
+      writeBatch("b4.json", Seq(rec(4, "totally unrelated words here",
+        "2024-01-01T01:00:01Z")))
+      q.processAllAvailable()
+      assert(metrics.bucketsExpired.value >= liveAfterFirst,
+        s"doc 1/2's idle buckets reclaimed (expired=${metrics.bucketsExpired.value})")
+      assert(metrics.bucketsLive.value ==
+        metrics.bucketsCreated.value - metrics.bucketsExpired.value,
+        s"net live gauge == created - expired " +
+          s"(live=${metrics.bucketsLive.value} " +
+          s"created=${metrics.bucketsCreated.value} " +
+          s"expired=${metrics.bucketsExpired.value})")
+      assert(metrics.bucketsLive.value >= 1L, "doc 3/4's buckets still live")
+    } finally q.stop()
+  }
 }

@@ -91,4 +91,59 @@ class TxnSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList, r.getLong(2)))
     assert(dead.toSeq == Seq((1L, List("a1"), 1L)), "txn 1 dead-letters with its partial bundle")
   }
+
+  test("ops metrics: completed / timed-out / in-flight counters move") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("txn-metrics-src")
+    def write(name: String, lines: Seq[String]): Unit = {
+      val tmp = dir.resolve(s".$name"); Files.write(tmp, lines.mkString("\n").getBytes)
+      Files.move(tmp, dir.resolve(name))
+    }
+    // txn 1 abandoned, txn 2 completes, txn 3 stays in flight
+    write("b1.json", Seq(
+      """{"txn":1,"seqno":1,"payload":"a1","done":false,"ts":"2024-01-01T00:00:00Z"}""",
+      """{"txn":2,"seqno":1,"payload":"b1","done":false,"ts":"2024-01-01T00:00:01Z"}""",
+      """{"txn":2,"seqno":2,"payload":"b-end","done":true,"ts":"2024-01-01T00:00:02Z"}"""))
+
+    val metrics = new StreamMetrics.TxnMetrics(spark)
+    val gauge = new StreamMetrics.StateGaugeListener
+    spark.streams.addListener(gauge)
+    val stream = spark.readStream
+      .schema("txn LONG, seqno LONG, payload STRING, done BOOLEAN, ts TIMESTAMP")
+      .json(dir.toString)
+      .withWatermark("ts", "2 seconds")
+      .as[TxnOps.TimedTxnEvent]
+    val q = TxnOps.assembleStreamWithTtl(stream, ttlMs = 5000L, Some(metrics))
+      .writeStream.outputMode("append").format("memory").queryName("txn_m_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(metrics.completed.value == 1L, "txn 2 completed")
+      assert(metrics.timedOut.value == 0L)
+      assert(metrics.inFlight.value == 1L, "txn 1 buffered")
+
+      // push the watermark past txn 1's deadline, then one more batch so
+      // the timeout fires
+      write("b2.json", Seq(
+        """{"txn":3,"seqno":1,"payload":"c1","done":false,"ts":"2024-01-01T00:01:00Z"}"""))
+      q.processAllAvailable()
+      write("b3.json", Seq(
+        """{"txn":3,"seqno":2,"payload":"c2","done":false,"ts":"2024-01-01T00:01:01Z"}"""))
+      q.processAllAvailable()
+      assert(metrics.timedOut.value == 1L, "txn 1 dead-lettered")
+      assert(metrics.completed.value == 1L)
+      assert(metrics.inFlight.value == 1L, "txn 3 still buffered")
+
+      // the engine-level gauge observed the buffered state (progress
+      // events are async — poll briefly)
+      val deadline = System.currentTimeMillis() + 20000
+      while (gauge.stateRows(q.id).isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(gauge.stateRows(q.id).exists(_ >= 1L),
+        s"state gauge saw ${gauge.stateRows(q.id)} rows")
+    } finally {
+      q.stop()
+      spark.streams.removeListener(gauge)
+    }
+  }
 }
