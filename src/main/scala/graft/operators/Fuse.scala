@@ -30,6 +30,8 @@ object Fuse {
       } ++ y.fields.filterNot(f => x.fieldNames.contains(f.name))
       StructType(merged)
     case (ArrayType(xi, _), ArrayType(yi, _)) => ArrayType(fuseType(xi, yi))
+    case (MapType(xk, xv, _), MapType(yk, yv, _)) =>
+      MapType(fuseType(xk, yk), fuseType(xv, yv))
     case (x: NumericType, y: NumericType) =>
       // numeric widening: the wider of the two
       val order: Seq[DataType] =

@@ -26,11 +26,39 @@ object Zson {
 
   private def value(v: Any, dt: DataType): Option[String] = (v, dt) match {
     case (null, _) => None
+    // type value `<...>` — the tagged one-field struct ZsonValue produces
+    case (r: Row, st: StructType)
+        if st.fieldNames.sameElements(Seq(ZsonValue.TypeValField)) =>
+      Option(r.getString(0)).map(t => s"<$t>")
+    // union — tagged struct {_utag, _u0, ...}: render the branch value
+    // with the `((t1,t2,...))` union-cast decoration, branch names
+    // recovered from the Spark branch types
+    case (r: Row, st: StructType)
+        if st.fieldNames.contains(ZsonValue.UnionTagField) =>
+      val tagIdx = st.fieldIndex(ZsonValue.UnionTagField)
+      if (r.isNullAt(tagIdx)) None
+      else {
+        val tag = r.getInt(tagIdx)
+        val branches = st.fields.toSeq.filter(_.name.startsWith("_u"))
+          .filterNot(_.name == ZsonValue.UnionTagField)
+          .sortBy(_.name.stripPrefix("_u").toInt)
+        val names = branches.map(f => ZsonValue.sparkToZed.getOrElse(f.dataType,
+          throw new IllegalArgumentException(
+            s"unrenderable union branch type ${f.dataType}")))
+        val bf = st.fieldIndex(s"_u$tag")
+        value(r.get(bf), st.fields(bf).dataType)
+          .map(s => s"$s((${names.mkString(",")}))")
+      }
     case (r: Row, st: StructType) =>
       val fields = st.fields.toSeq.flatMap { f =>
         value(r.get(st.fieldIndex(f.name)), f.dataType).map(s => s"${f.name}:$s")
       }
       if (fields.isEmpty) None else Some(fields.mkString("{", ",", "}"))
+    // map `|{k:v,...}|`, entries sorted by rendered key for stable output
+    case (m: scala.collection.Map[_, _], MapType(kt, vt, _)) =>
+      Some(m.toSeq.flatMap { case (k, x) =>
+        for (ks <- value(k, kt); vs <- value(x, vt)) yield s"$ks:$vs"
+      }.sorted.mkString("|{", ",", "}|"))
     case (s: String, _) => Some("\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"

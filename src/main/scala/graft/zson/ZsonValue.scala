@@ -4,15 +4,31 @@ import graft.operators.Fuse
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
-/** ZSON *value* reader for the fixture subset the reference ships
-  * (demo/batch-{1..4}.zson, demo/staging-1.zson, demo/consume-*.zson):
+/** ZSON *value* reader: the fixture subset the reference ships
+  * (demo/batch-{1..4}.zson, demo/staging-1.zson, demo/consume-*.zson) —
   * records, nested records, arrays, strings, int64/float64, bool, null,
   * ISO-8601 timestamps, 0x bytes, `//` comments, trailing commas, and
-  * named-type decorations `(=name)` — the inverse of [[Zson]] rendering.
+  * named-type decorations `(=name)` — plus the exotic literals `produce`
+  * can meet in arbitrary Zed input (cmd/zync/produce/command.go:62-84):
+  *
+  *  - maps `|{"k":v,...}|` → Spark `MapType` (SURVEY §1.2)
+  *  - sets `|[v,...]|` → `ArrayType`; set-ness is dropped, the SAME lossy
+  *    mapping the reference's Avro codec makes (zavro/schema.go:135-143)
+  *  - type values `<int64>` → a tagged one-field struct `{_zt: string}`
+  *    holding the type text (Spark has no first-class type type)
+  *  - union-cast decorations `1((int64,string))` → the SURVEY §7 tagged
+  *    struct `{_utag: int, _u0: <branch0>, _u1: <branch1>, ...}` with the
+  *    value under its branch field; primitive-cast decorations
+  *    (`1.5(float32)`) coerce the scalar
+  *
+  * All of these render back to ZSON text in [[Zson]], so
+  * produce → pool → consume round-trips them.
   *
   * Heterogeneous top-level values fuse into one wide schema
-  * ([[graft.operators.Fuse]]), with decorations carried in the `_type`
-  * marker column (SURVEY §7) — exactly how pools store mixed types.
+  * ([[graft.operators.Fuse]]), with `(=name)` decorations carried in the
+  * `_type` marker column (SURVEY §7) — exactly how pools store mixed
+  * types. Nested `(=name)` decorations are not supported (top-level only,
+  * like the fixtures).
   *
   * Parsing happens on the driver (fixtures and CLI-style `produce` inputs
   * are small); bulk data paths use parquet/JSON Spark sources instead.
@@ -29,6 +45,23 @@ object ZsonValue {
   final case class ZTime(v: java.time.Instant) extends Z
   final case class ZBytes(v: Array[Byte]) extends Z
   case object ZNull extends Z
+  final case class ZMap(entries: Vector[(Z, Z)]) extends Z
+  final case class ZSet(items: Vector[Z]) extends Z
+  final case class ZTypeVal(text: String) extends Z
+  final case class ZUnion(value: Z, branches: Vector[String], tag: Int) extends Z
+
+  /** Marker field names for the tagged-struct encodings. */
+  val TypeValField = "_zt"
+  val UnionTagField = "_utag"
+
+  /** Zed primitive name ⇄ Spark type, the union-branch subset. */
+  private[zson] val ZedPrimitives: Seq[(String, DataType)] = Seq(
+    "int64" -> LongType, "int32" -> IntegerType, "string" -> StringType,
+    "float64" -> DoubleType, "float32" -> FloatType, "bool" -> BooleanType,
+    "time" -> TimestampType, "bytes" -> BinaryType)
+  private val zedToSpark = ZedPrimitives.toMap
+  private[zson] val sparkToZed: Map[DataType, String] =
+    ZedPrimitives.map(_.swap).toMap
 
   /** One top-level value plus its optional named-type decoration. */
   final case class Value(z: Z, name: Option[String])
@@ -51,6 +84,22 @@ object ZsonValue {
       StructType(fields.map { case (n, v) => StructField(n, schemaOf(v)) })
     case ZArray(items) =>
       ArrayType(items.map(schemaOf).foldLeft(NullType: DataType)(Fuse.fuseType))
+    case ZSet(items) => // set-ness dropped, like the reference's Avro codec
+      ArrayType(items.map(schemaOf).foldLeft(NullType: DataType)(Fuse.fuseType))
+    case ZMap(entries) =>
+      // empty maps default to string→string (nothing to infer from)
+      if (entries.isEmpty) MapType(StringType, StringType)
+      else MapType(
+        entries.map(e => schemaOf(e._1)).reduce(Fuse.fuseType),
+        entries.map(e => schemaOf(e._2)).reduce(Fuse.fuseType))
+    case _: ZTypeVal =>
+      StructType(Seq(StructField(TypeValField, StringType)))
+    case ZUnion(_, branches, _) =>
+      StructType(StructField(UnionTagField, IntegerType) +:
+        branches.zipWithIndex.map { case (b, i) =>
+          StructField(s"_u$i", zedToSpark.getOrElse(b,
+            throw new IllegalArgumentException(s"unsupported union branch type: $b")))
+        })
     case _: ZString => StringType
     case _: ZInt => LongType
     case _: ZFloat => DoubleType
@@ -101,9 +150,23 @@ object ZsonValue {
       Row.fromSeq(st.fields.toSeq.map(f =>
         byName.get(f.name).map(v => convert(v, f.dataType)).orNull))
     case (ZArray(items), ArrayType(inner, _)) => items.map(v => convert(v, inner))
+    case (ZSet(items), ArrayType(inner, _)) => items.map(v => convert(v, inner))
+    case (ZMap(entries), MapType(kt, vt, _)) =>
+      entries.map { case (k, v) => convert(k, kt) -> convert(v, vt) }.toMap
+    case (ZTypeVal(t), st: StructType) if st.fieldNames.sameElements(Seq(TypeValField)) =>
+      Row(t)
+    case (ZUnion(v, _, tag), st: StructType) =>
+      Row.fromSeq(st.fields.toSeq.map { f =>
+        if (f.name == UnionTagField) tag
+        else if (f.name == s"_u$tag") convert(v, f.dataType)
+        else null
+      })
     case (ZInt(v), LongType) => v
+    case (ZInt(v), IntegerType) => v.toInt
     case (ZInt(v), DoubleType) => v.toDouble
+    case (ZInt(v), FloatType) => v.toFloat
     case (ZFloat(v), DoubleType) => v
+    case (ZFloat(v), FloatType) => v.toFloat
     case (ZString(s), StringType) => s
     case (ZBool(b), BooleanType) => b
     case (ZTime(t), TimestampType) => java.sql.Timestamp.from(t)
@@ -147,18 +210,121 @@ object ZsonValue {
       s.substring(st, i)
     }
 
-    def value(): Z = {
+    def value(): Z = decorations(rawValue())
+
+    private def rawValue(): Z = {
       ws()
       peek match {
         case '{' => record()
         case '[' => array()
         case '"' => ZString(quoted())
+        case '|' => mapOrSet()
+        case '<' => typeValue()
         case _ =>
           TimePattern.findFirstIn(s.substring(i)) match {
             case Some(m) => i += m.length; ZTime(java.time.Instant.parse(m))
             case None => bare()
           }
       }
+    }
+
+    /** Cast decorations after a value: `((t1,t2))` union casts become
+      * tagged structs; `(prim)` primitive casts coerce the scalar.
+      * `(=name)` is NOT consumed here — the top level owns it (nested
+      * named decorations are out of the supported subset).
+      */
+    private def decorations(base: Z): Z = {
+      ws()
+      if (peek != '(' || (i + 1 < s.length && s(i + 1) == '=')) return base
+      i += 1 // '('
+      ws()
+      if (peek == '(') { // union cast
+        i += 1
+        val branches = scala.collection.mutable.Buffer(typeName())
+        ws()
+        while (peek == ',') { i += 1; branches += typeName(); ws() }
+        eat(')'); eat(')')
+        val tag = branches.indexWhere(b => compatibleBranch(base, b))
+        require(tag >= 0,
+          s"value $base matches no branch of union (${branches.mkString(",")})")
+        decorations(ZUnion(base, branches.toVector, tag))
+      } else { // primitive cast
+        val t = typeName()
+        eat(')')
+        decorations(castPrim(base, t))
+      }
+    }
+
+    private def typeName(): String = {
+      ws()
+      val st = i
+      while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
+      require(i > st, s"expected type name at $i")
+      s.substring(st, i)
+    }
+
+    private def compatibleBranch(z: Z, branch: String): Boolean = (z, branch) match {
+      case (_: ZInt, "int64" | "int32" | "float64" | "float32") => true
+      case (_: ZFloat, "float64" | "float32") => true
+      case (_: ZString, "string") => true
+      case (_: ZBool, "bool") => true
+      case (_: ZTime, "time") => true
+      case (_: ZBytes, "bytes") => true
+      case _ => false
+    }
+
+    private def castPrim(z: Z, t: String): Z = (z, t) match {
+      case (ZInt(v), "float64" | "float32") => ZFloat(v.toDouble)
+      case (v, "int64" | "int32" | "uint8" | "uint16" | "uint32" | "uint64" |
+                "int8" | "int16" | "float64" | "float32" | "string" | "bool" |
+                "time" | "bytes" | "duration") => v // representation unchanged
+      case (v, other) => throw new IllegalArgumentException(
+        s"unsupported cast decoration ($other) on $v")
+    }
+
+    /** `|{k:v,...}|` map or `|[v,...]|` set. */
+    private def mapOrSet(): Z = {
+      eat('|')
+      ws()
+      if (peek == '{') {
+        i += 1
+        val entries = scala.collection.mutable.Buffer[(Z, Z)]()
+        ws()
+        while (peek != '}') {
+          val k = value()
+          eat(':')
+          entries += k -> value()
+          ws()
+          if (peek == ',') { i += 1; ws() }
+        }
+        i += 1; eat('|')
+        ZMap(entries.toVector)
+      } else {
+        eat('[')
+        val items = scala.collection.mutable.Buffer[Z]()
+        ws()
+        while (peek != ']') {
+          items += value()
+          ws()
+          if (peek == ',') { i += 1; ws() }
+        }
+        i += 1; eat('|')
+        ZSet(items.toVector)
+      }
+    }
+
+    /** `<type-text>` with balanced angle brackets, text kept verbatim. */
+    private def typeValue(): Z = {
+      eat('<')
+      val st = i
+      var depth = 1
+      while (depth > 0) {
+        require(i < s.length, "unterminated type value")
+        if (s(i) == '<') depth += 1
+        else if (s(i) == '>') depth -= 1
+        i += 1
+      }
+      ZTypeVal(s.substring(st, i - 1))
     }
 
     private def record(): Z = {

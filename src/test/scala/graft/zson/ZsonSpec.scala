@@ -132,4 +132,72 @@ class ZsonSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       ZsonValue.toDataFrame(spark, """[1,2]"""))
   }
+
+  // ------------------------------------------- exotic literals (round 5)
+
+  test("maps-as-values: |{...}| parses to MapType and renders back") {
+    val text = """{id:1,attrs:|{"color":"red","size":"xl"}|}
+                 |{id:2,attrs:|{"color":"blue"}|}""".stripMargin
+    val df = ZsonValue.toDataFrame(spark, text)
+    assert(df.schema("attrs").dataType ==
+      MapType(StringType, StringType))
+    val m = df.orderBy("id").collect()(0).getAs[Map[String, String]]("attrs")
+    assert(m == Map("color" -> "red", "size" -> "xl"))
+    val rendered = Zson.renderAll(df.orderBy("id")).toSeq
+    assert(rendered == Seq(
+      """{id:1,attrs:|{"color":"red","size":"xl"}|}""",
+      """{id:2,attrs:|{"color":"blue"}|}"""))
+  }
+
+  test("type values: <t> parses to the tagged struct and renders back") {
+    val text = "{id:1,kind:<int64>}\n{id:2,kind:<{a:string,b:[float64]}>}"
+    val df = ZsonValue.toDataFrame(spark, text)
+    val rendered = Zson.renderAll(df.orderBy("id")).toSeq
+    assert(rendered == Seq(
+      "{id:1,kind:<int64>}",
+      "{id:2,kind:<{a:string,b:[float64]}>}"))
+  }
+
+  test("union casts: v((t1,t2)) become tagged structs and render back") {
+    val text = """{id:1,val:1((int64,string))}
+                 |{id:2,val:"two"((int64,string))}""".stripMargin
+    val df = ZsonValue.toDataFrame(spark, text)
+    val vt = df.schema("val").dataType.asInstanceOf[StructType]
+    assert(vt.fieldNames.toSeq == Seq("_utag", "_u0", "_u1"))
+    assert(vt("_u0").dataType == LongType && vt("_u1").dataType == StringType)
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getAs[org.apache.spark.sql.Row]("val").getInt(0) == 0)
+    assert(rows(1).getAs[org.apache.spark.sql.Row]("val").getString(2) == "two")
+    assert(Zson.renderAll(df.orderBy("id")).toSeq == Seq(
+      """{id:1,val:1((int64,string))}""",
+      """{id:2,val:"two"((int64,string))}"""))
+  }
+
+  test("sets |[...]| parse as arrays (set-ness dropped, like the reference's Avro)") {
+    val df = ZsonValue.toDataFrame(spark, "{id:1,tags:|[\"a\",\"b\"]|}")
+    assert(df.schema("tags").dataType == ArrayType(StringType))
+    assert(Zson.renderAll(df).toSeq == Seq("""{id:1,tags:["a","b"]}"""))
+  }
+
+  test("primitive cast decorations coerce scalars: 1(float64)") {
+    val df = ZsonValue.toDataFrame(spark, "{id:1,x:2(float64)}")
+    assert(df.schema("x").dataType == DoubleType)
+    assert(Zson.renderAll(df).toSeq == Seq("{id:1,x:2.}"))
+  }
+
+  test("exotic literals round-trip produce -> pool -> consume") {
+    val text =
+      """{kafka:{topic:"T",offset:0},attrs:|{"k":"v"}|,kind:<int64>,u:7((int64,string))}
+        |{kafka:{topic:"T",offset:1},attrs:|{"a":"b","c":"d"}|,kind:<bytes>,u:"s"((int64,string))}(=thing)""".stripMargin
+    // produce: parse to a DataFrame and commit to a pool
+    val df = ZsonValue.toDataFrame(spark, text)
+    val root = java.nio.file.Files.createTempDirectory("zson-exotic").toString
+    val pool = graft.lake.Pool.create(spark, root, "Z")
+    pool.append(df)
+    // consume: read the pool back and render as ZSON
+    val back = pool.read().orderBy("kafka.offset")
+    val rendered = Zson.renderAll(back).toSeq
+    assert(rendered == text.linesIterator.toSeq,
+      s"round trip diverged:\n${rendered.mkString("\n")}")
+  }
 }
