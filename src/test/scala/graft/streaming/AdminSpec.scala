@@ -42,6 +42,72 @@ class AdminSpec extends AnyFunSuite {
     assert(bus.endOffsets(spark, Seq("out")) == Map("out" -> 42L))
   }
 
+  /** The complete reflective binding surface of [[KafkaAdmin]], pinned
+    * (class, member, exact parameter types). If any bound signature drifts
+    * — in the binding code or in the kafka-clients API shape on the
+    * classpath — this enumeration stops resolving and the test fails.
+    */
+  test("signature pin: every reflectively bound member resolves with exact types") {
+    def c(n: String) = Class.forName(n)
+    val admin = c("org.apache.kafka.clients.admin.AdminClient")
+    // AdminClient.create(Properties) / close()
+    assert(admin.getMethod("create", classOf[java.util.Properties]) != null)
+    assert(admin.getMethod("close") != null)
+    // createTopics(Collection) -> CreateTopicsResult.all().get()
+    val ctr = admin.getMethod("createTopics", classOf[java.util.Collection[_]])
+    assert(ctr.getReturnType.getMethod("all").getReturnType.getMethod("get") != null)
+    // listOffsets(Map) -> ListOffsetsResult.all().get()
+    val lor = admin.getMethod("listOffsets", classOf[java.util.Map[_, _]])
+    assert(lor.getReturnType.getMethod("all").getReturnType.getMethod("get") != null)
+    // NewTopic(String, int, short)
+    assert(c("org.apache.kafka.clients.admin.NewTopic").getConstructor(
+      classOf[String], java.lang.Integer.TYPE, java.lang.Short.TYPE) != null)
+    // TopicPartition(String, int) + .topic()
+    val tp = c("org.apache.kafka.common.TopicPartition")
+    assert(tp.getConstructor(classOf[String], java.lang.Integer.TYPE) != null)
+    assert(tp.getMethod("topic").getReturnType == classOf[String])
+    // OffsetSpec.latest()/earliest() statics
+    val spec = c("org.apache.kafka.clients.admin.OffsetSpec")
+    assert(java.lang.reflect.Modifier.isStatic(spec.getMethod("latest").getModifiers))
+    assert(java.lang.reflect.Modifier.isStatic(spec.getMethod("earliest").getModifiers))
+    // ListOffsetsResultInfo.offset()
+    assert(c("org.apache.kafka.clients.admin.ListOffsetsResultInfo")
+      .getMethod("offset") != null)
+    // the one error type matched BY NAME in the binding
+    assert(c("org.apache.kafka.common.errors.TopicExistsException") != null)
+  }
+
+  test("broker errors other than TopicExists propagate; the client still closes") {
+    FakeBroker.reset()
+    val admin = new KafkaAdmin("broker:9092")
+    FakeBroker.failNextCreate =
+      new RuntimeException("TOPIC_AUTHORIZATION_FAILED")
+    val e = intercept[java.util.concurrent.ExecutionException] {
+      admin.createMissingTopics(Seq("forbidden"))
+    }
+    assert(e.getCause.getMessage.contains("TOPIC_AUTHORIZATION_FAILED"))
+    assert(FakeBroker.created.get() == FakeBroker.closed.get(),
+      "AdminClient leaked on the error path")
+
+    // ListOffsets failures surface through the KafkaFuture and propagate too
+    FakeBroker.failNextListOffsets = new RuntimeException("NOT_LEADER_OR_FOLLOWER")
+    val e2 = intercept[java.util.concurrent.ExecutionException] {
+      admin.endOffsets(Seq("t"))
+    }
+    assert(e2.getCause.getMessage.contains("NOT_LEADER_OR_FOLLOWER"))
+    assert(FakeBroker.created.get() == FakeBroker.closed.get())
+  }
+
+  test("every control-plane call opens exactly one AdminClient and closes it") {
+    FakeBroker.reset()
+    val admin = new KafkaAdmin("broker:9092")
+    admin.createMissingTopics(Seq("x", "y")) // one client, two topics
+    admin.endOffsets(Seq("x"))
+    admin.startOffsets(Seq("y"))
+    assert(FakeBroker.created.get() == 3)
+    assert(FakeBroker.closed.get() == 3)
+  }
+
   test("file and memory buses implement the same admin surface") {
     val mem = new MemoryBus
     mem.createMissingTopics(Seq("m1"))

@@ -12,7 +12,19 @@ package graft.streaming {
     /** topic -> (startOffset, endOffset) */
     val topics = TrieMap.empty[String, (Long, Long)]
     @volatile var lastProps: java.util.Properties = _
-    def reset(): Unit = { topics.clear(); lastProps = null }
+    /** Injected broker failure for the next createTopics / listOffsets. */
+    @volatile var failNextCreate: Throwable = _
+    @volatile var failNextListOffsets: Throwable = _
+    /** AdminClient lifecycle counters: every create must be closed, even
+      * on error paths.
+      */
+    val created = new java.util.concurrent.atomic.AtomicInteger
+    val closed = new java.util.concurrent.atomic.AtomicInteger
+    def reset(): Unit = {
+      topics.clear(); lastProps = null
+      failNextCreate = null; failNextListOffsets = null
+      created.set(0); closed.set(0)
+    }
   }
 }
 
@@ -55,15 +67,23 @@ package org.apache.kafka.clients.admin {
     def offset(): Long = off
   }
 
-  class ListOffsetsResult(m: java.util.Map[TopicPartition, ListOffsetsResultInfo]) {
+  class ListOffsetsResult(m: java.util.Map[TopicPartition, ListOffsetsResultInfo],
+      err: Throwable = null) {
     def all(): KafkaFutureStub[java.util.Map[TopicPartition, ListOffsetsResultInfo]] =
-      new KafkaFutureStub(m, null)
+      new KafkaFutureStub(m, err)
   }
 
   class AdminClient(props: java.util.Properties) {
     FakeBroker.lastProps = props
+    FakeBroker.created.incrementAndGet()
 
     def createTopics(ts: java.util.Collection[NewTopic]): CreateTopicsResult = {
+      if (FakeBroker.failNextCreate != null) {
+        val err = FakeBroker.failNextCreate
+        FakeBroker.failNextCreate = null
+        return new CreateTopicsResult(
+          new java.util.concurrent.ExecutionException(err))
+      }
       val err = ts.asScala.flatMap { nt =>
         if (FakeBroker.topics.putIfAbsent(nt.name(), (0L, 0L)).isDefined)
           Some(new java.util.concurrent.ExecutionException(
@@ -74,6 +94,14 @@ package org.apache.kafka.clients.admin {
     }
 
     def listOffsets(q: java.util.Map[TopicPartition, OffsetSpec]): ListOffsetsResult = {
+      if (FakeBroker.failNextListOffsets != null) {
+        // real brokers surface ListOffsets failures in the KafkaFuture,
+        // not synchronously
+        val err = FakeBroker.failNextListOffsets
+        FakeBroker.failNextListOffsets = null
+        return new ListOffsetsResult(null,
+          new java.util.concurrent.ExecutionException(err))
+      }
       val out = new java.util.HashMap[TopicPartition, ListOffsetsResultInfo]()
       q.asScala.foreach { case (tp, spec) =>
         val (start, end) = FakeBroker.topics.getOrElse(tp.topic(), (0L, 0L))
@@ -82,7 +110,7 @@ package org.apache.kafka.clients.admin {
       new ListOffsetsResult(out)
     }
 
-    def close(): Unit = {}
+    def close(): Unit = { FakeBroker.closed.incrementAndGet(); () }
   }
 
   object AdminClient {
