@@ -8,7 +8,14 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated gate names to skip (scale-ladder
+    // runs, where a handful of gates are exact-verification ops whose WORK
+    // — not just whose oracle — is quadratic in the corpus and therefore
+    // bounded-corpus by contract; the driver's sf0.01 runs pass no skips)
+    val (sfDir, outDir, skip) = args match {
+      case Array(s, o) => (s, o, Set.empty[String])
+      case Array(s, o, sk) => (s, o, sk.split(',').map(_.trim).toSet)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()
@@ -20,7 +27,8 @@ object Verify {
       // single-threaded end to end — observed 10+ CPU-minutes on one core
       // at sf1), while repartition inserts a shuffle so the plan runs at
       // full parallelism and only the one-file write is serial.
-      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
+      if (skip(name)) System.err.println(s"[verify] $name skipped by request")
+      else try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -92,7 +92,7 @@ object AnnOps {
     * 10,000 queries at the gate's 500-vector base — each variant an
     * element-wise perturbation a codec-free SQL oracle reproduces exactly.
     */
-  private[ml] def batchQueries(corpus: DataFrame): DataFrame =
+  private[graft] def batchQueries(corpus: DataFrame): DataFrame =
     corpus.filter(col("vec_id") < 500)
       .withColumn("j", explode(sequence(lit(0L), lit(19L))))
       .select((col("vec_id") * 20 + col("j")).as("vec_id"),
