@@ -42,39 +42,40 @@ object CommitPublisher {
 
   /** Conditional-PUT semantics, locally simulated. A real object store
     * arbitrates create-if-absent server-side and strongly consistently
-    * (modern S3/GCS/Azure all do); the loser's PUT gets 412. Here a
-    * per-process claim index stands in for the store's atomic existence
-    * check, and the winner materializes the object with an atomic rename
-    * so local readers get the same all-or-nothing visibility a PUT gives
-    * store readers. Objects created by earlier processes (or other
-    * publishers) count as taken.
+    * (modern S3/GCS/Azure all do); the loser's PUT gets 412. The local
+    * simulation models the two halves of that PUT separately:
     *
-    * A production binding replaces [[publish]]'s body with one store PUT
-    * carrying the if-none-match header — same signature, same contract.
+    *  1. "upload" — the body is staged under a writer-unique side name
+    *     (pid + per-process counter, so concurrent writers in different
+    *     OS processes never clobber each other's staging), then
+    *  2. "conditional commit" — `link(2)` onto the final name, which the
+    *     KERNEL arbitrates: it fails with EEXIST instead of replacing, so
+    *     exactly one writer — across threads AND across OS processes —
+    *     wins each name, and readers see the object all-or-nothing.
+    *
+    * No process-local claim index is involved (an earlier version kept
+    * one, which was only atomic within a single JVM and grew without
+    * bound); the filesystem namespace IS the arbiter, exactly as the
+    * store's namespace is in production. A production binding replaces
+    * [[publish]]'s body with one store PUT carrying the if-none-match
+    * header — same signature, same contract.
     */
   final class ConditionalPut extends CommitPublisher {
-    import ConditionalPut.claims
-
     def publish(target: Path, tmp: Path): Boolean = {
-      val key = target.toAbsolutePath.toString
-      if (Files.exists(target)) { // pre-existing object: name is taken
-        claims.putIfAbsent(key, java.lang.Boolean.TRUE)
-        return false
-      }
-      if (claims.putIfAbsent(key, java.lang.Boolean.TRUE) != null) return false
-      // we own the name: upload + commit, atomically visible to readers
-      val side = target.resolveSibling("." + target.getFileName + ".put")
+      // Fast path: a pre-existing object 412s before any upload.
+      if (Files.exists(target)) return false
+      val side = target.resolveSibling(
+        s".${target.getFileName}.${ProcessHandle.current.pid}-" +
+          s"${ConditionalPut.staged.getAndIncrement()}.put")
       Files.copy(tmp, side, StandardCopyOption.REPLACE_EXISTING)
-      Files.move(side, target, StandardCopyOption.ATOMIC_MOVE)
-      true
+      try { Files.createLink(target, side); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      finally Files.deleteIfExists(side)
     }
   }
 
   object ConditionalPut {
-    /** The stand-in for the store's namespace: one atomic claim per object
-      * name, shared by every publisher in this process.
-      */
-    private val claims =
-      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    /** Staging-name disambiguator within one process (pid covers across). */
+    private val staged = new java.util.concurrent.atomic.AtomicLong(0L)
   }
 }

@@ -1,0 +1,35 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+
+/** Child-process half of the cross-process conditional-PUT contention test
+  * (CommitPublisherSpec spawns two of these as separate OS processes).
+  *
+  * Protocol: spin until `<dir>/go` exists (the parent's start barrier so
+  * both processes race for real), then for each sequence number attempt to
+  * publish `<dir>/seq-NNNNN` with body `writer-<id>-<seq>` and print one
+  * `WIN <seq>` line per name won. The parent asserts exactly one winner
+  * per name across both processes and that the on-disk body is the
+  * winner's.
+  */
+object CPutRacer {
+  def main(args: Array[String]): Unit = {
+    val dir = Paths.get(args(0))
+    val id = args(1)
+    val count = args(2).toInt
+    val pub = new CommitPublisher.ConditionalPut
+    val go = dir.resolve("go")
+    Files.write(dir.resolve(s"ready-$id"), Array.emptyByteArray)
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (!Files.exists(go)) {
+      if (System.nanoTime() > deadline) sys.error("no go file within 30s")
+      Thread.onSpinWait()
+    }
+    for (seq <- 0 until count) {
+      val tmp = dir.resolve(s".stage-$id-$seq")
+      Files.write(tmp, s"writer-$id-$seq".getBytes)
+      if (pub.publish(dir.resolve(f"seq-$seq%05d"), tmp)) println(s"WIN $seq")
+      Files.deleteIfExists(tmp)
+    }
+  }
+}

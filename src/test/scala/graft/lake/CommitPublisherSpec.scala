@@ -56,6 +56,44 @@ class CommitPublisherSpec extends AnyFunSuite {
     assert(new String(Files.readAllBytes(target)) == "earlier process")
   }
 
+  test("conditional PUT: two OS processes racing the same sequence numbers, one winner each") {
+    // The claim the in-thread race above cannot make: the arbiter is the
+    // FILESYSTEM (link(2) EEXIST), not anything process-local, so writers
+    // in different JVMs contending for the same manifest names still get
+    // exactly one winner per name and the loser observes the loss.
+    val dir = Files.createTempDirectory("cput-xproc")
+    val count = 200
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    def spawn(id: String) = new ProcessBuilder(
+      javaBin, "-cp", cp, "graft.lake.CPutRacer", dir.toString, id, count.toString)
+      .redirectErrorStream(true).start()
+    val (pa, pb) = (spawn("A"), spawn("B"))
+    // start barrier: release only once BOTH JVMs are up and spinning, so
+    // startup stagger can't let one process claim everything uncontended
+    val up = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (!(Files.exists(dir.resolve("ready-A")) && Files.exists(dir.resolve("ready-B")))) {
+      assert(System.nanoTime() < up, "racers did not come up within 60s")
+      Thread.sleep(10)
+    }
+    Files.write(dir.resolve("go"), Array.emptyByteArray)
+    def wins(p: Process): Set[Int] = {
+      val out = new String(p.getInputStream.readAllBytes())
+      assert(p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS), s"racer hung:\n$out")
+      assert(p.exitValue() == 0, s"racer failed:\n$out")
+      out.linesIterator.filter(_.startsWith("WIN ")).map(_.drop(4).trim.toInt).toSet
+    }
+    val (winsA, winsB) = (wins(pa), wins(pb))
+    assert((winsA & winsB).isEmpty, s"both processes won: ${winsA & winsB}")
+    assert(winsA ++ winsB == (0 until count).toSet, "every name has exactly one winner")
+    assert(winsA.nonEmpty && winsB.nonEmpty, s"no contention: A=${winsA.size} B=${winsB.size}")
+    for (seq <- 0 until count) {
+      val body = new String(Files.readAllBytes(dir.resolve(f"seq-$seq%05d")))
+      val owner = if (winsA(seq)) "A" else "B"
+      assert(body == s"writer-$owner-$seq", s"seq $seq: body is not the winner's: $body")
+    }
+  }
+
   test("concurrent appends through conditional PUT: every commit lands exactly once") {
     val root = Files.createTempDirectory("pool-cput").toString
     // separate Pool instances on the same root = separate writer processes
