@@ -138,6 +138,19 @@ object Pq {
     */
   private[ml] def queryTablesDistributed(cents: DataFrame,
       queries: DataFrame): DataFrame = {
+    // The table rows are assembled POSITIONALLY (array_sort over collected
+    // (k, d2) / (m, trow) pairs), so a sparse codebook — e.g. Lloyd's
+    // groupBy dropping a cluster that attracted no points — would shift
+    // every later entry and make element_at return silently wrong
+    // distances. Fail loudly instead: every (m, k) in [0,M)×[0,K) must be
+    // present exactly once. Metadata-scale action (M×K rows).
+    val d = cents.agg(max(col("m")), max(col("k")), count(lit(1)),
+      countDistinct(col("m"), col("k"))).head()
+    val expect = (d.getInt(0) + 1).toLong * (d.getInt(1) + 1)
+    require(d.getLong(2) == expect && d.getLong(3) == expect,
+      s"PQ codebook not dense: ${d.getLong(2)} rows " +
+        s"(${d.getLong(3)} distinct (m,k)) for M=${d.getInt(0) + 1} " +
+        s"K=${d.getInt(1) + 1}; retrain with more data or smaller k")
     val dsub = cents.select(size(col("cent"))).head().getInt(0) // metadata
     queries.select(col("vec_id").as("q_id"), col("v"))
       .crossJoin(broadcast(cents)) // |Q| × (M×K tiny codebook)

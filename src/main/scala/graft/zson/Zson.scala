@@ -36,15 +36,17 @@ object Zson {
     case (r: Row, st: StructType)
         if st.fieldNames.contains(ZsonValue.UnionTagField) =>
       val tagIdx = st.fieldIndex(ZsonValue.UnionTagField)
-      if (r.isNullAt(tagIdx)) None
+      val branches = st.fields.toSeq.filter(_.name.startsWith("_u"))
+        .filterNot(_.name == ZsonValue.UnionTagField)
+        .sortBy(_.name.stripPrefix("_u").toInt)
+      val names = branches.map(f => ZsonValue.sparkToZed.getOrElse(f.dataType,
+        throw new IllegalArgumentException(
+          s"unrenderable union branch type ${f.dataType}")))
+      // null _utag = the union type's own null (parsed from
+      // `null((t1,t2))`) — value-preserving, not a dropped field
+      if (r.isNullAt(tagIdx)) Some(s"null((${names.mkString(",")}))")
       else {
         val tag = r.getInt(tagIdx)
-        val branches = st.fields.toSeq.filter(_.name.startsWith("_u"))
-          .filterNot(_.name == ZsonValue.UnionTagField)
-          .sortBy(_.name.stripPrefix("_u").toInt)
-        val names = branches.map(f => ZsonValue.sparkToZed.getOrElse(f.dataType,
-          throw new IllegalArgumentException(
-            s"unrenderable union branch type ${f.dataType}")))
         val bf = st.fieldIndex(s"_u$tag")
         value(r.get(bf), st.fields(bf).dataType)
           .map(s => s"$s((${names.mkString(",")}))")
@@ -54,10 +56,13 @@ object Zson {
         value(r.get(st.fieldIndex(f.name)), f.dataType).map(s => s"${f.name}:$s")
       }
       if (fields.isEmpty) None else Some(fields.mkString("{", ",", "}"))
-    // map `|{k:v,...}|`, entries sorted by rendered key for stable output
+    // map `|{k:v,...}|`, entries sorted by rendered key for stable output.
+    // A null VALUE renders as the ZSON null literal — dropping the entry
+    // (the record-field rule) would silently lose it on the
+    // produce→pool→consume round trip; the entry exists, its value is null.
     case (m: scala.collection.Map[_, _], MapType(kt, vt, _)) =>
       Some(m.toSeq.flatMap { case (k, x) =>
-        for (ks <- value(k, kt); vs <- value(x, vt)) yield s"$ks:$vs"
+        value(k, kt).map(ks => s"$ks:${value(x, vt).getOrElse("null")}")
       }.sorted.mkString("|{", ",", "}|"))
     case (s: String, _) => Some("\"" + s.flatMap {
       case '"' => "\\\""
@@ -68,8 +73,11 @@ object Zson {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\"")
+    // null ELEMENTS render as the null literal for the same reason as
+    // map values: [1,null,2] must not collapse to [1,2]
     case (seq: scala.collection.Seq[_], ArrayType(inner, _)) =>
-      Some(seq.flatMap(x => value(x, inner)).mkString("[", ",", "]"))
+      Some(seq.map(x => value(x, inner).getOrElse("null"))
+        .mkString("[", ",", "]"))
     case (b: Array[Byte], BinaryType) =>
       Some("0x" + b.map(x => f"$x%02x").mkString)
     case (t: java.sql.Timestamp, _) => Some(t.toInstant.toString)

@@ -157,8 +157,9 @@ object ZsonValue {
       Row(t)
     case (ZUnion(v, _, tag), st: StructType) =>
       Row.fromSeq(st.fields.toSeq.map { f =>
-        if (f.name == UnionTagField) tag
-        else if (f.name == s"_u$tag") convert(v, f.dataType)
+        // tag -1 = null union (no branch): null _utag, all branches null
+        if (f.name == UnionTagField) (if (tag >= 0) tag else null)
+        else if (tag >= 0 && f.name == s"_u$tag") convert(v, f.dataType)
         else null
       })
     case (ZInt(v), LongType) => v
@@ -244,8 +245,20 @@ object ZsonValue {
         ws()
         while (peek == ',') { i += 1; branches += typeName(); ws() }
         eat(')'); eat(')')
-        val tag = branches.indexWhere(b => compatibleBranch(base, b))
-        require(tag >= 0,
+        // Tag selection: an exact-type branch wins before any widening
+        // match (`1((float64,int64))` must tag int64, not float64 — the
+        // first-compatible rule re-rendered integers as floats, not
+        // value-preserving). A null union value (`null((int64,string))`,
+        // valid Zed: the null of the union type itself) carries no branch
+        // at all — tag -1, surfaced as a null `_utag`.
+        val tag =
+          if (base == ZNull) -1
+          else {
+            val exact = branches.indexWhere(b => exactBranch(base, b))
+            if (exact >= 0) exact
+            else branches.indexWhere(b => compatibleBranch(base, b))
+          }
+        require(tag >= 0 || base == ZNull,
           s"value $base matches no branch of union (${branches.mkString(",")})")
         decorations(ZUnion(base, branches.toVector, tag))
       } else { // primitive cast
@@ -263,8 +276,10 @@ object ZsonValue {
       s.substring(st, i)
     }
 
-    private def compatibleBranch(z: Z, branch: String): Boolean = (z, branch) match {
-      case (_: ZInt, "int64" | "int32" | "float64" | "float32") => true
+    /** The branch this value IS, representation-preserving. */
+    private def exactBranch(z: Z, branch: String): Boolean = (z, branch) match {
+      case (_: ZInt, "int64" | "int32" | "int16" | "int8" |
+                     "uint64" | "uint32" | "uint16" | "uint8") => true
       case (_: ZFloat, "float64" | "float32") => true
       case (_: ZString, "string") => true
       case (_: ZBool, "bool") => true
@@ -272,6 +287,13 @@ object ZsonValue {
       case (_: ZBytes, "bytes") => true
       case _ => false
     }
+
+    /** Branches the value can widen into (tried after [[exactBranch]]). */
+    private def compatibleBranch(z: Z, branch: String): Boolean =
+      exactBranch(z, branch) || ((z, branch) match {
+        case (_: ZInt, "float64" | "float32") => true
+        case _ => false
+      })
 
     private def castPrim(z: Z, t: String): Z = (z, t) match {
       case (ZInt(v), "float64" | "float32") => ZFloat(v.toDouble)

@@ -47,6 +47,18 @@ class DistributedQuerySpec extends AnyFunSuite {
     assert(norm(Pq.queryTables(cents, qs)) == norm(Pq.queryTablesDistributed(cents, qs)))
   }
 
+  test("queryTablesDistributed rejects a sparse codebook (dropped cluster)") {
+    // Lloyd's update loses a k that attracted no points → the positional
+    // table build would silently shift ADC entries; it must fail loudly.
+    val qs = corpus.filter(col("vec_id") < 5)
+    val cents = Pq.train(corpus, m = 8, k = 8, iters = 1)
+    val sparse = cents.filter(!(col("m") === 3 && col("k") === 5))
+    val e = intercept[IllegalArgumentException] {
+      Pq.queryTablesDistributed(sparse, qs).collect()
+    }
+    assert(e.getMessage.contains("not dense"))
+  }
+
   test("searchTopKDistributed ranks exactly like searchTopK") {
     val qs = corpus.filter(col("vec_id") < 20)
     val cents = Pq.train(corpus, m = 8, k = 8, iters = 1)

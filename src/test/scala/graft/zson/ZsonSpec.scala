@@ -173,6 +173,40 @@ class ZsonSpec extends AnyFunSuite {
       """{id:2,val:"two"((int64,string))}"""))
   }
 
+  test("null map values and null array elements survive the round trip") {
+    val text = """{id:1,attrs:|{"k":null,"c":"red"}|,xs:[1,null,3]}"""
+    val df = ZsonValue.toDataFrame(spark, text)
+    val m = df.collect()(0).getAs[Map[String, String]]("attrs")
+    assert(m == Map("k" -> null, "c" -> "red"), "entry kept with null value")
+    assert(Zson.renderAll(df).toSeq ==
+      Seq("""{id:1,attrs:|{"c":"red","k":null}|,xs:[1,null,3]}"""))
+  }
+
+  test("union tag selection prefers the exact-type branch over widening") {
+    // first-compatible would tag 1 as float64 and re-render 1. — not
+    // value-preserving; the exact int64 branch must win regardless of order
+    val df = ZsonValue.toDataFrame(spark,
+      """{id:1,v:1((float64,int64))}
+        |{id:2,v:1.5((float64,int64))}""".stripMargin)
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getAs[org.apache.spark.sql.Row]("v").getInt(0) == 1, "int64 branch")
+    assert(rows(1).getAs[org.apache.spark.sql.Row]("v").getInt(0) == 0, "float64 branch")
+    assert(Zson.renderAll(df.orderBy("id")).toSeq == Seq(
+      """{id:1,v:1((float64,int64))}""",
+      """{id:2,v:1.5((float64,int64))}"""))
+  }
+
+  test("null unions parse (tag-less) and render back as null((t1,t2))") {
+    val df = ZsonValue.toDataFrame(spark,
+      """{id:1,v:null((int64,string))}
+        |{id:2,v:"s"((int64,string))}""".stripMargin)
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getAs[org.apache.spark.sql.Row]("v").isNullAt(0), "null _utag")
+    assert(Zson.renderAll(df.orderBy("id")).toSeq == Seq(
+      """{id:1,v:null((int64,string))}""",
+      """{id:2,v:"s"((int64,string))}"""))
+  }
+
   test("sets |[...]| parse as arrays (set-ness dropped, like the reference's Avro)") {
     val df = ZsonValue.toDataFrame(spark, "{id:1,tags:|[\"a\",\"b\"]|}")
     assert(df.schema("tags").dataType == ArrayType(StringType))
