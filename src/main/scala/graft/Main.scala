@@ -47,7 +47,8 @@ object Main {
   private def usage(): Unit =
     System.err.println(
       "usage: graft.Main [-config <dir>] <etl|etl-plan|ls|info|compact|" +
-        "consume-pool|produce|consume|from-kafka|to-kafka|version> args...")
+        "consume-pool|produce|consume|from-kafka|to-kafka|stream-txn|" +
+        "version> args...")
 
   /** Value schema of a topic's first message (Connect-JSON is
     * self-describing — the reference's inline-schema authority).
@@ -328,6 +329,42 @@ object Main {
       // zync info parity: low and high watermarks
       val high = bus(busRoot).endOffsets(spark, Seq(topic))(topic)
       println(s"low 0 high $high")
+    case "stream-txn" :: inDir :: outDir :: rest =>
+      // Streaming transaction assembly over a JSON event directory (the
+      // file-stream analogue of a topic): bundles to outDir/bundles as
+      // parquet, dead-letters included (`complete=false`). `-metrics`
+      // dumps the StreamMetrics counters + engine state gauge after the
+      // run — the user-facing surface of the ops accumulators.
+      val wantMetrics = rest.contains("-metrics")
+      val opts = parseOpts(rest.filterNot(_ == "-metrics"), Set("-ttl"))
+      val ttlMs = opts.get("-ttl").map(_.toLong).getOrElse(60000L)
+      import spark.implicits._
+      val metrics = new graft.streaming.StreamMetrics.TxnMetrics(spark)
+      val gauge = new graft.streaming.StreamMetrics.StateGaugeListener
+      spark.streams.addListener(gauge)
+      val stream = spark.readStream
+        .schema("txn LONG, seqno LONG, payload STRING, done BOOLEAN, ts TIMESTAMP")
+        .json(inDir)
+        .withWatermark("ts", "2 seconds")
+        .as[graft.streaming.TxnOps.TimedTxnEvent]
+      val q = graft.streaming.TxnOps
+        .assembleStreamWithTtl(stream, ttlMs, Some(metrics))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$outDir/bundles")
+        .option("checkpointLocation", s"$outDir/_checkpoint")
+        .start()
+      try q.processAllAvailable() finally {
+        q.stop(); spark.streams.removeListener(gauge)
+      }
+      val emitted = spark.read.parquet(s"$outDir/bundles")
+      println(s"assembled ${emitted.count()} bundles into $outDir/bundles")
+      if (wantMetrics) {
+        println(s"metrics txn.completed=${metrics.completed.value} " +
+          s"txn.timedOut=${metrics.timedOut.value} " +
+          s"txn.inFlight=${metrics.inFlight.value} " +
+          s"state.rows=${gauge.stateRows(q.id).getOrElse(0L)} " +
+          s"state.rowsUpdatedLastBatch=${gauge.rowsUpdatedLastBatch}")
+      }
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
       usage()

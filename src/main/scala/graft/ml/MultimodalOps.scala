@@ -12,8 +12,10 @@ import org.apache.spark.sql.types._
   * Image decode/resize/frame-sampling is REAL: `javax.imageio` PNG decode
   * (ships with the JDK) through [[ImageCodec]] — the correctness gates
   * verify actual pixel statistics of an encode → decode round trip against
-  * a codec-free SQL oracle. Formats ImageIO lacks (audio, video) keep the
-  * clearly-marked deterministic stub behind the same closure seam. In both
+  * a codec-free SQL oracle. WAV audio decode is REAL too:
+  * `javax.sound.sampled` through [[AudioCodec]], gated the same way. Only
+  * video (no JDK codec exists) keeps the clearly-marked deterministic stub
+  * behind the same closure seam. In all
   * cases the Spark-side shape is what matters at scale: decode runs
   * executor-side on the scan partitioning, media bytes never shuffle, and
   * only small extracted features flow downstream.
@@ -78,7 +80,34 @@ object MultimodalOps {
         col("f.f_h").as("f_h"), col("f.mean_r").as("mean_r"))
   }
 
-  /** STUB media decode for formats the JDK has no codec for (audio, video):
+  /** Synthetic WAV asset table: every row carries REAL RIFF/WAV bytes
+    * (encoded executor-side by `javax.sound.sampled` from the
+    * deterministic sample formula in [[AudioCodec.syntheticWave]]).
+    * Lengths vary per asset (n ∈ [200,236]) so decode genuinely recovers
+    * them from the PCM payload, not the generator.
+    */
+  def audioAssets(s: SparkSession, d: String): DataFrame = {
+    val enc = udf((id: Long, n: Int) =>
+      AudioCodec.encodeWav(AudioCodec.syntheticWave(id, n), 8000))
+    documents(s, d).select(
+        col("doc_id").as("asset_id"),
+        lit("audio/wav").as("media_type"),
+        (lit(200) + col("doc_id") % 37).cast("int").as("gen_n"))
+      .withColumn("payload", enc(col("asset_id"), col("gen_n")))
+      .drop("gen_n")
+  }
+
+  /** Real WAV decode → sample statistics, executor-side; payloads never
+    * shuffle and are dropped right after. Format and length come from the
+    * decoded RIFF stream, not the generator.
+    */
+  def decodeAudioStats(assets: DataFrame): DataFrame = {
+    val dec = udf((p: Array[Byte]) => AudioCodec.decodeStats(p))
+    assets.withColumn("s", dec(col("payload"))).drop("payload")
+  }
+
+  /** STUB media decode for formats the JDK has no codec for (video only —
+    * images decode via [[ImageCodec]], WAV audio via [[AudioCodec]]):
     * a real deployment plugs a codec (JNI/FFI or a Python worker via a
     * Pandas-UDF bridge) into this exact signature — batch of payload bytes
     * in, fixed-size feature vector out. Here it is a deterministic fake:
@@ -86,7 +115,8 @@ object MultimodalOps {
     * per-partition; payload bytes never leave the executor.
     */
   def stubDecodeFeatures(payload: Array[Byte]): Array[Double] = {
-    // ??? <- real audio/video codec goes here (ImageIO covers images)
+    // ??? <- real video codec goes here (ImageIO covers images,
+    //        javax.sound.sampled covers WAV/AIFF audio)
     if (payload == null || payload.isEmpty) Array.fill(4)(0.0)
     else {
       val n = payload.length.toDouble
@@ -175,6 +205,41 @@ object MultimodalOps {
             JOIN full_stats f ON d.doc_id = f.doc_id
             JOIN rs r ON d.doc_id = r.doc_id"""))
 
+  // REAL audio gate: javax.sound.sampled-encoded WAVs are decoded back —
+  // RIFF header parse (sample rate, channels), little-endian 16-bit PCM
+  // unpack — and the recovered format + integer-exact sample statistics
+  // (mean, |peak|, rms) must match a codec-free oracle re-deriving every
+  // sample from the deterministic waveform formula. A header misparse, an
+  // endianness flip, or a sign-extension bug all hash-mismatch.
+  private val qMultimodalAudio = GQuery(
+    "q_multimodal_audio",
+    (s, d) =>
+      decodeAudioStats(audioAssets(s, d)).select(
+        col("asset_id"),
+        col("s.sample_rate").as("sample_rate"),
+        col("s.channels").as("channels"),
+        col("s.n_samples").as("n_samples"),
+        graft.functions.stableRound(col("s.mean"), 4).as("mean"),
+        col("s.peak").as("peak"),
+        graft.functions.stableRound(col("s.rms"), 4).as("rms")),
+    Some("""WITH dims AS (
+              SELECT doc_id, 200 + doc_id % 37 AS n FROM documents
+            ),
+            smp AS (
+              SELECT doc_id, n, (doc_id * 31 + 7 * t) % 4096 - 2048 AS s
+              FROM dims, (SELECT unnest(range(0, 237)) AS t) WHERE t < n
+            )
+            SELECT doc_id AS asset_id,
+                   8000 AS sample_rate,
+                   1 AS channels,
+                   CAST(max(n) AS BIGINT) AS n_samples,
+                   floor(CAST(sum(s) AS DOUBLE) / max(n) * 10000 + 0.5)
+                     / 10000 AS mean,
+                   CAST(max(abs(s)) AS INT) AS peak,
+                   floor(sqrt(CAST(sum(s * s) AS DOUBLE) / max(n)) * 10000 + 0.5)
+                     / 10000 AS rms
+            FROM smp GROUP BY doc_id"""))
+
   /** STUB resize: strided byte sample down to `target` bytes — a real
     * codec swaps in behind the same (payload → payload) signature. Keeps
     * the resized payload executor-local like decode.
@@ -233,5 +298,6 @@ object MultimodalOps {
             WHERE p < b.w * (b.y1 - b.y0)
             GROUP BY b.doc_id, b.i, b.y0, b.y1"""))
 
-  val queries: Seq[GQuery] = Seq(qMultimodalMeta, qMultimodalDecode, qMultimodalFrames)
+  val queries: Seq[GQuery] =
+    Seq(qMultimodalMeta, qMultimodalDecode, qMultimodalFrames, qMultimodalAudio)
 }

@@ -59,6 +59,29 @@ class MainCliSpec extends AnyFunSuite {
       """{kafka:{topic:"Z",partition:0,offset:1},value:{op:"u",n:6}}"""), out)
   }
 
+  test("stream-txn -metrics surfaces the StreamMetrics counters") {
+    val in = java.nio.file.Files.createTempDirectory("cli-txn-in")
+    val out = java.nio.file.Files.createTempDirectory("cli-txn-out")
+    def write(name: String, lines: Seq[String]): Unit = {
+      val tmp = in.resolve(s".$name")
+      java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes)
+      java.nio.file.Files.move(tmp, in.resolve(name))
+    }
+    // txn 1 completes; txn 2 stays in flight
+    write("b1.json", Seq(
+      """{"txn":1,"seqno":1,"payload":"a1","done":false,"ts":"2024-01-01T00:00:00Z"}""",
+      """{"txn":1,"seqno":2,"payload":"a-end","done":true,"ts":"2024-01-01T00:00:01Z"}""",
+      """{"txn":2,"seqno":1,"payload":"b1","done":false,"ts":"2024-01-01T00:00:02Z"}"""))
+    val lines = capture("stream-txn", in.toString, out.toString,
+      "-ttl", "60000", "-metrics")
+    assert(lines.exists(_.startsWith("assembled 1 bundles")), lines.mkString("\n"))
+    val m = lines.filter(_.startsWith("metrics "))
+    assert(m.size == 1, lines.mkString("\n"))
+    assert(m.head.contains("txn.completed=1"), m.head)
+    assert(m.head.contains("txn.timedOut=0"), m.head)
+    assert(m.head.contains("txn.inFlight=1"), m.head)
+  }
+
   test("unknown option flags are rejected, not silently ignored") {
     val bus = Files.createTempDirectory("cli-badopt-bus").toString
     val e = intercept[IllegalArgumentException] {

@@ -89,6 +89,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(weighted - full.mean_r) < 1e-9)
   }
 
+  test("WAV round trip: javax.sound.sampled decode recovers every sample exactly") {
+    val samples = AudioCodec.syntheticWave(42L, 236)
+    val wav = AudioCodec.encodeWav(samples, 8000)
+    // RIFF magic on the wire — a real container, not raw PCM
+    assert(new String(wav.take(4), "ASCII") == "RIFF")
+    val st = AudioCodec.decodeStats(wav)
+    assert(st.sample_rate == 8000 && st.channels == 1 && st.n_samples == 236L)
+    // ground truth from the formula, independent of the codec path
+    val ints = (0 until 236).map(t => ((42L * 31 + 7L * t) % 4096 - 2048).toInt)
+    assert(st.mean == ints.sum.toDouble / 236)
+    assert(st.peak == ints.map(math.abs).max)
+    assert(st.rms == math.sqrt(ints.map(s => s.toLong * s).sum.toDouble / 236))
+  }
+
+  test("audio assets decode distributively; stats columns match the formula") {
+    val df = MultimodalOps.decodeAudioStats(MultimodalOps.audioAssets(spark, dir))
+      .select(col("asset_id"), col("s.n_samples").as("n"), col("s.mean").as("m"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, n) = (r.getLong(0), r.getLong(1))
+      assert(n == 200 + id % 37)
+      val expect = (0 until n.toInt)
+        .map(t => (id * 31 + 7L * t) % 4096 - 2048).sum.toDouble / n
+      assert(r.getDouble(2) == expect, s"asset $id mean")
+    }
+  }
+
   test("decode rejects non-image payloads loudly") {
     intercept[IllegalArgumentException] {
       ImageCodec.decodeStats("not a png".getBytes)
