@@ -96,10 +96,15 @@ class EtlFuzzSpec extends AnyFunSuite {
 
   // ------------------------------------------ expression generator + eval
 
-  /** A generated expression: its rendered Zed-ish source plus an
-    * interpreter. Paths resolve against an environment of nested maps.
+  /** A generated expression: its rendered Zed-ish source, an equivalent
+    * DuckDB SQL rendering (row aliases as `%IN%`/`%ROW%`/`%LEFT%`/`%RIGHT%`
+    * placeholders, substituted when the full program SQL is assembled), and
+    * an interpreter. Paths resolve against an environment of nested maps.
+    * Record-valued expressions additionally expose their per-field parts
+    * (`fields`) so the SQL assembly can flatten them to scalar columns.
     */
-  private case class FExpr(src: String, eval: RowMap => Any)
+  private case class FExpr(src: String, sql: String, eval: RowMap => Any,
+      fields: Option[Seq[(String, FExpr)]] = None)
 
   private def resolve(env: RowMap, path: Seq[String]): Any =
     path.foldLeft(env: Any) {
@@ -114,13 +119,17 @@ class EtlFuzzSpec extends AnyFunSuite {
     Seq("kafka", "offset"))
   private val strPaths = Seq(Seq("value", "op"), Seq("value", "name"))
 
-  private def pathExpr(prefix: Seq[String], p: Seq[String]): FExpr =
-    FExpr((prefix ++ p).mkString("."), env => resolve(env, prefix ++ p))
+  private def pathExpr(prefix: Seq[String], p: Seq[String]): FExpr = {
+    val alias = "%" + prefix.headOption.getOrElse("row").toUpperCase + "%"
+    FExpr((prefix ++ p).mkString("."),
+      (alias +: p.map(f => "\"" + f + "\"")).mkString("."),
+      env => resolve(env, prefix ++ p))
+  }
 
   private def genLong(prefix: Seq[String], depth: Int): Gen[FExpr] = {
     val leaf = Gen.oneOf(
       Gen.oneOf(longPaths).map(p => pathExpr(prefix, p)),
-      Gen.choose(-9L, 99L).map(n => FExpr(n.toString, _ => n)))
+      Gen.choose(-9L, 99L).map(n => FExpr(n.toString, n.toString, _ => n)))
     if (depth <= 0) leaf
     else Gen.frequency(
       3 -> leaf,
@@ -128,7 +137,7 @@ class EtlFuzzSpec extends AnyFunSuite {
         op <- Gen.oneOf("+", "-", "*")
         l <- genLong(prefix, depth - 1)
         r <- genLong(prefix, depth - 1)
-      } yield FExpr(s"(${l.src} $op ${r.src})", { env =>
+      } yield FExpr(s"(${l.src} $op ${r.src})", s"(${l.sql} $op ${r.sql})", { env =>
         val (a, b) = (l.eval(env).asInstanceOf[Long], r.eval(env).asInstanceOf[Long])
         op match { case "+" => a + b case "-" => a - b case "*" => a * b }
       })))
@@ -136,14 +145,18 @@ class EtlFuzzSpec extends AnyFunSuite {
 
   private def genStr(prefix: Seq[String]): Gen[FExpr] = Gen.oneOf(
     Gen.oneOf(strPaths).map(p => pathExpr(prefix, p)),
-    Gen.oneOf(ops ++ names).map(s => FExpr(s""""$s"""", _ => s)))
+    Gen.oneOf(ops ++ names).map(s => FExpr(s""""$s"""", s"'$s'", _ => s)))
 
   private def genBool(prefix: Seq[String], depth: Int): Gen[FExpr] = {
+    def sqlCmp(op: String) = op match {
+      case "==" => "=" case "!=" => "<>" case other => other
+    }
     val cmpLong = for {
       op <- Gen.oneOf("==", "!=", "<", "<=", ">", ">=")
       l <- genLong(prefix, 1)
       r <- genLong(prefix, 1)
-    } yield FExpr(s"${l.src} $op ${r.src}", { env =>
+    } yield FExpr(s"${l.src} $op ${r.src}",
+      s"${l.sql} ${sqlCmp(op)} ${r.sql}", { env =>
       val (a, b) = (l.eval(env).asInstanceOf[Long], r.eval(env).asInstanceOf[Long])
       op match {
         case "==" => a == b case "!=" => a != b case "<" => a < b
@@ -154,7 +167,8 @@ class EtlFuzzSpec extends AnyFunSuite {
       op <- Gen.oneOf("==", "!=")
       l <- Gen.oneOf(strPaths).map(p => pathExpr(prefix, p))
       r <- Gen.oneOf(ops ++ names)
-    } yield FExpr(s"""${l.src} $op "$r"""", { env =>
+    } yield FExpr(s"""${l.src} $op "$r"""",
+      s"${l.sql} ${sqlCmp(op)} '$r'", { env =>
       val a = l.eval(env).asInstanceOf[String]
       if (op == "==") a == r else a != r
     })
@@ -163,19 +177,21 @@ class EtlFuzzSpec extends AnyFunSuite {
       items <- Gen.nonEmptyListOf(Gen.oneOf(ops ++ names)).map(_.distinct)
     } yield FExpr(
       s"""${l.src} in [${items.map(s => s""""$s"""").mkString(", ")}]""",
+      s"${l.sql} IN (${items.map(s => s"'$s'").mkString(", ")})",
       env => items.contains(l.eval(env).asInstanceOf[String]))
     val leaf = Gen.oneOf(cmpLong, cmpStr, inList)
     if (depth <= 0) leaf
     else Gen.frequency(
       4 -> leaf,
       1 -> (for { l <- genBool(prefix, depth - 1); r <- genBool(prefix, depth - 1) }
-        yield FExpr(s"(${l.src} and ${r.src})",
+        yield FExpr(s"(${l.src} and ${r.src})", s"(${l.sql} AND ${r.sql})",
           env => l.eval(env).asInstanceOf[Boolean] && r.eval(env).asInstanceOf[Boolean])),
       1 -> (for { l <- genBool(prefix, depth - 1); r <- genBool(prefix, depth - 1) }
-        yield FExpr(s"(${l.src} or ${r.src})",
+        yield FExpr(s"(${l.src} or ${r.src})", s"(${l.sql} OR ${r.sql})",
           env => l.eval(env).asInstanceOf[Boolean] || r.eval(env).asInstanceOf[Boolean])),
       1 -> genBool(prefix, depth - 1).map(e =>
-        FExpr(s"not (${e.src})", env => !e.eval(env).asInstanceOf[Boolean])))
+        FExpr(s"not (${e.src})", s"NOT (${e.sql})",
+          env => !e.eval(env).asInstanceOf[Boolean])))
   }
 
   /** The out-record construction: typed field pool so heterogeneous rule
@@ -188,10 +204,11 @@ class EtlFuzzSpec extends AnyFunSuite {
       "b1" -> genBool(prefix, 1),
       "z1" -> Gen.const(FExpr(
         s"cast(null, typeof(${(prefix ++ Seq("value", "amount")).mkString(".")}))",
-        _ => null)),
+        "CAST(NULL AS BIGINT)", _ => null)),
       "r1" -> (for { x <- genLong(prefix, 1); y <- genStr(prefix) }
-        yield FExpr(s"{ x: ${x.src}, y: ${y.src} }",
-          env => Map("x" -> x.eval(env), "y" -> y.eval(env)))))
+        yield FExpr(s"{ x: ${x.src}, y: ${y.src} }", "",
+          env => Map("x" -> x.eval(env), "y" -> y.eval(env)),
+          fields = Some(Seq("x" -> x, "y" -> y)))))
     for {
       picked <- Gen.someOf(fieldGens).suchThat(_.nonEmpty)
       exprs <- Gen.sequence[Seq[FExpr], FExpr](picked.map(_._2))
@@ -199,7 +216,9 @@ class EtlFuzzSpec extends AnyFunSuite {
       val fields = picked.map(_._1).zip(exprs)
       FExpr(
         fields.map { case (n, e) => s"$n: ${e.src}" }.mkString("{ ", ", ", " }"),
-        env => fields.map { case (n, e) => n -> e.eval(env) }.toMap)
+        "",
+        env => fields.map { case (n, e) => n -> e.eval(env) }.toMap,
+        fields = Some(fields.toSeq))
     }
   }
 
@@ -337,6 +356,128 @@ class EtlFuzzSpec extends AnyFunSuite {
     case other => other
   }
 
+  // ------------------------------------------ DuckDB SQL rendering (authority)
+
+  /** Flat (scalar) output columns of one rule's out-record: `r1` explodes
+    * to `r1_x`/`r1_y` so the dumped table has no struct columns.
+    */
+  private def flatOf(out: FExpr): Seq[(String, String)] =
+    out.fields.get.flatMap {
+      case ("r1", e) => e.fields.get.map { case (n, fe) => s"r1_$n" -> fe.sql }
+      case (n, e) => Seq(n -> e.sql)
+    }
+
+  private val flatType = Map(
+    "n1" -> "BIGINT", "n2" -> "BIGINT", "z1" -> "BIGINT",
+    "s1" -> "VARCHAR", "s2" -> "VARCHAR", "b1" -> "BOOLEAN",
+    "r1_x" -> "BIGINT", "r1_y" -> "VARCHAR")
+
+  private def qpath(alias: String, p: Seq[String]): String =
+    (alias +: p.map(f => "\"" + f + "\"")).mkString(".")
+
+  /** Render the ENTIRE generated program to one DuckDB SQL statement over
+    * the dumped parquet inputs — anti-join against the done set,
+    * first-match routing, stateless/denorm rules, per-out-topic dense
+    * renumbering, done markers. This is the third independent rendering of
+    * the documented semantics (Catalyst plan, Scala interpreter, SQL), so
+    * the fuzzer and the correctness gates share one oracle authority
+    * (DuckDB) via tools/check_etl_fuzz_duckdb.py.
+    */
+  private def sqlFor(prog: FProgram, inPath: String, donePath: String): String = {
+    val flats = prog.rules.flatMap(r => flatOf(r.out).map(_._1)).distinct.sorted
+    def sub(sql: String, m: (String, String)*): String =
+      m.foldLeft(sql) { case (s, (k, v)) => s.replace(k, v) }
+    val matchConds = prog.rules.map { fr =>
+      val w = fr.where.map(e => sub(e.sql, "%ROW%" -> "u"))
+      fr.rule.ruleType match {
+        case "stateless" =>
+          (w.toSeq :+ s"u.kafka.topic = '${fr.rule.in}'").mkString("(", " AND ", ")")
+        case "denorm" => w.getOrElse("TRUE")
+      }
+    }
+    val caseExpr = matchConds.zipWithIndex
+      .map { case (c, i) => s"WHEN $c THEN $i" }
+      .mkString("CASE ", " ", " ELSE -1 END")
+    def selectList(fl: Map[String, String], subs: Seq[(String, String)]): String =
+      flats.map { f =>
+        fl.get(f).map(sql => s"${sub(sql, subs: _*)} AS $f")
+          .getOrElse(s"CAST(NULL AS ${flatType(f)}) AS $f")
+      }.mkString(", ")
+    def denormJoin(fr: FRule, i: Int): String = {
+      val Array(lp, rp) = fr.rule.joinOn.split("=").map(_.trim.split('.').toSeq)
+      s"""FROM routed l JOIN routed r
+         |  ON l.rule_idx = $i AND r.rule_idx = $i
+         | AND l.kafka.topic = '${fr.rule.left}' AND r.kafka.topic = '${fr.rule.right}'
+         | AND ${qpath("l", lp.tail)} = ${qpath("r", rp.tail)}""".stripMargin
+    }
+    val dataSelects = prog.rules.zipWithIndex.map { case (fr, i) =>
+      fr.rule.ruleType match {
+        case "stateless" =>
+          s"""SELECT ${selectList(flatOf(fr.out).toMap, Seq("%IN%" -> "i"))},
+             |       i.kafka.topic AS in_t, i.kafka."offset" AS in_o,
+             |       '${fr.rule.out}' AS out_topic
+             |FROM routed i WHERE i.rule_idx = $i""".stripMargin
+        case "denorm" =>
+          s"""SELECT ${selectList(flatOf(fr.out).toMap,
+                Seq("%LEFT%" -> "l", "%RIGHT%" -> "r"))},
+             |       l.kafka.topic AS in_t, l.kafka."offset" AS in_o,
+             |       '${fr.rule.out}' AS out_topic
+             |${denormJoin(fr, i)}""".stripMargin
+      }
+    }
+    val doneSelects = prog.rules.zipWithIndex.flatMap { case (fr, i) =>
+      fr.rule.ruleType match {
+        case "stateless" => Seq(
+          s"""SELECT i.kafka.topic AS t, i.kafka."offset" AS o, '${fr.rule.out}' AS ot
+             |FROM routed i WHERE i.rule_idx = $i""".stripMargin)
+        case "denorm" => Seq("l", "r").map(side =>
+          s"""SELECT $side.kafka.topic AS t, $side.kafka."offset" AS o, '${fr.rule.out}' AS ot
+             |${denormJoin(fr, i)}""".stripMargin)
+      }
+    }
+    val nullFlats = flats
+      .map(f => s"CAST(NULL AS ${flatType(f)}) AS $f").mkString(", ")
+    s"""WITH undone AS (
+       |  SELECT i.* FROM read_parquet('$inPath/*.parquet') i
+       |  WHERE NOT EXISTS (SELECT 1 FROM read_parquet('$donePath/*.parquet') d
+       |                    WHERE d.topic = i.kafka.topic
+       |                      AND d."offset" = i.kafka."offset")
+       |),
+       |routed AS (SELECT u.*, $caseExpr AS rule_idx FROM undone u),
+       |alldata AS (
+       |${dataSelects.mkString("\nUNION ALL\n")}
+       |),
+       |renum AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY out_topic
+       |              ORDER BY in_o, in_t) - 1
+       |            + CASE out_topic WHEN 'o0' THEN ${prog.baseOffsets("o0")}
+       |                             ELSE ${prog.baseOffsets("o1")} END
+       |            AS BIGINT) AS new_off
+       |  FROM alldata
+       |),
+       |dones AS (
+       |${doneSelects.mkString("\nUNION ALL\n")}
+       |)
+       |SELECT ${flats.mkString(", ")}${if (flats.isEmpty) "" else ","}
+       |       CAST(NULL AS VARCHAR) AS _type, out_topic AS _outtopic,
+       |       out_topic AS topic, new_off AS "offset" FROM renum
+       |UNION ALL
+       |SELECT $nullFlats${if (flats.isEmpty) "" else ","}
+       |       'done' AS _type, ot AS _outtopic,
+       |       t AS topic, CAST(o AS BIGINT) AS "offset" FROM dones""".stripMargin
+  }
+
+  /** Flatten the compiled program's output to the dump's scalar columns. */
+  private def flattenGot(df: DataFrame, flats: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val cols = flats.map {
+      case f if f.startsWith("r1_") => col("r1." + f.stripPrefix("r1_")).as(f)
+      case f => col(f)
+    } ++ Seq(col("kafka.topic").as("topic"), col("kafka.offset").as("offset"),
+      col("_type"), col("_outtopic"))
+    df.select(cols: _*)
+  }
+
   // ---------------------------------------------------------------- tests
 
   test("120 random ETL programs: Catalyst plan == reference interpreter, then idempotent") {
@@ -381,5 +522,44 @@ class EtlFuzzSpec extends AnyFunSuite {
       assert(rerun == 0L, s"$label: re-run emitted $rerun rows, expected 0")
     }
     info(s"120 programs, $checkedRows output rows compared")
+  }
+
+  test("DuckDB authority dump: 30 programs rendered to SQL + parquet") {
+    // Dumps case_NNN/{input,done,spark_out}.parquet + oracle.sql under
+    // target/etl-fuzz-duckdb; tools/check_etl_fuzz_duckdb.py runs each
+    // oracle in DuckDB and multiset-compares against spark_out (EXCEPT ALL
+    // both ways). Same seeds as the interpreter differential above, so the
+    // three renderings (Catalyst, interpreter, SQL) cover the same programs.
+    val base = java.nio.file.Paths.get("target/etl-fuzz-duckdb")
+    if (java.nio.file.Files.exists(base)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    for (caseNo <- 0 until 30) {
+      val seed = Seed(1000L + caseNo)
+      val (rows, doneSeq) = genRows(seed)
+      val prog = genProgram(seed.next)
+      val dir = base.resolve(f"case_$caseNo%03d").toAbsolutePath
+      java.nio.file.Files.createDirectories(dir)
+      val inputDf = toSparkRows(rows)
+      val doneDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          doneSeq.map { case (t, o) => Row(t, o) }, 1),
+        StructType(Seq(StructField("topic", StringType),
+          StructField("offset", LongType))))
+      inputDf.repartition(1).write.mode("overwrite")
+        .parquet(s"$dir/input.parquet")
+      doneDf.repartition(1).write.mode("overwrite")
+        .parquet(s"$dir/done.parquet")
+      val flats = prog.rules.flatMap(r => flatOf(r.out).map(_._1)).distinct.sorted
+      val got = Compiler.compile(prog.transform)
+        .run(inputDf, doneDf, prog.baseOffsets)
+      flattenGot(got, flats).repartition(1).write.mode("overwrite")
+        .parquet(s"$dir/spark_out.parquet")
+      java.nio.file.Files.writeString(dir.resolve("oracle.sql"),
+        sqlFor(prog, s"$dir/input.parquet", s"$dir/done.parquet"))
+    }
+    assert(java.nio.file.Files.list(base).count() == 30)
   }
 }
