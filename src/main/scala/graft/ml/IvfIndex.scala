@@ -86,4 +86,27 @@ object IvfIndex {
       .write.mode("append").partitionBy("cell").parquet(s"${index.path}/cells")
     index
   }
+
+  /** Re-train for a drifted corpus: re-run the coarse quantizer over the
+    * CURRENT stored corpus (original build plus every append) and build a
+    * fresh index GENERATION at `newPath` — immutable-generation
+    * maintenance, the standard production pattern: readers keep using the
+    * old generation until the caller flips its pointer, so there is no
+    * in-place atomicity window to get wrong. A re-partition is inherent to
+    * re-training (cell membership changes), so the full rewrite is the
+    * honest cost; at 100 TB it is one partitioned write at scan
+    * parallelism — the corpus never shuffles, cell assignment joins the
+    * broadcast centroid table exactly as in [[build]].
+    *
+    * When to call: [[append]] keeps centroids frozen, so as the corpus
+    * distribution drifts, new vectors concentrate in (and straddle) cells
+    * trained on the old distribution and probe recall decays —
+    * IvfRetrainSpec demonstrates the decay and the restore.
+    */
+  def retrain(index: IvfIndex, newPath: String, cells: Int = 10,
+      trainIters: Int = 3): IvfIndex = {
+    val stored = index.spark.read.parquet(s"${index.path}/cells")
+      .select("vec_id", "v")
+    build(stored, newPath, cells, trainIters)
+  }
 }

@@ -1,0 +1,88 @@
+package graft.ml
+
+import graft.GraftSession
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The IVF maintenance contract: [[IvfIndex.append]] keeps centroids
+  * frozen, so a corpus whose distribution drifts away from the build-time
+  * training set sees probe recall decay — and [[IvfIndex.retrain]] (a
+  * fresh quantizer over the full stored corpus, written as a new index
+  * generation) restores it. All data is deterministic, so the observed
+  * recalls are stable run to run.
+  */
+class IvfRetrainSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.local(4)
+  val dir = "/root/testdata/sf0.001"
+
+  private def baseCorpus: DataFrame = Tables.embeddings(spark, dir)
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** Drifted region: 8 tight clusters nowhere near the fixture embeddings,
+    * from a pure integer formula (deterministic). Members of one cluster
+    * are each other's true nearest neighbors.
+    */
+  private def driftVectors(dim: Int, amp: Double): DataFrame = {
+    val rows = for {
+      c <- 0 until 8
+      m <- 0 until 25
+    } yield {
+      val raw = Array.tabulate(dim) { d =>
+        (((c * 37 + d * 13) % 19) - 9).toDouble +
+          amp * (((m * 5 + d * 3 + c) % 11) - 5)
+      }
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      Row(1000000L + c * 25 + m, raw.map(_ / n).toSeq)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("v", ArrayType(DoubleType)))))
+  }
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("append-only drift decays probe recall; retrain restores it") {
+    val corpus = baseCorpus.persist()
+    val dim = corpus.select(size(col("v"))).head().getInt(0)
+    // amp 2.5 ≈ 30° intra-cluster angular spread: enough that a cluster's
+    // members straddle 4-7 of the OLD cells (near-tied affinities broken
+    // differently per member), while staying each other's true nearest
+    // neighbors — the geometry that makes frozen-quantizer probes miss.
+    // Observed (deterministic): frozen 0.86, retrained 0.99.
+    val drift = driftVectors(dim, amp = 2.5).persist()
+    val full = corpus.unionByName(drift)
+
+    val path = java.nio.file.Files.createTempDirectory("ivf-drift").toString
+    val idx = IvfIndex.build(corpus, s"$path/gen0", cells = 10, trainIters = 3)
+    IvfIndex.append(idx, drift)
+
+    // queries from the drifted region; ground truth over the FULL corpus
+    val queries = drift.filter(col("vec_id") % 25 < 4) // 32 of 200
+    val exact = pairs(AnnOps.bruteForceTopK(full, queries, 5))
+
+    val frozen = pairs(idx.search(queries, 5, nprobe = 2))
+    val frozenRecall = (exact & frozen).size.toDouble / exact.size
+
+    val idx2 = IvfIndex.retrain(idx, s"$path/gen1", cells = 10, trainIters = 3)
+    // old generation still readable until the caller flips its pointer
+    assert(idx.centroids.count() == 10)
+    val retrained = pairs(idx2.search(queries, 5, nprobe = 2))
+    val retrainedRecall = (exact & retrained).size.toDouble / exact.size
+
+    info(f"frozen-quantizer recall=$frozenRecall%.2f retrained recall=$retrainedRecall%.2f")
+    // the new generation carries the full corpus, re-partitioned
+    assert(idx2.spark.read.parquet(s"$path/gen1/cells").count() == full.count())
+    assert(frozenRecall <= 0.92,
+      s"drift should decay frozen-quantizer recall, got $frozenRecall")
+    assert(retrainedRecall >= 0.95, s"retrained recall too low: $retrainedRecall")
+    assert(retrainedRecall > frozenRecall + 0.05,
+      s"retrain should restore what drift cost: frozen=$frozenRecall retrained=$retrainedRecall")
+    corpus.unpersist(); drift.unpersist()
+  }
+}
