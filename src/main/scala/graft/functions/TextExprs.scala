@@ -81,6 +81,11 @@ object TextExprs {
 
   def shingleHashesNative(text: Column, n: Int): Column =
     Bridge.column(ShingleHashesExpr(Bridge.expression(lower(text.cast("string"))), n))
+
+  def shinglesTextNative(text: Column, n: Int): Column =
+    Bridge.column(ShinglesExpr(Bridge.expression(lower(text.cast("string"))), n))
+
+  private[functions] val Space = UTF8String.fromString(" ")
 }
 
 /** string → array<string> of lowercased word tokens (empty tokens dropped).
@@ -167,5 +172,51 @@ case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression 
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+}
+
+/** string → array<string> of n-token shingle STRINGS. Equals
+  * `shingles(tokens(text), n)` (the Column composition) — which, being a
+  * CodegenFallback higher-order-function chain, re-evaluates the `tokens`
+  * child once PER SHINGLE when interpreted: O(tokens²) work per document.
+  * Found live by the sf10 scale ladder — q_contamination spent 30+ min of
+  * 32 cores re-tokenizing 500k docs quadratically. This expression
+  * tokenizes once and emits all shingles in one pass, inside whole-stage
+  * codegen via the same reference-object pattern as [[TokensExpr]].
+  */
+case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n > 0, s"shingle size must be positive: $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles_text"
+
+  override protected def nullSafeEval(input: Any): Any =
+    run(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shinglesExpr", this, classOf[ShinglesExpr].getName)
+    nullSafeCodeGen(ctx, ev, input => s"${ev.value} = $ref.run($input);")
+  }
+
+  /** Called from both eval and generated code. */
+  def run(input: UTF8String): ArrayData = {
+    val toks = TextExprs.tokenize(input)
+    val m = toks.length
+    // the Column formulation collapses short docs to ONE shingle of all
+    // tokens, empty docs to the empty string (array_join of nothing)
+    val count = if (m <= n) 1 else m - n + 1
+    val width = if (m <= n) m else n
+    val out = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      out(i) = UTF8String.concatWs(TextExprs.Space,
+        java.util.Arrays.copyOfRange(toks, i, i + width): _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
     copy(child = newChild)
 }

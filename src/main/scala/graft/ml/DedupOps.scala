@@ -208,7 +208,7 @@ object DedupOps {
     "q_ngram_jaccard",
     (s, d) => {
       val docs = documents(s, d).select(col("doc_id"), col("lang"), col("source"),
-        array_distinct(shingles(tokens(col("text")), 3)).as("grams"))
+        array_distinct(graft.functions.TextExprs.shinglesTextNative(col("text"), 3)).as("grams"))
       val l = docs.select(col("lang"), col("source"), col("doc_id").as("a"), col("grams").as("ga"))
       val r = docs.select(col("lang"), col("source"), col("doc_id").as("b"), col("grams").as("gb"))
       saltedBlockPairs(l, r, Seq("lang", "source"), "a")
@@ -244,7 +244,7 @@ object DedupOps {
     "q_contamination",
     (s, d) => {
       val docs = documents(s, d).select(col("doc_id"),
-        array_distinct(shingles(tokens(col("text")), 3)).as("grams"))
+        array_distinct(graft.functions.TextExprs.shinglesTextNative(col("text"), 3)).as("grams"))
       val bench = docs.filter(col("doc_id") < 5)
         .select(explode(col("grams")).as("g")).distinct()
       docs.filter(col("doc_id") >= 5)

@@ -109,4 +109,95 @@ object IvfIndex {
       .select("vec_id", "v")
     build(stored, newPath, cells, trainIters)
   }
+
+  /** Partial retrain for LOCALIZED drift: where [[retrain]] re-quantizes
+    * and rewrites the whole corpus, `splitMerge` touches only the cells the
+    * drift landed in. Every untouched cell's parquet files are HARD-LINKED
+    * into the new generation directory — O(1) metadata per file, no data
+    * read or rewritten (an object-store binding would use a server-side
+    * copy or a manifest reference; the local link carries the same
+    * immutable-generation contract) — so maintenance cost scales with the
+    * drifted FRACTION of the corpus, not its size. At 100 TB that is the
+    * difference between rewriting 100 TB and rewriting a handful of hot
+    * cells.
+    *
+    * Selection is size-based — the observable symptom of drift under a
+    * frozen quantizer is that appends concentrate in a few cells: cells
+    * larger than `splitFactor` × the mean are re-quantized into `subCells`
+    * fresh cells (k-means over just that cell's partition-pruned vectors);
+    * cells smaller than `mergeFraction` × the mean are dissolved into their
+    * nearest surviving centroid (their vectors land as ADDITIONAL files in
+    * the target cell's directory — linked files are never modified). The
+    * driver loops over selected cells only: bounded by the cell count,
+    * metadata scale. Returns the new generation; the old one stays
+    * readable until the caller flips its pointer, exactly as [[retrain]].
+    *
+    * Probe-budget contract: a query that would have probed a split cell
+    * needs up to `subCells` probes to cover the same vectors, so recall at
+    * the OLD nprobe is preserved at `nprobe × subCells` in the worst case
+    * (typically much less — that bound assumes every probe hit a split
+    * cell). At a fixed nprobe a finer index probes relatively less of the
+    * corpus and recall can drop by construction; scale nprobe with the
+    * split, then tune back down against a recall gate.
+    */
+  def splitMerge(index: IvfIndex, newPath: String, splitFactor: Double = 2.0,
+      mergeFraction: Double = 0.1, subCells: Int = 2,
+      trainIters: Int = 3): IvfIndex = {
+    import java.nio.file.{Files, Paths}
+    val spark = index.spark
+    val cellsPath = s"${index.path}/cells"
+    // one row per cell — metadata scale
+    val sizes = spark.read.parquet(cellsPath).groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val mean = sizes.values.sum.toDouble / sizes.size
+    val toSplit = sizes.filter(_._2 > splitFactor * mean).keySet
+    val toMerge = sizes.filter(_._2 < mergeFraction * mean).keySet -- toSplit
+    if (toSplit.isEmpty && toMerge.isEmpty) return index
+    val survivors = sizes.keySet -- toSplit -- toMerge
+
+    // fresh sub-quantizers, one per split cell; ids allocated past max
+    var nextId = sizes.keySet.max + 1
+    var newCents = List.empty[DataFrame]
+    var rewritten = List.empty[DataFrame]
+    for (c <- toSplit.toSeq.sorted) {
+      val cellVecs = spark.read.parquet(cellsPath) // partition-pruned: one dir
+        .filter(col("cell") === c).select("vec_id", "v")
+      // kmeansCells numbers cells 1..subCells; shift into the fresh id range
+      val sub = AnnOps.kmeansCells(cellVecs, subCells, trainIters)
+        .withColumn("cell", (col("cell") + lit(nextId - 1)).cast("int"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      nextId += subCells
+      newCents ::= sub
+      rewritten ::= AnnOps.assignCells(cellVecs, sub)
+    }
+    val survivorCents = index.centroids
+      .filter(col("cell").isin(survivors.toSeq.map(_.asInstanceOf[Any]): _*))
+    val finalCents = (survivorCents :: newCents).reduce(_.unionByName(_))
+    if (toMerge.nonEmpty) {
+      val mergeVecs = spark.read.parquet(cellsPath)
+        .filter(col("cell").isin(toMerge.toSeq.map(_.asInstanceOf[Any]): _*))
+        .select("vec_id", "v")
+      rewritten ::= AnnOps.assignCells(mergeVecs, finalCents)
+    }
+
+    // new generation: link survivor files, write only the rewritten cells
+    for (c <- survivors.toSeq.sorted) {
+      val src = Paths.get(cellsPath, s"cell=$c")
+      val dst = Paths.get(newPath, "cells", s"cell=$c")
+      Files.createDirectories(dst)
+      Files.list(src).forEach { f =>
+        val name = f.getFileName.toString
+        if (name.endsWith(".parquet"))
+          try Files.createLink(dst.resolve(name), f)
+          catch { case _: UnsupportedOperationException => // cross-device FS
+            Files.copy(f, dst.resolve(name))
+          }
+      }
+    }
+    rewritten.reduce(_.unionByName(_))
+      .write.mode("append").partitionBy("cell").parquet(s"$newPath/cells")
+    finalCents.write.mode("overwrite").parquet(s"$newPath/centroids")
+    newCents.foreach(_.unpersist())
+    IvfIndex(spark, newPath)
+  }
 }

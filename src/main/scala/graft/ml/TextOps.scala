@@ -483,7 +483,69 @@ object TextOps {
                      AS n_chars
             FROM c"""))
 
+  // ---- BM25 scored retrieval ---------------------------------------------
+  // Lexical top-k retrieval (Okapi BM25, k1=1.2, b=0.75) for a fixed query
+  // term set — the keyword complement to the ANN stack. Corpus statistics
+  // (N, avgdl, per-term df) reduce to ONE broadcastable row; scoring is
+  // scan-side — per-doc term frequencies come from the tokenized array
+  // in-row (`filter(toks, _ == term)`, no explode), so the corpus never
+  // shuffles and the global top-20 is a TakeOrderedAndProject. Every input
+  // to the scoring formula is an exactly-representable integer (tf, dl, df,
+  // N; the dl-sum behind avgdl stays under 2^53), and the per-doc score is
+  // a FIXED-ORDER chain of IEEE ops, so the DuckDB oracle hash-matches
+  // bit-for-bit. At 100 TB: partial-agg stats pass + one scan.
+  private val bm25Terms = Seq("query", "join", "stream")
+  private val qBm25 = GQuery(
+    "q_bm25",
+    (s, d) => {
+      val docs = documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("dl", size(col("toks")).cast("double"))
+      val statCols =
+        (sum(col("dl")) / count(lit(1))).as("avgdl") +:
+          bm25Terms.map(t => sum(when(array_contains(col("toks"), t), 1L)
+            .otherwise(0L)).cast("double").as(s"df_$t"))
+      val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"), statCols: _*)
+      val scored = docs.crossJoin(broadcast(stats))
+      val contribs = bm25Terms.map { t =>
+        val tf = size(filter(col("toks"), x => x === lit(t))).cast("double")
+        val df = col(s"df_$t")
+        val idf = log((col("n_docs") - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+        idf * tf * lit(2.2) /
+          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      }
+      scored
+        .select(col("doc_id"),
+          stableRound(contribs.reduce(_ + _), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+    },
+    Some {
+      val contribs = bm25Terms.map { t =>
+        s"""(ln((s.n_docs - s.df_$t + 0.5) / (s.df_$t + 0.5) + 1.0)
+           | * len(list_filter(d.toks, x -> x = '$t')) * 2.2
+           | / (len(list_filter(d.toks, x -> x = '$t'))
+           |    + 1.2 * (0.25 + 0.75 * len(d.toks) / s.avgdl)))""".stripMargin
+      }
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+         |                     x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |         CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl,
+         |         ${bm25Terms.map(t =>
+              s"CAST(count(*) FILTER (WHERE list_contains(toks, '$t')) AS DOUBLE) AS df_$t")
+              .mkString(", ")}
+         |  FROM d)
+         |SELECT doc_id,
+         |       floor((${contribs.mkString(" + ")}) * 10000 + 0.5) / 10000 AS score
+         |FROM d, s
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    })
+
   val queries: Seq[GQuery] = Seq(qLangId, qTokens, qQuality, qFingerprint,
     qRollingFp, qCorpusFilter, qCorpusStats, qRedact, qVocab, qQuantiles,
-    qRepetition, qQualityModel, qPerplexity, qChunk)
+    qRepetition, qQualityModel, qPerplexity, qChunk, qBm25)
 }

@@ -53,6 +53,19 @@ class TextExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("native string shingles == shingles(tokens(…)) on random and edge text") {
+    import spark.implicits._
+    val df = corpus.zipWithIndex.map(_.swap).toDF("id", "text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val bad = df.select(col("id"), col("text"),
+        TextExprs.shinglesTextNative(col("text"), n).as("nat"),
+        shingles(tokensColumns(col("text")), n).as("ref"))
+        .filter(not(col("nat") === col("ref")))
+        .collect()
+      assert(bad.isEmpty, s"n=$n shingle mismatches: ${bad.take(3).mkString("; ")}")
+    }
+  }
+
   test("doGenCode compiles: codegen-only mode matches interpreted eval") {
     import spark.implicits._
     val key = "spark.sql.codegen.factoryMode"

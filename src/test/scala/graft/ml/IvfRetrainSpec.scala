@@ -85,4 +85,89 @@ class IvfRetrainSpec extends AnyFunSuite {
       s"retrain should restore what drift cost: frozen=$frozenRecall retrained=$retrainedRecall")
     corpus.unpersist(); drift.unpersist()
   }
+
+  /** Concentrated drift: few tight clusters, many members — the shape that
+    * lands (almost) entirely inside one or two frozen cells, making those
+    * cells oversized. Same integer formula as [[driftVectors]], tighter.
+    */
+  private def concentratedDrift(dim: Int, clusters: Int, members: Int): DataFrame = {
+    val rows = for {
+      c <- 0 until clusters
+      m <- 0 until members
+    } yield {
+      val raw = Array.tabulate(dim) { d =>
+        (((c * 37 + d * 13) % 19) - 9).toDouble +
+          2.0 * (((m * 5 + d * 3 + c) % 11) - 5)
+      }
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      Row(2000000L + c * members + m, raw.map(_ / n).toSeq)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("v", ArrayType(DoubleType)))))
+  }
+
+  test("splitMerge rewrites only drifted cells — survivors stay hard-linked") {
+    val corpus = baseCorpus.persist()
+    val n = corpus.count()
+    val dim = corpus.select(size(col("v"))).head().getInt(0)
+    // half-the-corpus drift concentrated in 2 tight clusters: under the
+    // frozen quantizer it piles into very few cells, the split trigger
+    val drift = concentratedDrift(dim, clusters = 2, members = (n / 4).toInt).persist()
+    val full = corpus.unionByName(drift)
+
+    val path = java.nio.file.Files.createTempDirectory("ivf-split").toString
+    val idx = IvfIndex.build(corpus, s"$path/gen0", cells = 10, trainIters = 3)
+    IvfIndex.append(idx, drift)
+
+    val queries = drift.filter(col("vec_id") % 25 < 3)
+    val exact = pairs(AnnOps.bruteForceTopK(full, queries, 5))
+    val frozen = pairs(idx.search(queries, 5, nprobe = 2))
+    val frozenRecall = (exact & frozen).size.toDouble / exact.size
+
+    val before = idx.centroids.collect().map(_.getInt(0)).toSet
+    // thresholds chosen to bite on this corpus: the two drift clusters
+    // concentrate in a few cells (split trigger) while the quietest base
+    // cells fall under the merge bar (merge trigger) — both paths exercise
+    val idx2 = IvfIndex.splitMerge(idx, s"$path/gen1",
+      splitFactor = 1.4, mergeFraction = 0.6, subCells = 2)
+    val after = idx2.centroids.collect().map(_.getInt(0)).toSet
+
+    // split happened: fresh ids past the old range replace oversized cells
+    assert(after.exists(_ > before.max), s"no split cells in $after")
+    val splitAway = before -- after
+    assert(splitAway.nonEmpty, "some oversized/starved cell should be gone")
+    // nothing lost: the new generation holds the full corpus
+    assert(idx2.spark.read.parquet(s"$path/gen1/cells").count() == full.count())
+
+    // survivors are HARD LINKS of gen0 files (same inode), not rewrites
+    import java.nio.file.{Files, Paths}
+    val survivor = (before & after).head
+    val srcDir = Paths.get(s"$path/gen0/cells/cell=$survivor")
+    val linked = Files.list(srcDir).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+    assert(linked.nonEmpty)
+    linked.foreach { f =>
+      val twin = Paths.get(s"$path/gen1/cells/cell=$survivor").resolve(f.getFileName)
+      assert(Files.exists(twin), s"survivor file not carried over: $twin")
+      val k0 = Files.readAttributes(f, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey
+      val k1 = Files.readAttributes(twin, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey
+      assert(k0 == k1, s"survivor file was rewritten, not linked: $twin")
+    }
+
+    // a query that probed a split cell needs up to subCells probes to
+    // cover the same vectors (worst-case bound from the splitMerge doc):
+    // assert recall at nprobe × subCells, the preserved-recall budget
+    val nprobe2 = 2 * 2
+    val split = pairs(idx2.search(queries, 5, nprobe2))
+    val splitRecall = (exact & split).size.toDouble / exact.size
+    info(f"frozen recall=$frozenRecall%.2f splitMerge recall=$splitRecall%.2f " +
+      s"(nprobe 2->$nprobe2, cells ${before.size}->${after.size})")
+    assert(splitRecall >= 0.9, s"splitMerge recall too low: $splitRecall")
+    assert(splitRecall + 1e-9 >= frozenRecall - 0.05,
+      s"splitMerge should maintain recall at proportional nprobe: " +
+        s"frozen=$frozenRecall split=$splitRecall")
+    corpus.unpersist(); drift.unpersist()
+  }
 }
