@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Chunked oracle check for PER-ROW-INDEPENDENT gates whose DuckDB oracle
+is memory-intractable in one shot at big scale factors (e.g.
+q_rolling_fingerprint: the pure-SQL XXH64 + rolling-hash re-derivation
+builds a ~100M-row HUGEINT intermediate at sf10 and the list_reduce
+operator cannot spill).
+
+Validity requires the gate to be row-per-key with NO cross-key
+aggregation — then verifying each `key % nchunks == k` slice with the
+same oracle SQL over a filtered base table is exactly the full check,
+partitioned. Each chunk runs in this process with a fresh connection;
+drive one chunk per PROCESS from the shell if pyarrow map accumulation
+is also a problem.
+
+usage: check_chunked.py <sfDir> <outDir> <gate> <keyCol> <nchunks> [chunk]
+"""
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+from check_oracle import TABLES, canon, h  # noqa: E402
+
+
+def run_chunk(sf, out, gate, col, n, k):
+    import json
+    con = duckdb.connect()
+    con.execute("SET threads TO 8")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    for t in TABLES:
+        where = f" WHERE {col} % {n} = {k}" if t == "documents" else ""
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet'){where}")
+    sql = json.load(open(f"{out}/oracle_sql.json"))[gate]
+    want = con.execute(sql).df()
+    got = pd.read_parquet(f"{out}/{gate}")
+    got = got[got[col] % n == k]
+    g, w = canon(got), canon(want)
+    assert list(g.columns) == list(w.columns), f"cols {list(g.columns)} vs {list(w.columns)}"
+    assert len(g) == len(w), f"rows {len(g)} vs {len(w)}"
+    assert h(g) == h(w), "hash mismatch"
+    print(f"OK    {gate} chunk {k}/{n} ({len(g)} rows)")
+    con.close()
+
+
+if __name__ == "__main__":
+    sf, out, gate, col = sys.argv[1:5]
+    n = int(sys.argv[5])
+    if len(sys.argv) > 6:
+        run_chunk(sf, out, gate, col, n, int(sys.argv[6]))
+    else:
+        for k in range(n):
+            run_chunk(sf, out, gate, col, n, k)

