@@ -56,6 +56,12 @@ object GraftExtensions {
     "shingle_hashes_text" -> ((args: Seq[Expression]) =>
       e(graft.functions.TextExprs.shingleHashesNative(c(args(0)),
         litInt(args(1), "shingle_hashes_text", 1)))),
+    // text → n-gram shingle STRINGS in one pass; the composed
+    // shingles(graft_tokens(…)) falls out of codegen and re-tokenizes per
+    // shingle — O(tokens²) per row, the sf10 scale bug
+    "shingles_text" -> ((args: Seq[Expression]) =>
+      e(graft.functions.TextExprs.shinglesTextNative(c(args(0)),
+        litInt(args(1), "shingles_text", 1)))),
     "minhash_sig" -> ((args: Seq[Expression]) =>
       e(graft.functions.MinHashExprs.minhashSigNative(c(args(0)),
         litInt(args(1), "minhash_sig", 1)))),

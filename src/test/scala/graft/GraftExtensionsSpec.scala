@@ -29,6 +29,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       """SELECT simhash64(graft_tokens(text)) AS sh,
                 minhash_sig(shingle_hashes(shingles(graft_tokens(text), 3)), 16) AS mh,
                 minhash_sig(shingle_hashes_text(text, 3), 16) AS mh2,
+                shingles_text(text, 3) AS sht,
                 stable_round(cosine(va, vb), 4) AS cos,
                 stable_round(jaccard(graft_tokens(text), graft_tokens(text)), 4) AS jac,
                 bpeish_token_count(text) AS bpe,
@@ -42,13 +43,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // the fused shingle_hashes_text SQL path is checked against an
       // INDEPENDENT formulation, not the same native expression twice
       minhashSignature(shingleHashes(shingles(tokensColumns(col("text")), 3)), 16).as("mh2"),
+      // same independence rule: SQL shingles_text vs the composed Columns
+      shingles(tokensColumns(col("text")), 3).as("sht"),
       stableRound(cosine(col("va"), col("vb")), 4).as("cos"),
       stableRound(jaccard(tokens(col("text")), tokens(col("text"))), 4).as("jac"),
       bpeishTokenCount(col("text")).as("bpe"),
       rollingHash(tokens(col("text"))).as("rh"),
       HyperplaneSigsExpr.hyperplaneSigs(col("va"), 8, 4).as("hp")).collect()
     assert(viaSql.map(_.toString).toSeq == viaDf.map(_.toString).toSeq)
-    assert(viaSql.head.getSeq[Long](7).size == 4) // 4 tables' signatures
+    assert(viaSql.head.getSeq[Long](8).size == 4) // 4 tables' signatures
   }
 
   test("vector utilities: l2norm, l2_normalize, mean_pool") {

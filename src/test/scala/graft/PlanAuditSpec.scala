@@ -92,6 +92,20 @@ class PlanAuditSpec extends AnyFunSuite {
       "signature base should come from the persisted cache")
   }
 
+  test("shingle-bearing gates use the native one-pass expression") {
+    // the composed shingles(tokens(text)) chain is CodegenFallback and
+    // re-evaluates the tokenizer once per shingle when interpreted —
+    // O(tokens²) per document, the bug the sf10 ladder caught live on
+    // q_contamination. The gates must carry ShinglesExpr instead.
+    Seq("q_contamination", "q_ngram_jaccard").foreach { n =>
+      val plan = planOf(n)
+      assert(plan.contains("shingles_text"),
+        s"$n: expected the native shingles_text expression\n${plan.take(1200)}")
+      assert(!plan.contains("array_join(slice("),
+        s"$n: composed slice/array_join shingle chain crept back in")
+    }
+  }
+
   test("blocked all-pairs stages pin salted parallelism explicitly") {
     // saltedBlockPairs must repartition by an explicit COUNT: under a
     // broadcast plan there is no shuffle, so without it the quadratic
