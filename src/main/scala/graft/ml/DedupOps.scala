@@ -288,6 +288,65 @@ object DedupOps {
   // fingerprints. Within-batch dups resolve by min(doc_id) as usual.
   // Verdict per new doc: 'historical' (seen before), 'batch' (dup inside
   // the new batch), or 'fresh'.
+  // ---- Bloom-filter incremental dedup ------------------------------------
+  // The 100 TB cross-dataset shape of q_dedup_incremental: instead of
+  // joining the new batch against the historical corpus's distinct
+  // fingerprint SET (whose broadcast grows with history), history reduces
+  // to a COMPACT Bloom filter (~1.2 MB per million fingerprints at 1% fpp)
+  // built by one partial-merged aggregation and broadcast to the scan;
+  // probes are codegen'd bit tests. False negatives are impossible by
+  // construction; false positives would route to an exact confirm in a
+  // real pipeline. The gate is self-verifying IN-PLAN: it carries the
+  // exact distinct-fingerprint side too (the verification baseline, like
+  // the ANN gates' in-plan exact top-k) and emits one summary row whose
+  // exact-derivable fields (batch size, true-dup count) hash-match the
+  // DuckDB oracle while the bloom-behavior fields must come out as the
+  // oracle's literals: zero false negatives, measured FPR under 2%.
+  private val qDedupBloom = GQuery(
+    "q_dedup_bloom",
+    (s, d) => {
+      import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.graftbridge.Bridge
+      val docs = documents(s, d).withColumn("fp",
+        md5(array_join(array_sort(array_distinct(tokens(col("text")))), " ")))
+      val isHist = col("source").rlike("^src[0-9]$")
+      val bloomAgg = Bridge.column(new BloomFilterAggregate(
+        Bridge.expression(xxhash64(col("fp"))),
+        Bridge.expression(lit(1000000L)),
+        Bridge.expression(lit(9600000L))).toAggregateExpression())
+      // might_contain requires its filter as a constant or scalar subquery
+      // (the same node Spark's runtime-filter rewrite injects): the agg
+      // runs once and its ~1.2 MB result broadcasts with the plan
+      val bloom = Bridge.scalarSubquery(docs.filter(isHist).agg(bloomAgg.as("bf")))
+      val histSet = docs.filter(isHist).select("fp").distinct()
+      val probed = docs.filter(!isHist)
+        .withColumn("flagged", Bridge.column(BloomFilterMightContain(
+          Bridge.expression(bloom),
+          Bridge.expression(xxhash64(col("fp"))))))
+        .join(broadcast(histSet.withColumn("_h", lit(true))), Seq("fp"), "left")
+        .withColumn("isdup", col("_h").isNotNull)
+      probed.agg(
+        count(lit(1)).as("n_batch"),
+        sum(when(col("isdup"), 1L).otherwise(0L)).as("n_true_dup"),
+        sum(when(col("isdup") && !col("flagged"), 1L).otherwise(0L)).as("false_neg"),
+        (sum(when(!col("isdup") && col("flagged"), 1L).otherwise(0L))
+          <= count(lit(1)) * lit(0.02)).as("fpr_ok"))
+    },
+    Some("""WITH f AS (SELECT doc_id, source,
+                   md5(list_aggregate(list_sort(list_distinct(
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                                 x -> x <> ''))), 'string_agg', ' ')) AS fp
+                 FROM documents),
+            hist AS (SELECT DISTINCT fp FROM f WHERE regexp_matches(source, '^src[0-9]$')),
+            batch AS (SELECT * FROM f WHERE NOT regexp_matches(source, '^src[0-9]$'))
+            SELECT count(*) AS n_batch,
+                   CAST(count(*) FILTER (WHERE fp IN (SELECT fp FROM hist)) AS BIGINT)
+                     AS n_true_dup,
+                   CAST(0 AS BIGINT) AS false_neg,
+                   true AS fpr_ok
+            FROM batch"""))
+
   private val qDedupIncremental = GQuery(
     "q_dedup_incremental",
     (s, d) => {
@@ -329,5 +388,5 @@ object DedupOps {
 
   val queries: Seq[GQuery] =
     Seq(qDedupExact, qDedupMinhash, qDedupSimhash, qNgramJaccard, qDedupEmbed,
-      qContamination, qDedupIncremental)
+      qContamination, qDedupIncremental, qDedupBloom)
 }

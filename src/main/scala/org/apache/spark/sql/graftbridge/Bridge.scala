@@ -39,4 +39,15 @@ object Bridge {
         "graft.GraftExtensions", name),
       builder)
   }
+
+  /** A one-row-one-column DataFrame as a catalyst scalar subquery — the
+    * form expressions like `might_contain` require their Bloom-filter
+    * argument in ("a constant value or a scalar subquery expression");
+    * Spark's own runtime-filter rewrite injects the same node. The
+    * subquery executes once and its result broadcasts with the plan.
+    */
+  def scalarSubquery(df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): Column =
+    column(org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .logicalPlan))
 }

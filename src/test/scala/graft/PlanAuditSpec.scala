@@ -92,6 +92,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "signature base should come from the persisted cache")
   }
 
+  test("bloom dedup probes via a scalar-subquery constant, not a join") {
+    // history must reach the probe scan as a broadcastable Bloom filter
+    // (scalar subquery — the same node Spark's runtime-filter rewrite
+    // injects), never as a row-joined attribute
+    val plan = planOf("q_dedup_bloom")
+    assert(plan.contains("might_contain"),
+      s"expected a bloom probe in the plan\n${plan.take(1200)}")
+    assert(plan.contains("Subquery") || plan.contains("scalar-subquery"),
+      "bloom filter should arrive via a scalar subquery")
+  }
+
   test("shingle-bearing gates use the native one-pass expression") {
     // the composed shingles(tokens(text)) chain is CodegenFallback and
     // re-evaluates the tokenizer once per shingle when interpreted —
