@@ -545,7 +545,49 @@ object TextOps {
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
     })
 
+  // ---- token-budget corpus selection -------------------------------------
+  // "Fill N tokens per source with the best-quality documents first" — the
+  // curation step between scoring and training. Per-source windowed
+  // cumulative token sum over quality-ranked docs, keep while under
+  // budget: ONE shuffle on source (a partitioned window, never a global
+  // one), integer token counts so the running sum is exact, rank ties
+  // broken by doc_id so the cut line is deterministic. Output is bounded
+  // by budget × sources regardless of corpus size.
+  private val qBudgetSelect = GQuery(
+    "q_budget_select",
+    (s, d) => {
+      val words = size(regexp_extract_all(col("text"), lit("\\w+"), lit(0))).cast("double")
+      val stops = size(regexp_extract_all(lower(col("text")),
+        lit("\\b(the|a|an|and|of|to|in|is|it|for)\\b"), lit(0))).cast("double")
+      val scored = documents(s, d).select(
+        col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("tok"),
+        stableRound(when(words === 0, 0.0).otherwise(stops / words), 4).as("sr"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("sr").desc, col("doc_id").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      scored.withColumn("cum", sum("tok").over(w))
+        .filter(col("cum") <= 20000L)
+        .select("doc_id", "source", "tok", "sr", "cum")
+    },
+    Some("""WITH scored AS (
+              SELECT doc_id, source,
+                     CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                              x -> len(x) > 0)) AS BIGINT) AS tok,
+                     floor((CASE WHEN len(regexp_extract_all(text, '\w+')) = 0 THEN 0.0
+                            ELSE CAST(len(regexp_extract_all(lower(text),
+                                   '\b(the|a|an|and|of|to|in|is|it|for)\b')) AS DOUBLE)
+                                 / len(regexp_extract_all(text, '\w+')) END)
+                           * 10000 + 0.5) / 10000 AS sr
+              FROM documents),
+            c AS (SELECT doc_id, source, tok, sr,
+                         sum(tok) OVER (PARTITION BY source
+                           ORDER BY sr DESC, doc_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                  FROM scored)
+            SELECT doc_id, source, tok, sr, cum FROM c WHERE cum <= 20000"""))
+
   val queries: Seq[GQuery] = Seq(qLangId, qTokens, qQuality, qFingerprint,
     qRollingFp, qCorpusFilter, qCorpusStats, qRedact, qVocab, qQuantiles,
-    qRepetition, qQualityModel, qPerplexity, qChunk, qBm25)
+    qRepetition, qQualityModel, qPerplexity, qChunk, qBm25, qBudgetSelect)
 }
