@@ -354,10 +354,19 @@ object TextOps {
   private val qRepetition = GQuery(
     "q_repetition",
     (s, d) => {
-      val ws = repetitionWords(col("text"))
+      // ws MUST be materialized as a projected column before the
+      // higher-order ops: a lambda body that references the raw
+      // split-expression tree re-splits the text once per element when
+      // interpreted (the ShinglesExpr bug class — measured 162 CPU-min
+      // for this gate at sf10). As an attribute it evaluates once per
+      // row; CollapseProject keeps the projection because a non-cheap
+      // expression referenced many times is never inlined.
+      val base = documents(s, d).select(col("doc_id"),
+        repetitionWords(col("text")).as("ws"))
+      val ws = col("ws")
       val twf = stableRound(topWordFrac(ws), 4)
       val dbf = stableRound(dupFrac(wordNgrams(ws, 2)), 4)
-      documents(s, d).select(
+      base.select(
         col("doc_id"),
         size(ws).cast("long").as("n_words"),
         twf.as("top_word_frac"),

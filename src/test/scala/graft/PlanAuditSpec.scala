@@ -92,6 +92,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "signature base should come from the persisted cache")
   }
 
+  test("repetition gate materializes the word array once") {
+    // the split-expression must live in ONE projection and be referenced
+    // as an attribute by the higher-order lambdas: inlined (collapsed)
+    // copies re-split the text per array element when interpreted —
+    // measured 162 CPU-minutes at sf10 vs 6.5 after the projection
+    val plan = planOf("q_repetition")
+    val occurrences = "split\\(".r.findAllIn(plan).length
+    assert(occurrences <= 2,
+      s"expected one materialized split projection, found $occurrences in plan")
+  }
+
   test("bloom dedup probes via a scalar-subquery constant, not a join") {
     // history must reach the probe scan as a broadcastable Bloom filter
     // (scalar subquery — the same node Spark's runtime-filter rewrite
