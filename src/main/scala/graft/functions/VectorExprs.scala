@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
@@ -103,6 +103,63 @@ case class CosineExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native one-pass L2 normalization of an array<double>.
+  *
+  * The Column formulation (`when(l2norm(a) === 0, a).otherwise(
+  * transform(a, x => x / l2norm(a)))`) embeds the norm — itself an
+  * O(dim) aggregate — INSIDE the transform lambda, so interpreted
+  * evaluation recomputes it once per element: O(dim²) per vector, the
+  * same higher-order re-evaluation class the sf10 ladder exposed for
+  * shingles. This expression computes the norm once and divides once.
+  * Parity with the Column form: zero vectors pass through unchanged,
+  * null input → null, a null ELEMENT nulls EVERY output slot (the
+  * element nulls the norm, and x / null is null for all x — exactly what
+  * the composed version computes), and the sum-of-squares accumulates in
+  * the same left-to-right IEEE order.
+  */
+case class L2NormalizeExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = true
+  override def prettyName: String = "l2_normalize"
+
+  override protected def nullSafeEval(input: Any): Any = run(input.asInstanceOf[ArrayData])
+
+  /** Called from both eval and generated code. */
+  def run(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i))
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          new Array[Any](n)) // null norm nulls every slot, like the Column form
+      i += 1
+    }
+    var ss = 0.0
+    i = 0
+    while (i < n) { val v = a.getDouble(i); ss += v * v; i += 1 }
+    val norm = math.sqrt(ss)
+    if (norm == 0.0) a
+    else {
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        out(i) = java.lang.Double.valueOf(a.getDouble(i) / norm)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("l2normExpr", this, classOf[L2NormalizeExpr].getName)
+    nullSafeCodeGen(ctx, ev, input => s"${ev.value} = $ref.run($input);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): L2NormalizeExpr =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   import org.apache.spark.sql.graftbridge.Bridge
 
@@ -110,4 +167,7 @@ object VectorExprs {
     Bridge.column(CosineExpr(
       Bridge.expression(a.cast("array<double>")),
       Bridge.expression(b.cast("array<double>"))))
+
+  def l2normalizeNative(a: Column): Column =
+    Bridge.column(L2NormalizeExpr(Bridge.expression(a.cast("array<double>"))))
 }

@@ -126,8 +126,17 @@ package object functions {
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Unit-normalize a vector (null-safe: zero vectors stay zero). */
-  def l2normalize(a: Column): Column = {
+  /** Unit-normalize a vector (null-safe: zero vectors stay zero). Native
+    * one-pass expression — always returns array<double>.
+    */
+  def l2normalize(a: Column): Column = VectorExprs.l2normalizeNative(a)
+
+  /** The builtin-composed reference formulation of [[l2normalize]]
+    * (parity-tested in GraftExtensionsSpec). Interpreted evaluation
+    * recomputes the norm per element — O(dim²); kept as the independent
+    * oracle for the native expression, not for production paths.
+    */
+  def l2normalizeColumns(a: Column): Column = {
     val n = l2norm(a)
     when(n === 0.0, a).otherwise(transform(a, x => x / n))
   }

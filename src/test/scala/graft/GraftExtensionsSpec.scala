@@ -66,6 +66,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[Double](3) == Seq(2.0, 4.0))
   }
 
+  test("native l2_normalize matches the composed formulation") {
+    import spark.implicits._
+    // random vectors + the edges: zero vector, null element (nulls every
+    // slot — the element nulls the norm in the composed form), null input
+    val vecs: Seq[Seq[java.lang.Double]] = Seq(
+      Seq(3.0, 4.0), Seq(-1.5, 2.25, 0.5), Seq(0.0, 0.0, 0.0),
+      Seq(1.0, null, 3.0).asInstanceOf[Seq[java.lang.Double]], null)
+    val df = vecs.zipWithIndex.map(_.swap).toDF("id", "v")
+    val bad = df.select(col("id"),
+      l2normalize(col("v")).as("nat"),
+      l2normalizeColumns(col("v").cast("array<double>")).as("ref"))
+      .collect()
+      .filter(r => r.get(1) != r.get(2))
+    assert(bad.isEmpty, s"l2_normalize mismatches: ${bad.take(3).mkString("; ")}")
+  }
+
   test("chunk_text works from SQL") {
     import spark.implicits._
     Seq(("x" * 250)).toDF("t").createOrReplaceTempView("ext_chunk")
