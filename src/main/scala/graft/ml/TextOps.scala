@@ -568,33 +568,40 @@ object TextOps {
       val words = size(regexp_extract_all(col("text"), lit("\\w+"), lit(0))).cast("double")
       val stops = size(regexp_extract_all(lower(col("text")),
         lit("\\b(the|a|an|and|of|to|in|is|it|for)\\b"), lit(0))).cast("double")
+      // sr is carried as the ×10000 integer scale (not /10000 back to a
+      // double): every column in the gate is then integral, so no hasher,
+      // formatter, or float-printing library on either side of the oracle
+      // compare has a representation choice to disagree over.
       val scored = documents(s, d).select(
         col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("tok"),
-        stableRound(when(words === 0, 0.0).otherwise(stops / words), 4).as("sr"))
+        floor(when(words === 0, 0.0).otherwise(stops / words) * 10000 + 0.5)
+          .cast("long").as("sr"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("source").orderBy(col("sr").desc, col("doc_id").asc)
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       scored.withColumn("cum", sum("tok").over(w))
         .filter(col("cum") <= 20000L)
         .select("doc_id", "source", "tok", "sr", "cum")
+        .orderBy("source", "cum", "doc_id")
     },
     Some("""WITH scored AS (
               SELECT doc_id, source,
                      CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
                               x -> len(x) > 0)) AS BIGINT) AS tok,
-                     floor((CASE WHEN len(regexp_extract_all(text, '\w+')) = 0 THEN 0.0
+                     CAST(floor((CASE WHEN len(regexp_extract_all(text, '\w+')) = 0 THEN 0.0
                             ELSE CAST(len(regexp_extract_all(lower(text),
                                    '\b(the|a|an|and|of|to|in|is|it|for)\b')) AS DOUBLE)
                                  / len(regexp_extract_all(text, '\w+')) END)
-                           * 10000 + 0.5) / 10000 AS sr
+                           * 10000 + 0.5) AS BIGINT) AS sr
               FROM documents),
             c AS (SELECT doc_id, source, tok, sr,
                          sum(tok) OVER (PARTITION BY source
                            ORDER BY sr DESC, doc_id ASC
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
                   FROM scored)
-            SELECT doc_id, source, tok, sr, cum FROM c WHERE cum <= 20000"""))
+            SELECT doc_id, source, tok, sr, cum FROM c WHERE cum <= 20000
+            ORDER BY source, cum, doc_id"""))
 
   val queries: Seq[GQuery] = Seq(qLangId, qTokens, qQuality, qFingerprint,
     qRollingFp, qCorpusFilter, qCorpusStats, qRedact, qVocab, qQuantiles,

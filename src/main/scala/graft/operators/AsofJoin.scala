@@ -139,7 +139,8 @@ object AsofJoin {
   private val qAsofJoin = GQuery(
     "q_asof_join",
     (s, d) => {
-      val ev = events(s, d).withColumn("ts", eventMicros(col("ts")))
+      val raw = events(s, d)
+      val ev = raw.withColumn("ts", eventMicros(raw, "ts"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -170,7 +171,8 @@ object AsofJoin {
   private val qAsofJoinSkewed = GQuery(
     "q_asof_join_skewed",
     (s, d) => {
-      val ev = events(s, d).withColumn("ts", eventMicros(col("ts")))
+      val raw = events(s, d)
+      val ev = raw.withColumn("ts", eventMicros(raw, "ts"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
       val purchases = ev.filter(col("event_type") === "purchase")

@@ -64,7 +64,8 @@ object RangeJoin {
   private val qRangeJoin = GQuery(
     "q_range_join",
     (s, d) => {
-      val ev = events(s, d).withColumn("ts", eventMicros(col("ts")))
+      val raw = events(s, d)
+      val ev = raw.withColumn("ts", eventMicros(raw, "ts"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
       val w = Window.partitionBy("user_id").orderBy("ts")

@@ -360,12 +360,13 @@ object Relational {
   // (micro-batch/day bucketing; ns timestamps handled via Tables.eventTime)
   private val qWindowDay = GQuery(
     "q_window_day",
-    (s, d) =>
-      events(s, d)
-        .select(date_format(eventTime(col("ts")), "yyyy-MM-dd").as("day"),
+    (s, d) => {
+      val raw = events(s, d)
+      raw.select(date_format(eventTime(raw, "ts"), "yyyy-MM-dd").as("day"),
           col("event_type"), col("value"))
         .groupBy("day", "event_type")
-        .agg(count(lit(1)).as("n"), stableRound(sum("value"), 2).as("total")),
+        .agg(count(lit(1)).as("n"), stableRound(sum("value"), 2).as("total"))
+    },
     Some("""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
                    count(*) AS n, floor(sum(value) * 100 + 0.5) / 100 AS total
             FROM events GROUP BY 1, 2"""),

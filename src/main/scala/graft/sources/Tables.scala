@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables.
   *
@@ -34,18 +35,35 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** events.ts is read as LongType ns-since-epoch (nanosAsLong); convert to a
-    * µs-precision timestamp the way DuckDB's ns→µs cast does (truncation).
-    * Decimal division: ns values (~1.7e18) exceed double's 2^53 exact range,
-    * so `/` (double division) would corrupt the low microseconds.
+  /** events.ts as a µs-precision TIMESTAMP, whatever physical type the
+    * parquet writer chose. The driver has shipped the column as both
+    * int64 ns-since-epoch (read as LongType under `nanosAsLong`) and
+    * parquet timestamp[us] (read as TIMESTAMP_NTZ); dispatch on the
+    * actual schema so a regenerated dataset can't silently break every
+    * time-based gate. Session timezone is pinned to UTC (GraftSession),
+    * so the NTZ→LTZ cast is epoch-preserving — the same instant DuckDB's
+    * naive-timestamp reader sees.
+    *
+    * ns path uses decimal division: ns values (~1.7e18) exceed double's
+    * 2^53 exact range, so `/` (double division) would corrupt the low
+    * microseconds. Truncation matches DuckDB's ns→µs cast.
     */
-  def eventTime(tsNanos: Column): Column =
-    timestamp_micros((tsNanos.cast("decimal(38,0)") / 1000).cast("long"))
+  def eventTime(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+    case LongType          => timestamp_micros((df(c).cast("decimal(38,0)") / 1000).cast("long"))
+    case TimestampNTZType  => df(c).cast(TimestampType)
+    case TimestampType     => df(c)
+    case dt => throw new IllegalArgumentException(
+      s"unsupported event-time type for $c: $dt")
+  }
 
   /** events.ts as µs-since-epoch longs for oracle-compared arithmetic:
-    * DuckDB's parquet reader surfaces µs precision, so comparing at ns
-    * would fabricate trailing zeros on the oracle side and diverge.
+    * DuckDB's parquet reader surfaces µs precision (`epoch_us`), so this
+    * must land on exactly the same integers regardless of physical type.
     */
-  def eventMicros(tsNanos: Column): Column =
-    (tsNanos.cast("decimal(38,0)") / 1000).cast("long")
+  def eventMicros(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+    case LongType => (df(c).cast("decimal(38,0)") / 1000).cast("long")
+    case TimestampNTZType | TimestampType => unix_micros(df(c).cast(TimestampType))
+    case dt => throw new IllegalArgumentException(
+      s"unsupported event-time type for $c: $dt")
+  }
 }

@@ -15,7 +15,8 @@ object StreamQueries {
   private val qStreamWindow = GQuery(
     "q_stream_window",
     (s, d) => {
-      val ev = events(s, d).select(eventTime(col("ts")).as("ts"),
+      val raw = events(s, d)
+      val ev = raw.select(eventTime(raw, "ts").as("ts"),
         col("event_type"), col("value"))
       WindowOps.windowedCounts(ev, "1 hour", "1 hour")
         .select(unix_micros(col("window_start")).as("ws"),
@@ -30,7 +31,8 @@ object StreamQueries {
   private val qSessionWindow = GQuery(
     "q_session_window",
     (s, d) => {
-      val ev = events(s, d).select(eventTime(col("ts")).as("ts"),
+      val raw = events(s, d)
+      val ev = raw.select(eventTime(raw, "ts").as("ts"),
         col("user_id"), col("value"))
       WindowOps.sessionWindows(ev, "30 minutes")
         .select(col("user_id"),
