@@ -9,13 +9,12 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: media as opaque `binary` columns with typed
   * metadata.
   *
-  * Image decode/resize/frame-sampling is REAL: `javax.imageio` PNG decode
-  * (ships with the JDK) through [[ImageCodec]] — the correctness gates
-  * verify actual pixel statistics of an encode → decode round trip against
-  * a codec-free SQL oracle. WAV audio decode is REAL too:
-  * `javax.sound.sampled` through [[AudioCodec]], gated the same way. Only
-  * video (no JDK codec exists) keeps the clearly-marked deterministic stub
-  * behind the same closure seam. In all
+  * All three media families decode for REAL with zero external jars:
+  * `javax.imageio` PNG through [[ImageCodec]], `javax.sound.sampled` WAV
+  * through [[AudioCodec]], and MJPEG-in-AVI video through [[VideoCodec]]
+  * (RIFF container walk + per-frame ImageIO JPEG decode) — each with a
+  * correctness gate verifying an actual encode → decode round trip
+  * against a codec-free SQL oracle. In all
   * cases the Spark-side shape is what matters at scale: decode runs
   * executor-side on the scan partitioning, media bytes never shuffle, and
   * only small extracted features flow downstream.
@@ -106,37 +105,79 @@ object MultimodalOps {
     assets.withColumn("s", dec(col("payload"))).drop("payload")
   }
 
-  /** STUB media decode for formats the JDK has no codec for (video only —
-    * images decode via [[ImageCodec]], WAV audio via [[AudioCodec]]):
-    * a real deployment plugs a codec (JNI/FFI or a Python worker via a
-    * Pandas-UDF bridge) into this exact signature — batch of payload bytes
-    * in, fixed-size feature vector out. Here it is a deterministic fake:
-    * byte histogram moments, so tests have stable output. Runs
-    * per-partition; payload bytes never leave the executor.
+  /** Synthetic MJPEG-AVI asset table: every row carries a REAL AVI
+    * container (RIFF writer in [[VideoCodec]]) holding 3-6 quality-1.0
+    * JPEG frames, encoded executor-side. Frame count, dimensions, and fps
+    * vary per asset so decode genuinely recovers them from the container
+    * headers and per-frame JPEG decode — not from the generator.
     */
-  def stubDecodeFeatures(payload: Array[Byte]): Array[Double] = {
-    // ??? <- real video codec goes here (ImageIO covers images,
-    //        javax.sound.sampled covers WAV/AIFF audio)
-    if (payload == null || payload.isEmpty) Array.fill(4)(0.0)
-    else {
-      val n = payload.length.toDouble
-      val mean = payload.map(b => (b & 0xff).toDouble).sum / n
-      val mx = payload.map(b => (b & 0xff).toDouble).max
-      val mn = payload.map(b => (b & 0xff).toDouble).min
-      Array(n, mean, mx, mn)
-    }
+  def videoAssets(s: SparkSession, d: String): DataFrame = {
+    val enc = udf((id: Long, nf: Int, w: Int, h: Int, fps: Int) =>
+      VideoCodec.encodeAvi(
+        (0 until nf).map(f => VideoCodec.syntheticFrame(id, f, w, h)), fps))
+    documents(s, d).select(
+        col("doc_id").as("asset_id"),
+        lit("video/x-msvideo").as("media_type"),
+        (lit(3) + col("doc_id") % 4).cast("int").as("gen_nf"),
+        (lit(16) + (col("doc_id") % 3) * 8).cast("int").as("gen_w"),
+        (lit(16) + (col("doc_id") % 2) * 8).cast("int").as("gen_h"),
+        (lit(10) + col("doc_id") % 5).cast("int").as("gen_fps"))
+      .withColumn("payload", enc(col("asset_id"), col("gen_nf"),
+        col("gen_w"), col("gen_h"), col("gen_fps")))
+      .drop("gen_nf", "gen_w", "gen_h", "gen_fps")
   }
 
-  /** Decode → feature columns. The decode closure is the one place graft
-    * accepts opaque per-row code (a codec cannot be a Catalyst expression);
-    * it runs executor-side on the scan partitioning — payload bytes never
-    * shuffle, and `drop("payload")` right after means only small features
-    * flow downstream. A production build swaps the closure for an
-    * Arrow-batched bridge with identical signature.
+  /** Real video decode → one row per frame: RIFF walk, per-frame ImageIO
+    * JPEG decode, stats executor-side; the AVI payload never shuffles —
+    * the explode happens over the small stats array AFTER `drop("payload")`.
     */
+  def decodeVideoFrames(assets: DataFrame): DataFrame = {
+    val dec = udf((p: Array[Byte]) => {
+      val (meta, frames) = VideoCodec.decodeFrameStats(p)
+      (meta, frames)
+    })
+    assets.withColumn("v", dec(col("payload"))).drop("payload")
+      .select(col("asset_id"),
+        col("v._1.fps").as("fps"), col("v._1.n_frames").as("n_frames"),
+        explode(col("v._2")).as("f"))
+      .select(col("asset_id"), col("fps"), col("n_frames"),
+        col("f.frame_idx").as("frame_idx"),
+        col("f.f_w").as("f_w"), col("f.f_h").as("f_h"),
+        col("f.mean_gray").as("mean_gray"))
+  }
+
+  /** Decode → feature vector, dispatching on `media_type` — every branch a
+    * real JDK codec ([[ImageCodec]] PNG, [[AudioCodec]] WAV,
+    * [[VideoCodec]] MJPEG-AVI); unknown types fail loudly. The decode
+    * closure is the one place graft accepts opaque per-row code (a codec
+    * cannot be a Catalyst expression); it runs executor-side on the scan
+    * partitioning — payload bytes never shuffle, and `drop("payload")`
+    * right after means only small features flow downstream. A production
+    * build swaps the closure for an Arrow-batched bridge with identical
+    * signature.
+    */
+  def decodeMediaFeatures(mediaType: String, payload: Array[Byte]): Array[Double] =
+    mediaType match {
+      case "image/png" =>
+        val s = ImageCodec.decodeStats(payload)
+        Array(s.width.toDouble, s.height.toDouble, s.mean_r, s.mean_g, s.mean_b)
+      case "audio/wav" =>
+        val s = AudioCodec.decodeStats(payload)
+        Array(s.sample_rate.toDouble, s.n_samples.toDouble, s.mean, s.peak.toDouble, s.rms)
+      case "video/x-msvideo" =>
+        val (meta, frames) = VideoCodec.decodeFrameStats(payload)
+        Array(meta.width.toDouble, meta.height.toDouble, meta.fps.toDouble,
+          frames.length.toDouble,
+          frames.map(_.mean_gray).sum.toDouble / frames.length)
+      case other =>
+        throw new IllegalArgumentException(s"no codec for media type $other")
+    }
+
+  /** Decode → feature columns via [[decodeMediaFeatures]]. */
   def decodeFeatures(assets: DataFrame): DataFrame = {
-    val decode = udf((p: Array[Byte]) => stubDecodeFeatures(p))
-    assets.withColumn("features", decode(col("payload"))).drop("payload")
+    val decode = udf((m: String, p: Array[Byte]) => decodeMediaFeatures(m, p))
+    assets.withColumn("features", decode(col("media_type"), col("payload")))
+      .drop("payload")
   }
 
   // Metadata extraction is pure SQL → oracle-checkable.
@@ -269,8 +310,8 @@ object MultimodalOps {
   }
 
   // REAL frame gate: each decoded PNG is sliced into 4 horizontal bands
-  // ("frames" of a still image — true video decode keeps the stub seam, no
-  // JDK codec exists) and per-band heights + red-channel means must match
+  // ("frames" of a still image; true multi-frame video decode is
+  // q_multimodal_video) and per-band heights + red-channel means must match
   // the formula-derived oracle. Band boundary bugs shift rows between
   // bands and change the means.
   private val qMultimodalFrames = GQuery(
@@ -298,6 +339,31 @@ object MultimodalOps {
             WHERE p < b.w * (b.y1 - b.y0)
             GROUP BY b.doc_id, b.i, b.y0, b.y1"""))
 
+  // REAL video gate: VideoCodec-written MJPEG-AVIs are container-parsed and
+  // frame-decoded back — RIFF walk (header fps / frame count), per-frame
+  // ImageIO JPEG decode — and recovered fps, frame count, per-frame decoded
+  // dimensions and the bit-exact solid-gray means must match a codec-free
+  // oracle re-deriving them from the integer generator formula. Every
+  // column is integral, so the compare has no float surface at all. A
+  // header misparse, an off-by-one chunk walk, a dropped/duplicated frame,
+  // or any JPEG quantization drift all hash-mismatch.
+  private val qMultimodalVideo = GQuery(
+    "q_multimodal_video",
+    (s, d) => decodeVideoFrames(videoAssets(s, d)),
+    Some("""WITH dims AS (
+              SELECT doc_id, 3 + doc_id % 4 AS nf,
+                     16 + (doc_id % 3) * 8 AS w, 16 + (doc_id % 2) * 8 AS h,
+                     10 + doc_id % 5 AS fps
+              FROM documents)
+            SELECT doc_id AS asset_id,
+                   CAST(fps AS INT) AS fps,
+                   CAST(nf AS INT) AS n_frames,
+                   CAST(i AS INT) AS frame_idx,
+                   CAST(w AS INT) AS f_w, CAST(h AS INT) AS f_h,
+                   CAST((doc_id * 31 + 7 * i) % 256 AS BIGINT) AS mean_gray
+            FROM dims, (SELECT unnest(range(0, 7)) AS i) WHERE i < nf"""))
+
   val queries: Seq[GQuery] =
-    Seq(qMultimodalMeta, qMultimodalDecode, qMultimodalFrames, qMultimodalAudio)
+    Seq(qMultimodalMeta, qMultimodalDecode, qMultimodalFrames,
+      qMultimodalAudio, qMultimodalVideo)
 }

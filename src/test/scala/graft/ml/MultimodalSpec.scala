@@ -117,6 +117,64 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("AVI round trip: RIFF walk + per-frame JPEG decode recover headers and gray means") {
+    val (id, nf, w, h, fps) = (42L, 5, 24, 16, 12)
+    val avi = VideoCodec.encodeAvi(
+      (0 until nf).map(f => VideoCodec.syntheticFrame(id, f, w, h)), fps)
+    // real RIFF/AVI container on the wire
+    assert(new String(avi.take(4), "ASCII") == "RIFF")
+    assert(new String(avi.slice(8, 12), "ASCII") == "AVI ")
+    val (meta, frames) = VideoCodec.decodeFrameStats(avi)
+    assert(meta.width == w && meta.height == h)
+    assert(meta.fps == fps && meta.n_frames == nf)
+    assert(frames.map(_.frame_idx) == (0 until nf))
+    frames.foreach { f =>
+      assert(f.f_w == w && f.f_h == h)
+      // ground truth from the formula — the JPEG round trip must be exact
+      assert(f.mean_gray == (id * 31 + 7L * f.frame_idx) % 256,
+        s"frame ${f.frame_idx}")
+    }
+  }
+
+  test("solid-gray JPEG round trip is bit-exact for every gray level") {
+    (0 until 256).foreach { g =>
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, rgb)
+      val back = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(VideoCodec.encodeJpeg(img)))
+      for (y <- 0 until 16; x <- 0 until 16)
+        assert((back.getRGB(x, y) & 0xffffff) == rgb, s"gray $g pixel ($x,$y)")
+    }
+  }
+
+  test("AVI parser rejects corrupt containers loudly") {
+    intercept[IllegalArgumentException] {
+      VideoCodec.parseAvi("definitely not an avi".getBytes)
+    }
+    // header/movi frame-count mismatch: truncate the last 00dc chunk away
+    val avi = VideoCodec.encodeAvi(
+      (0 until 3).map(f => VideoCodec.syntheticFrame(1L, f, 16, 16)), 10)
+    intercept[IllegalArgumentException] {
+      // chop the container mid-movi: the walk sees fewer frames than avih declares
+      VideoCodec.parseAvi(avi.take(avi.length - 50))
+    }
+  }
+
+  test("decodeMediaFeatures dispatches every media family to a real codec") {
+    val png = ImageCodec.encodePng(ImageCodec.syntheticImage(3L, 8, 8))
+    assert(MultimodalOps.decodeMediaFeatures("image/png", png)(0) == 8.0)
+    val wav = AudioCodec.encodeWav(AudioCodec.syntheticWave(3L, 100), 8000)
+    assert(MultimodalOps.decodeMediaFeatures("audio/wav", wav)(0) == 8000.0)
+    val avi = VideoCodec.encodeAvi(
+      (0 until 2).map(f => VideoCodec.syntheticFrame(3L, f, 16, 16)), 10)
+    assert(MultimodalOps.decodeMediaFeatures("video/x-msvideo", avi)(3) == 2.0)
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodeMediaFeatures("application/h264", avi)
+    }
+  }
+
   test("decode rejects non-image payloads loudly") {
     intercept[IllegalArgumentException] {
       ImageCodec.decodeStats("not a png".getBytes)

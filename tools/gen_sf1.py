@@ -86,14 +86,16 @@ def main(src: str, dst: str, copies: int = 10) -> None:
            f"l_suppkey + {{c}} * {S} AS l_suppkey, "
            "* EXCLUDE (l_orderkey, l_partkey, l_suppkey)",
            "l_orderkey, l_linenumber")
-    # events goes through pyarrow, not duckdb: ts must stay ns-precision
-    # parquet (the repo's sessions read ns timestamps as LongType via
-    # nanosAsLong; duckdb 1.0 truncates ns to us on read AND write)
+    # events goes through pyarrow, not duckdb: ts precision must survive
+    # the copy bit-for-bit. The driver has shipped ts as timestamp[ns]
+    # (read as LongType via nanosAsLong; duckdb would truncate to us) and
+    # as timestamp[us]; preserve whichever the source carries.
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
     ev = pq.read_table(f"{src}/events.parquet")
-    assert str(ev.schema.field("ts").type) == "timestamp[ns]", ev.schema
+    src_ts = str(ev.schema.field("ts").type)
+    assert src_ts in ("timestamp[ns]", "timestamp[us]"), ev.schema
     pieces = []
     for c in range(copies):
         t = ev.set_column(ev.schema.get_field_index("event_id"), "event_id",
@@ -104,7 +106,7 @@ def main(src: str, dst: str, copies: int = 10) -> None:
     out = pa.concat_tables(pieces).sort_by("event_id")
     pq.write_table(out, f"{dst}/events.parquet", row_group_size=RG * 4)
     assert str(pq.ParquetFile(f"{dst}/events.parquet")
-               .schema_arrow.field("ts").type) == "timestamp[ns]"
+               .schema_arrow.field("ts").type) == src_ts
     scaled("documents",
            f"doc_id + {{c}} * {D} AS doc_id, "
            "CASE WHEN {c} = 0 THEN text "
