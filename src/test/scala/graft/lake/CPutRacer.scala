@@ -17,7 +17,11 @@ object CPutRacer {
     val dir = Paths.get(args(0))
     val id = args(1)
     val count = args(2).toInt
-    val pub = new CommitPublisher.ConditionalPut
+    // optional 4th arg: base URL of a conditional-write endpoint → race
+    // through the HTTP binding instead of the filesystem simulation
+    val pub: CommitPublisher =
+      if (args.length > 3) new HttpConditionalPut(java.net.URI.create(args(3)))
+      else new CommitPublisher.ConditionalPut
     val go = dir.resolve("go")
     Files.write(dir.resolve(s"ready-$id"), Array.emptyByteArray)
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000

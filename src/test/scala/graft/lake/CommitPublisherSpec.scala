@@ -94,6 +94,75 @@ class CommitPublisherSpec extends AnyFunSuite {
     }
   }
 
+  test("HTTP conditional PUT: two OS processes racing through the server, one winner per name") {
+    // The production shape: arbitration happens SERVER-side (If-None-Match
+    // PUT → 201/412), not in any client process — so two separate JVMs
+    // racing the same sequence numbers through HttpConditionalPut must
+    // still get exactly one winner per name, with the on-disk object being
+    // the winner's body. Proves the store binding is a drop-in for the
+    // filesystem publishers.
+    val srv = CPutHttpServer.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.getAddress.getPort}"
+      val dir = Files.createTempDirectory("cput-http")
+      val count = 200
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val cp = System.getProperty("java.class.path")
+      def spawn(id: String) = new ProcessBuilder(
+        javaBin, "-cp", cp, "graft.lake.CPutRacer",
+        dir.toString, id, count.toString, base)
+        .redirectErrorStream(true).start()
+      val (pa, pb) = (spawn("A"), spawn("B"))
+      val up = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!(Files.exists(dir.resolve("ready-A")) && Files.exists(dir.resolve("ready-B")))) {
+        assert(System.nanoTime() < up, "racers did not come up within 60s")
+        Thread.sleep(10)
+      }
+      Files.write(dir.resolve("go"), Array.emptyByteArray)
+      def wins(p: Process): Set[Int] = {
+        val out = new String(p.getInputStream.readAllBytes())
+        assert(p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS), s"racer hung:\n$out")
+        assert(p.exitValue() == 0, s"racer failed:\n$out")
+        out.linesIterator.filter(_.startsWith("WIN ")).map(_.drop(4).trim.toInt).toSet
+      }
+      val (winsA, winsB) = (wins(pa), wins(pb))
+      assert((winsA & winsB).isEmpty, s"both processes won: ${winsA & winsB}")
+      assert(winsA ++ winsB == (0 until count).toSet, "every name has exactly one winner")
+      assert(winsA.nonEmpty && winsB.nonEmpty, s"no contention: A=${winsA.size} B=${winsB.size}")
+      for (seq <- 0 until count) {
+        val body = new String(Files.readAllBytes(dir.resolve(f"seq-$seq%05d")))
+        val owner = if (winsA(seq)) "A" else "B"
+        assert(body == s"writer-$owner-$seq", s"seq $seq: body is not the winner's: $body")
+      }
+    } finally srv.stop(0)
+  }
+
+  test("HTTP conditional PUT: pre-existing object 412s, unconditional PUT is rejected") {
+    val srv = CPutHttpServer.start()
+    try {
+      val base = java.net.URI.create(s"http://127.0.0.1:${srv.getAddress.getPort}")
+      val dir = Files.createTempDirectory("cput-http-pre")
+      val target = dir.resolve("00000001.txt")
+      val tmp = dir.resolve(".tmp")
+      Files.write(tmp, "first".getBytes)
+      val pub = new HttpConditionalPut(base)
+      assert(pub.publish(target, tmp))
+      assert(new String(Files.readAllBytes(target)) == "first")
+      Files.write(tmp, "second".getBytes)
+      assert(!pub.publish(target, tmp), "existing object must 412")
+      assert(new String(Files.readAllBytes(target)) == "first")
+      // a client that drops the precondition header is a protocol bug the
+      // server refuses outright (never a silent overwrite)
+      val raw = java.net.http.HttpClient.newHttpClient()
+      val resp = raw.send(java.net.http.HttpRequest.newBuilder(
+          base.resolve("/" + java.net.URLEncoder.encode(target.toAbsolutePath.toString, "UTF-8")))
+        .PUT(java.net.http.HttpRequest.BodyPublishers.ofString("clobber")).build(),
+        java.net.http.HttpResponse.BodyHandlers.discarding())
+      assert(resp.statusCode() == 400)
+      assert(new String(Files.readAllBytes(target)) == "first")
+    } finally srv.stop(0)
+  }
+
   test("concurrent appends through conditional PUT: every commit lands exactly once") {
     val root = Files.createTempDirectory("pool-cput").toString
     // separate Pool instances on the same root = separate writer processes
