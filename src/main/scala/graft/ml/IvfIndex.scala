@@ -25,6 +25,11 @@ final case class IvfIndex(spark: SparkSession, path: String) {
 
   def centroids: DataFrame = spark.read.parquet(s"$path/centroids")
 
+  /** Build-time per-cell snapshot (cell, n, mean_sim) written by [[IvfIndex.build]];
+    * the frozen reference [[IvfIndex.health]] measures drift against.
+    */
+  def stats: DataFrame = spark.read.parquet(s"$path/stats")
+
   /** The probed-cell scan for a query set; exposed for plan inspection. */
   def probedScan(queries: DataFrame, nprobe: Int): (DataFrame, DataFrame) = {
     val cents = centroids
@@ -59,7 +64,27 @@ final case class IvfIndex(spark: SparkSession, path: String) {
 
 object IvfIndex {
 
-  /** Train, assign, and persist. `corpus` needs (vec_id, v) columns. */
+  /** Per-cell (cell, n, mean_sim) over stored cells: scan + broadcast
+    * centroid join + per-cell aggregate — output is cell-count rows
+    * (metadata scale), the scan never shuffles the corpus.
+    */
+  private def cellStats(spark: SparkSession, path: String,
+      sampleFraction: Double = 1.0): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val stored0 = spark.read.parquet(s"$path/cells")
+    val stored = if (sampleFraction < 1.0)
+      stored0.sample(withReplacement = false, sampleFraction, seed = 42L)
+    else stored0
+    stored.join(broadcast(cents), Seq("cell"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"),
+        avg(cosine(col("v"), col("cent"))).as("mean_sim"))
+  }
+
+  /** Train, assign, and persist. `corpus` needs (vec_id, v) columns.
+    * Alongside cells and centroids, a per-cell (n, mean_sim) snapshot is
+    * written — the frozen reference [[health]] measures drift against.
+    */
   def build(corpus: DataFrame, path: String, cells: Int = 10,
       trainIters: Int = 3): IvfIndex = {
     val spark = corpus.sparkSession
@@ -69,8 +94,102 @@ object IvfIndex {
       AnnOps.assignCells(corpus, cents)
         .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
       cents.write.mode("overwrite").parquet(s"$path/centroids")
+      cellStats(spark, path).write.mode("overwrite").parquet(s"$path/stats")
     } finally cents.unpersist()
     IvfIndex(spark, path)
+  }
+
+  /** One cell's line in a [[HealthReport]]: current vs build-time size and
+    * mean assignment similarity (NaN build side for cells born after build).
+    */
+  final case class CellHealth(cell: Int, size: Long, buildSize: Long,
+      meanSim: Double, buildMeanSim: Double)
+
+  /** Drift diagnosis: bounded by the cell count, cheap enough to run on
+    * every maintenance tick. `simDrift` is the corpus-weighted global mean
+    * assignment-cosine drop since build; `appendDrift` isolates the
+    * APPENDED vectors' own assignment quality (derived per cell from the
+    * two snapshots, no recency tracking needed) — the sensitive
+    * statistic: it is undiluted by however much well-fitting build-time
+    * mass shares the cell.
+    */
+  final case class HealthReport(cells: Seq[CellHealth], sizeSkew: Double,
+      simDrift: Double, appendDrift: Double, splitCandidates: Seq[Int],
+      mergeCandidates: Seq[Int], recommendation: String)
+
+  /** Cheap drift monitor — the trigger for the maintenance actions above.
+    * One sampled scan of the stored cells (broadcast centroid join,
+    * per-cell aggregate, cell-count output rows) compared against the
+    * build-time snapshot:
+    *
+    *  - `appendDrift` = the worst per-cell assignment-quality gap of the
+    *    vectors appended SINCE build. The appended mass's own mean cosine
+    *    is algebra over the two snapshots — current (n, sim) vs build-time
+    *    (bn, bsim) gives `(n·sim − bn·bsim)/(n − bn)` — so no recency
+    *    bookkeeping is needed, and the statistic is undiluted by the
+    *    well-fitting build-time vectors sharing the cell (a plain mean
+    *    drop would stay under any threshold until the drifted mass is a
+    *    large fraction of the corpus — an early warning that arrives only
+    *    after recall already decayed). Appends sitting farther from their
+    *    centroid than the training distribution did are the direct symptom
+    *    of drift under a frozen quantizer: above `driftTol` → **retrain**.
+    *  - `sizeSkew` = max cell size / mean cell size: appends concentrating
+    *    in few cells — localized drift. Cells past `splitFactor`× mean (or
+    *    under `mergeFraction`×) with acceptable global drift →
+    *    **splitMerge** (touch only those cells).
+    *  - otherwise → **ok**.
+    *
+    * At 100 TB: `sampleFraction` bounds the scan (the statistics are means
+    * over millions of vectors per cell — a 1% sample estimates them
+    * tightly), and the report is cell-count rows. IvfHealthSpec shows the
+    * monitor flagging the IvfRetrainSpec drift corpus BEFORE probe recall
+    * visibly decays.
+    */
+  def health(index: IvfIndex, sampleFraction: Double = 1.0,
+      splitFactor: Double = 2.0, mergeFraction: Double = 0.1,
+      driftTol: Double = 0.05): HealthReport = {
+    val spark = index.spark
+    // sampled counts scale up to full-size estimates so the split/merge
+    // thresholds and append-mass algebra compare like with like
+    val now = cellStats(spark, index.path, sampleFraction)
+      .collect().map(r => r.getInt(0) ->
+        (math.round(r.getLong(1) / sampleFraction), r.getDouble(2))).toMap
+    val ref = index.stats
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val cells = now.keySet.union(ref.keySet).toSeq.sorted.map { c =>
+      val (n, s) = now.getOrElse(c, (0L, Double.NaN))
+      val (bn, bs) = ref.getOrElse(c, (0L, Double.NaN))
+      CellHealth(c, n, bn, s, bs)
+    }
+    val total = now.values.map(_._1).sum
+    val mean = total.toDouble / math.max(now.size, 1)
+    val sizeSkew = if (now.isEmpty) 0.0 else now.values.map(_._1).max / mean
+    def weighted(m: Map[Int, (Long, Double)]): Double = {
+      val n = m.values.map(_._1).sum
+      if (n == 0) Double.NaN else m.values.map { case (c, s) => c * s }.sum / n
+    }
+    val simDrift = weighted(ref) - weighted(now)
+    // worst per-cell quality gap of the appended mass alone; cells whose
+    // append mass is a handful of vectors are skipped (a sampling artifact
+    // or one stray vector is not a drift signal)
+    val appendDrift = cells.flatMap { c =>
+      val newMass = c.size - c.buildSize
+      if (c.buildMeanSim.isNaN || c.meanSim.isNaN ||
+          newMass < math.max(5L, c.buildSize / 50)) None
+      else {
+        val appendedMean =
+          (c.size * c.meanSim - c.buildSize * c.buildMeanSim) / newMass
+        Some(c.buildMeanSim - appendedMean)
+      }
+    }.foldLeft(0.0)(math.max)
+    val split = now.filter(_._2._1 > splitFactor * mean).keys.toSeq.sorted
+    val merge = (now.filter(_._2._1 < mergeFraction * mean).keySet -- split.toSet)
+      .toSeq.sorted
+    val rec =
+      if (appendDrift > driftTol) "retrain"
+      else if (split.nonEmpty || merge.nonEmpty) "splitMerge"
+      else "ok"
+    HealthReport(cells, sizeSkew, simDrift, appendDrift, split, merge, rec)
   }
 
   /** Incrementally index new vectors against the EXISTING quantizer:
@@ -197,6 +316,22 @@ object IvfIndex {
     rewritten.reduce(_.unionByName(_))
       .write.mode("append").partitionBy("cell").parquet(s"$newPath/cells")
     finalCents.write.mode("overwrite").parquet(s"$newPath/centroids")
+
+    // stats for the new generation at drifted-fraction cost: carry the old
+    // snapshot rows for cells whose files were linked untouched, recompute
+    // (partition-pruned) only the cells this pass wrote into — the fresh
+    // sub-cells plus any survivor cell that absorbed merged vectors.
+    val mergeTargets: Set[Int] =
+      if (toMerge.isEmpty) Set.empty
+      else rewritten.head.select("cell").distinct().collect().map(_.getInt(0)).toSet
+    val touched = ((sizes.keySet.max + 1) until nextId).toSet ++ mergeTargets
+    val untouched = survivors -- mergeTargets
+    val carried = index.stats
+      .filter(col("cell").isin(untouched.toSeq.map(_.asInstanceOf[Any]): _*))
+    cellStats(spark, newPath)
+      .filter(col("cell").isin(touched.toSeq.map(_.asInstanceOf[Any]): _*))
+      .unionByName(carried)
+      .write.mode("overwrite").parquet(s"$newPath/stats")
     newCents.foreach(_.unpersist())
     IvfIndex(spark, newPath)
   }

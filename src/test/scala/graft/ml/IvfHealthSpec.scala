@@ -1,0 +1,132 @@
+package graft.ml
+
+import graft.GraftSession
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The maintenance TRIGGER: [[IvfIndex.health]] compares a cheap sampled
+  * scan against the build-time per-cell snapshot and recommends
+  * ok / splitMerge / retrain — so the expensive actions IvfRetrainSpec
+  * proves out run when the statistics say so, not on a blind schedule.
+  */
+class IvfHealthSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.local(4)
+  val dir = "/root/testdata/sf0.001"
+
+  private def baseCorpus: DataFrame = Tables.embeddings(spark, dir)
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** Same drifted-region construction as IvfRetrainSpec: tight clusters
+    * nowhere near the fixture embeddings, pure integer formula.
+    */
+  private def driftVectors(dim: Int, count: Int): DataFrame = {
+    val rows = for {
+      c <- 0 until 8
+      m <- 0 until count
+    } yield {
+      val raw = Array.tabulate(dim) { d =>
+        (((c * 37 + d * 13) % 19) - 9).toDouble +
+          2.5 * (((m * 5 + d * 3 + c) % 11) - 5)
+      }
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      Row(1000000L + c * count + m, raw.map(_ / n).toSeq)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("v", ArrayType(DoubleType)))))
+  }
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("fresh build reports ok: no drift, no size outliers") {
+    val corpus = baseCorpus.persist()
+    val path = java.nio.file.Files.createTempDirectory("ivf-health0").toString
+    val idx = IvfIndex.build(corpus, s"$path/gen0", cells = 10, trainIters = 3)
+    val h = IvfIndex.health(idx)
+    info(f"skew=${h.sizeSkew}%.2f drift=${h.simDrift}%.4f cellDrop=${h.appendDrift}%.4f -> ${h.recommendation}")
+    assert(h.recommendation == "ok")
+    assert(math.abs(h.simDrift) < 1e-9, "stats vs snapshot of the same data must agree")
+    assert(h.appendDrift < 1e-9)
+    assert(h.cells.map(_.size).sum == corpus.count())
+    assert(h.cells.forall(c => c.size == c.buildSize))
+    corpus.unpersist()
+  }
+
+  test("distribution drift is flagged for retrain BEFORE base recall decays") {
+    val corpus = baseCorpus.persist()
+    val dim = corpus.select(size(col("v"))).head().getInt(0)
+    val path = java.nio.file.Files.createTempDirectory("ivf-health1").toString
+    val idx = IvfIndex.build(corpus, s"$path/gen0", cells = 10, trainIters = 3)
+
+    // "before recall visibly decays" baseline: base-region query results
+    // through the fresh index, pre-append
+    val queries = corpus.filter(col("vec_id") % 20 === 0)
+    val exact = pairs(AnnOps.bruteForceTopK(corpus, queries, 5))
+    val got0 = pairs(idx.search(queries, 5, nprobe = 2))
+    val recall0 = (exact & got0).size.toDouble / exact.size
+
+    // an EARLY slice of the IvfRetrainSpec drift (56 vectors on a 500-vector
+    // corpus) — long before the appended region dominates any cell
+    val earlyDrift = driftVectors(dim, count = 7).persist()
+    IvfIndex.append(idx, earlyDrift)
+
+    val h = IvfIndex.health(idx)
+    info(f"skew=${h.sizeSkew}%.2f drift=${h.simDrift}%.4f cellDrop=${h.appendDrift}%.4f -> ${h.recommendation}")
+    assert(h.recommendation == "retrain",
+      s"far-from-centroid appends must flag retrain, got ${h.recommendation}")
+    assert(h.appendDrift > 0.05,
+      s"the appended mass's quality gap must carry the early signal, got ${h.appendDrift}")
+
+    // the monitor fired while base-query recall is UNCHANGED — the early
+    // warning precedes any visible quality decay for existing data
+    val got1 = pairs(idx.search(queries, 5, nprobe = 2))
+    val recall1 = (exact & got1).size.toDouble / exact.size
+    info(f"base recall before/after early drift: $recall0%.2f / $recall1%.2f")
+    assert(recall1 >= recall0 - 0.02,
+      s"monitor should fire before recall decays: $recall0 -> $recall1")
+    corpus.unpersist(); earlyDrift.unpersist()
+  }
+
+  test("in-distribution pile-up is flagged for splitMerge, not retrain") {
+    val corpus = baseCorpus.persist()
+    val path = java.nio.file.Files.createTempDirectory("ivf-health2").toString
+    val idx = IvfIndex.build(corpus, s"$path/gen0", cells = 10, trainIters = 3)
+
+    // duplicate the biggest cell's vectors under fresh ids: appends that sit
+    // EXACTLY on the trained distribution (mean sim unchanged) but
+    // concentrate in one cell — localized maintenance, not a retrain
+    val biggest = idx.stats.orderBy(col("n").desc).head().getInt(0)
+    val pile = spark.read.parquet(s"$path/gen0/cells")
+      .filter(col("cell") === biggest).select("vec_id", "v")
+      .withColumn("vec_id", col("vec_id") + 3000000L)
+    IvfIndex.append(idx, pile)
+
+    val h = IvfIndex.health(idx, splitFactor = 1.5)
+    info(f"skew=${h.sizeSkew}%.2f drift=${h.simDrift}%.4f " +
+      f"split=${h.splitCandidates} -> ${h.recommendation}")
+    assert(h.recommendation == "splitMerge",
+      s"in-distribution pile-up must flag splitMerge, got ${h.recommendation}")
+    assert(h.appendDrift < 0.05, "duplicated in-distribution vectors add no sim drift")
+    assert(h.splitCandidates.contains(biggest))
+    corpus.unpersist()
+  }
+
+  test("sampled health agrees with exact health on the recommendation") {
+    val corpus = baseCorpus.persist()
+    val dim = corpus.select(size(col("v"))).head().getInt(0)
+    val path = java.nio.file.Files.createTempDirectory("ivf-health3").toString
+    val idx = IvfIndex.build(corpus, s"$path/gen0", cells = 10, trainIters = 3)
+    IvfIndex.append(idx, driftVectors(dim, count = 25))
+    val exact = IvfIndex.health(idx)
+    val sampled = IvfIndex.health(idx, sampleFraction = 0.5)
+    info(f"exact cellDrop=${exact.appendDrift}%.4f sampled cellDrop=${sampled.appendDrift}%.4f")
+    assert(exact.recommendation == sampled.recommendation)
+    corpus.unpersist()
+  }
+}
