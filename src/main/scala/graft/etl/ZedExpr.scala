@@ -14,6 +14,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   - membership           `value.op in ["c","r"]`
   *   - boolean              `and  or  not`
   *   - record literal       `{ key: in.key, value: { ID: ... } }`
+  *   - map literal + lookup `|{ "jane": 1, "bob": 2 }|[in.value.name]`
+  *     (the reference declares these as consts, demo/etl.zed:1-10; YAML
+  *     zed blocks carry no const scope so the literal inlines)
   *   - `cast(null, typeof(path))`  → typed null of path's static type
   *
   * Anything else can be escaped verbatim with `sql:(...)` which is handed
@@ -31,6 +34,8 @@ object ZedExpr {
   final case class BoolLit(v: Boolean) extends Ast
   case object NullLit extends Ast
   final case class RecordLit(fields: Seq[(String, Ast)]) extends Ast
+  final case class MapLit(entries: Seq[(Ast, Ast)]) extends Ast
+  final case class Lookup(m: Ast, key: Ast) extends Ast
   final case class Cmp(op: String, l: Ast, r: Ast) extends Ast
   final case class Arith(op: String, l: Ast, r: Ast) extends Ast
   final case class Index(e: Ast, i: Int) extends Ast
@@ -126,22 +131,26 @@ object ZedExpr {
       }
       l
     }
-    /** primary with 0-based array indexing suffixes (records[0]). */
+    /** primary with subscript suffixes: an integer literal subscript is
+      * 0-based array indexing (`records[0]`); any other subscript expression
+      * is a map lookup (`|{"jane": 1}|[in.value.name]` — ref demo/etl.zed:1-18
+      * const-map lookups, inlined since YAML zed blocks carry no const
+      * declarations). An in-list's `[` never reaches here: `in` is consumed
+      * as a keyword one level up.
+      */
     private def postfix(): Ast = {
       var e = primary()
-      while ({ ws(); peek == '[' && lookaheadIndex() }) {
+      while ({ ws(); peek == '[' }) {
         pos += 1
-        val n = number() match { case NumLit(v) => v.toInt case _ => 0 }
+        ws()
+        val sub = orExpr()
         eat(']')
-        e = Index(e, n)
+        e = sub match {
+          case NumLit(v) if !v.contains('.') => Index(e, v.toInt)
+          case k => Lookup(e, k)
+        }
       }
       e
-    }
-    /** distinguish indexing `e[0]` from an in-list `e in ["a"]`. */
-    private def lookaheadIndex(): Boolean = {
-      var j = pos + 1
-      while (j < input.length && input(j).isWhitespace) j += 1
-      j < input.length && (input(j).isDigit || input(j) == '-')
     }
 
     private def primary(): Ast = {
@@ -149,6 +158,7 @@ object ZedExpr {
       peek match {
         case '(' => eat('('); val e = orExpr(); eat(')'); e
         case '{' => record()
+        case '|' => mapLit()
         case '"' => StrLit(quoted())
         case c if c.isDigit || c == '-' => number()
         case _ =>
@@ -233,6 +243,26 @@ object ZedExpr {
       NumLit(input.substring(start, pos))
     }
 
+    /** ZSON map literal `|{ "key": value, ... }|` (ref demo/etl.zed:1-10).
+      * Keys and values are arbitrary expressions; in practice keys are
+      * string literals and values scalars, which is all the reference's
+      * const maps contain.
+      */
+    private def mapLit(): Ast = {
+      eat('|'); eat('{')
+      val entries = scala.collection.mutable.Buffer[(Ast, Ast)]()
+      ws()
+      if (peek != '}') {
+        entries += mapEntry()
+        while (tryEat(",")) { ws(); if (peek != '}') entries += mapEntry() }
+      }
+      eat('}'); eat('|')
+      MapLit(entries.toSeq)
+    }
+    private def mapEntry(): (Ast, Ast) = {
+      val k = orExpr(); eat(':'); (k, orExpr())
+    }
+
     private def record(): Ast = {
       eat('{')
       val fields = scala.collection.mutable.Buffer[(String, Ast)]()
@@ -279,6 +309,10 @@ object ZedExpr {
     case NullLit => lit(null)
     case RecordLit(fields) =>
       struct(fields.map { case (n, e) => toColumn(e, schema).as(n) }: _*)
+    case MapLit(entries) =>
+      map(entries.flatMap { case (k, v) =>
+        Seq(toColumn(k, schema), toColumn(v, schema)) }: _*)
+    case Lookup(m, k) => element_at(toColumn(m, schema), toColumn(k, schema))
     case Cmp("=", l, r) => toColumn(l, schema) === toColumn(r, schema)
     case Cmp("!=", l, r) => toColumn(l, schema) =!= toColumn(r, schema)
     case Cmp("<", l, r) => toColumn(l, schema) < toColumn(r, schema)

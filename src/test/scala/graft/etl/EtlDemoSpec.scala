@@ -222,6 +222,24 @@ class EtlDemoSpec extends AnyFunSuite {
     // indexing does not break in-lists
     assert(parse("""value.op in ["c"]""") ==
       In(Path(Seq("value", "op")), Seq(StrLit("c"))))
+    // const-map literal + lookup (demo/etl.zed:1-18, inlined)
+    assert(parse("""|{ "jane": 1, "bob": 2 }|[value.customer]""") ==
+      Lookup(MapLit(Seq(StrLit("jane") -> NumLit("1"), StrLit("bob") -> NumLit("2"))),
+        Path(Seq("value", "customer"))))
+    // an integer subscript stays array indexing even after a lookup
+    assert(parse("""|{ "a": 1 }|[value.k]""").isInstanceOf[Lookup])
+    assert(parse("records[0][1]") == Index(Index(Path(Seq("records")), 0), 1))
+  }
+
+  test("map literal + lookup evaluates via element_at") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq(("jane", 1L), ("sarah", 2L)).toDF("customer", "n")
+    val c = ZedExpr.toColumn(
+      ZedExpr.parse("""|{ "jane": 10, "bob": 20 }|[customer]"""), df.schema)
+    val got = df.select(col("customer"), c.as("id")).collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got == Map("jane" -> Some(10L), "sarah" -> None))
   }
 
   test("string literal escapes translate (\\n is a newline, not 'n')") {

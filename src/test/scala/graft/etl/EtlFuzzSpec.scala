@@ -194,21 +194,56 @@ class EtlFuzzSpec extends AnyFunSuite {
           env => !e.eval(env).asInstanceOf[Boolean])))
   }
 
+  /** Typed null of a path's static type — the delete-tombstone construct
+    * (ref invoices.yaml:72-80: `value: cast(null, typeof(in.value.before))`).
+    */
+  private def typedNull(prefix: Seq[String], p: Seq[String], sqlType: String): FExpr =
+    FExpr(s"cast(null, typeof(${(prefix ++ p).mkString(".")}))",
+      s"CAST(NULL AS $sqlType)", _ => null)
+
+  /** Inline const-map lookup (ref demo/etl.zed:1-18: `customerIDs[...]`). */
+  private def genMapLookup(prefix: Seq[String]): Gen[FExpr] = for {
+    keys <- Gen.someOf(names ++ ops).suchThat(_.nonEmpty)
+    vals <- Gen.sequence[Seq[Long], Long](keys.map(_ => Gen.choose(0L, 99L)))
+    keyE <- genStr(prefix)
+  } yield {
+    val entries = keys.toSeq.zip(vals)
+    FExpr(
+      entries.map { case (k, v) => s""""$k": $v""" }
+        .mkString("|{ ", ", ", " }|") + s"[${keyE.src}]",
+      s"CASE ${keyE.sql} " + entries.map { case (k, v) => s"WHEN '$k' THEN $v" }
+        .mkString(" ") + " ELSE NULL END",
+      env => entries.toMap.get(keyE.eval(env).asInstanceOf[String])
+        .map(Long.box).orNull)
+  }
+
   /** The out-record construction: typed field pool so heterogeneous rule
-    * outputs always fuse under unionByName (same name ⇒ same type).
+    * outputs always fuse under unionByName (same name ⇒ same type). `r1` is
+    * a flat sub-record, `r2` a two-level nested record (the invoices.yaml
+    * `{ key: {...}, value: {...} }` shape), `m1` a const-map lookup, and
+    * `z1`/`z2` typed-null tombstone fields.
     */
   private def genOutRecord(prefix: Seq[String]): Gen[FExpr] = {
     val fieldGens: Seq[(String, Gen[FExpr])] = Seq(
       "n1" -> genLong(prefix, 2), "n2" -> genLong(prefix, 1),
       "s1" -> genStr(prefix), "s2" -> genStr(prefix),
       "b1" -> genBool(prefix, 1),
-      "z1" -> Gen.const(FExpr(
-        s"cast(null, typeof(${(prefix ++ Seq("value", "amount")).mkString(".")}))",
-        "CAST(NULL AS BIGINT)", _ => null)),
+      "z1" -> Gen.const(typedNull(prefix, Seq("value", "amount"), "BIGINT")),
+      "z2" -> Gen.const(typedNull(prefix, Seq("value", "name"), "VARCHAR")),
+      "m1" -> genMapLookup(prefix),
       "r1" -> (for { x <- genLong(prefix, 1); y <- genStr(prefix) }
         yield FExpr(s"{ x: ${x.src}, y: ${y.src} }", "",
           env => Map("x" -> x.eval(env), "y" -> y.eval(env)),
-          fields = Some(Seq("x" -> x, "y" -> y)))))
+          fields = Some(Seq("x" -> x, "y" -> y)))),
+      "r2" -> (for { a <- genLong(prefix, 1); u <- genLong(prefix, 0); v <- genStr(prefix) }
+        yield {
+          val inner = FExpr(s"{ u: ${u.src}, v: ${v.src} }", "",
+            env => Map("u" -> u.eval(env), "v" -> v.eval(env)),
+            fields = Some(Seq("u" -> u, "v" -> v)))
+          FExpr(s"{ a: ${a.src}, d: ${inner.src} }", "",
+            env => Map("a" -> a.eval(env), "d" -> inner.eval(env)),
+            fields = Some(Seq("a" -> a, "d" -> inner)))
+        }))
     for {
       picked <- Gen.someOf(fieldGens).suchThat(_.nonEmpty)
       exprs <- Gen.sequence[Seq[FExpr], FExpr](picked.map(_._2))
@@ -222,12 +257,28 @@ class EtlFuzzSpec extends AnyFunSuite {
     }
   }
 
+  /** A delete-tombstone out-record: typed nulls for the data fields plus the
+    * key id (ref invoices.yaml:72-80). Field names come from the shared
+    * typed pool so tombstone rules fuse with data rules under unionByName.
+    */
+  private def genTombstoneRecord(prefix: Seq[String]): Gen[FExpr] = Gen.const {
+    val fields = Seq(
+      "n1" -> typedNull(prefix, Seq("value", "amount"), "BIGINT"),
+      "s1" -> typedNull(prefix, Seq("value", "name"), "VARCHAR"),
+      "n2" -> pathExpr(prefix, Seq("key", "id")))
+    FExpr(
+      fields.map { case (n, e) => s"$n: ${e.src}" }.mkString("{ ", ", ", " }"),
+      "",
+      env => fields.map { case (n, e) => n -> e.eval(env) }.toMap,
+      fields = Some(fields))
+  }
+
   // ------------------------------------------------------- rule generator
 
   private case class FRule(rule: Rule, where: Option[FExpr], out: FExpr)
 
-  private def genRule: Gen[FRule] = Gen.oneOf(
-    for { // stateless
+  private def genRule: Gen[FRule] = Gen.frequency(
+    3 -> (for { // stateless
       in <- Gen.oneOf(topics)
       outTopic <- Gen.oneOf("o0", "o1")
       whereOpt <- Gen.option(genBool(Nil, 2))
@@ -235,8 +286,8 @@ class EtlFuzzSpec extends AnyFunSuite {
     } yield FRule(
       Rule("stateless", whereOpt.map(_.src).getOrElse(""), in, "", "", "",
         outTopic, s"out := ${outRec.src}"),
-      whereOpt, outRec),
-    for { // denorm
+      whereOpt, outRec)),
+    3 -> (for { // denorm
       lr <- Gen.pick(2, topics)
       outTopic <- Gen.oneOf("o0", "o1")
       whereOpt <- Gen.option(genBool(Nil, 1))
@@ -247,7 +298,20 @@ class EtlFuzzSpec extends AnyFunSuite {
       Rule("denorm", whereOpt.map(_.src).getOrElse(""), "", lr(0), lr(1),
         s"left.${lKey.mkString(".")} = right.${rKey.mkString(".")}",
         outTopic, s"out := ${outRec.src}"),
-      whereOpt, outRec))
+      whereOpt, outRec)),
+    2 -> (for { // delete tombstone (ref invoices.yaml:72-80)
+      in <- Gen.oneOf(topics)
+      outTopic <- Gen.oneOf("o0", "o1")
+      outRec <- genTombstoneRecord(Seq("in"))
+    } yield {
+      val opPath = pathExpr(Nil, Seq("value", "op"))
+      val whereE = FExpr(s"""${opPath.src} == "d"""", s"${opPath.sql} = 'd'",
+        env => opPath.eval(env) == "d")
+      FRule(
+        Rule("stateless", whereE.src, in, "", "", "",
+          outTopic, s"out := ${outRec.src}"),
+        Some(whereE), outRec)
+    }))
 
   private case class FProgram(transform: Transform, rules: Seq[FRule],
       baseOffsets: Map[String, Long])
@@ -358,19 +422,25 @@ class EtlFuzzSpec extends AnyFunSuite {
 
   // ------------------------------------------ DuckDB SQL rendering (authority)
 
-  /** Flat (scalar) output columns of one rule's out-record: `r1` explodes
-    * to `r1_x`/`r1_y` so the dumped table has no struct columns.
+  /** Flat (scalar) output columns of one rule's out-record: record-valued
+    * fields explode recursively (`r1` → `r1_x`/`r1_y`, `r2` → `r2_a`/
+    * `r2_d_u`/`r2_d_v`) so the dumped table has no struct columns. Field
+    * names in the pool carry no underscores, so `_` unambiguously encodes
+    * nesting.
     */
-  private def flatOf(out: FExpr): Seq[(String, String)] =
-    out.fields.get.flatMap {
-      case ("r1", e) => e.fields.get.map { case (n, fe) => s"r1_$n" -> fe.sql }
-      case (n, e) => Seq(n -> e.sql)
+  private def flatOf(out: FExpr): Seq[(String, String)] = {
+    def rec(name: String, e: FExpr): Seq[(String, String)] = e.fields match {
+      case Some(fs) => fs.flatMap { case (n, fe) => rec(s"${name}_$n", fe) }
+      case None => Seq(name -> e.sql)
     }
+    out.fields.get.flatMap { case (n, e) => rec(n, e) }
+  }
 
   private val flatType = Map(
-    "n1" -> "BIGINT", "n2" -> "BIGINT", "z1" -> "BIGINT",
-    "s1" -> "VARCHAR", "s2" -> "VARCHAR", "b1" -> "BOOLEAN",
-    "r1_x" -> "BIGINT", "r1_y" -> "VARCHAR")
+    "n1" -> "BIGINT", "n2" -> "BIGINT", "z1" -> "BIGINT", "m1" -> "BIGINT",
+    "s1" -> "VARCHAR", "s2" -> "VARCHAR", "z2" -> "VARCHAR", "b1" -> "BOOLEAN",
+    "r1_x" -> "BIGINT", "r1_y" -> "VARCHAR",
+    "r2_a" -> "BIGINT", "r2_d_u" -> "BIGINT", "r2_d_v" -> "VARCHAR")
 
   private def qpath(alias: String, p: Seq[String]): String =
     (alias +: p.map(f => "\"" + f + "\"")).mkString(".")
@@ -471,7 +541,7 @@ class EtlFuzzSpec extends AnyFunSuite {
   private def flattenGot(df: DataFrame, flats: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
     val cols = flats.map {
-      case f if f.startsWith("r1_") => col("r1." + f.stripPrefix("r1_")).as(f)
+      case f if f.contains('_') => col(f.replace('_', '.')).as(f)
       case f => col(f)
     } ++ Seq(col("kafka.topic").as("topic"), col("kafka.offset").as("offset"),
       col("_type"), col("_outtopic"))
@@ -524,7 +594,7 @@ class EtlFuzzSpec extends AnyFunSuite {
     info(s"120 programs, $checkedRows output rows compared")
   }
 
-  test("DuckDB authority dump: 30 programs rendered to SQL + parquet") {
+  test("DuckDB authority dump: 50 programs rendered to SQL + parquet") {
     // Dumps case_NNN/{input,done,spark_out}.parquet + oracle.sql under
     // target/etl-fuzz-duckdb; tools/check_etl_fuzz_duckdb.py runs each
     // oracle in DuckDB and multiset-compares against spark_out (EXCEPT ALL
@@ -536,7 +606,7 @@ class EtlFuzzSpec extends AnyFunSuite {
       java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.delete)
     }
-    for (caseNo <- 0 until 30) {
+    for (caseNo <- 0 until 50) {
       val seed = Seed(1000L + caseNo)
       val (rows, doneSeq) = genRows(seed)
       val prog = genProgram(seed.next)
@@ -560,6 +630,6 @@ class EtlFuzzSpec extends AnyFunSuite {
       java.nio.file.Files.writeString(dir.resolve("oracle.sql"),
         sqlFor(prog, s"$dir/input.parquet", s"$dir/done.parquet"))
     }
-    assert(java.nio.file.Files.list(base).count() == 30)
+    assert(java.nio.file.Files.list(base).count() == 50)
   }
 }

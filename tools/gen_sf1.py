@@ -15,13 +15,23 @@ gates rely on:
 - embeddings: the vector is rotated by c positions — norm-preserving,
   direction-randomizing — so copies are not exact or near duplicates.
 
-usage: gen_sf1.py <srcDir> <dstDir> [copies=10]
+usage: gen_sf1.py <srcDir> <dstDir> [copies=10] [prefixLetter=k]
+
+prefixLetter: the document token prefix is "<letter>{c}". Chained runs
+(sf0.1→sf1→sf10→sf100) compose prefixes; with the SAME letter at every
+step, distinct copy tuples can compose to the SAME prefix string (e.g.
+step tuples (c,0) and (0,c) both yield "k{c}"), creating token-identical
+copy pairs the minhash cross-check must model (check_minhash_sf10.py
+handles the two-step collision classes). Giving each FURTHER step a fresh
+letter (e.g. 'j' for the sf10→sf100 step) keeps new cross-step prefixes
+distinct, so the step's exact near-dup pair set is exactly <copies>
+disjoint shifted images of the source set (check_minhash_sf100.py).
 """
 import sys
 
 import duckdb
 
-def main(src: str, dst: str, copies: int = 10) -> None:
+def main(src: str, dst: str, copies: int = 10, letter: str = "k") -> None:
     con = duckdb.connect()
     con.execute(f"CREATE VIEW sf AS SELECT 1")  # placeholder
     import os
@@ -107,13 +117,15 @@ def main(src: str, dst: str, copies: int = 10) -> None:
     pq.write_table(out, f"{dst}/events.parquet", row_group_size=RG * 4)
     assert str(pq.ParquetFile(f"{dst}/events.parquet")
                .schema_arrow.field("ts").type) == src_ts
+    prefixed = ("regexp_replace(text, '([A-Za-z0-9'']+)', '"
+                + letter + "{c}' || '\\1', 'g')")
     scaled("documents",
            f"doc_id + {{c}} * {D} AS doc_id, "
            "CASE WHEN {c} = 0 THEN text "
-           "     ELSE regexp_replace(text, '([A-Za-z0-9'']+)', 'k{c}\\1', 'g') "
+           "     ELSE " + prefixed + " "
            "END AS text, "
            "length(CASE WHEN {c} = 0 THEN text "
-           "     ELSE regexp_replace(text, '([A-Za-z0-9'']+)', 'k{c}\\1', 'g') "
+           "     ELSE " + prefixed + " "
            "END) AS n_chars, "
            "* EXCLUDE (doc_id, text, n_chars)",
            "doc_id")
@@ -132,4 +144,5 @@ def main(src: str, dst: str, copies: int = 10) -> None:
 
 if __name__ == "__main__":
     copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    main(sys.argv[1], sys.argv[2], copies)
+    letter = sys.argv[4] if len(sys.argv) > 4 else "k"
+    main(sys.argv[1], sys.argv[2], copies, letter)
