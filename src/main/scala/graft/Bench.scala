@@ -25,18 +25,22 @@ object Bench {
   }
 
   /** One warm-up pass then `runs` timed passes over the headline suite;
-    * returns (per-query medians in suite order, per-run totals).
+    * returns (per-query medians in suite order, per-run totals, failed
+    * query names). A failed query must surface as an error, not as a
+    * fast-fail elapsed time masquerading as a good number.
     */
   private def runSuite(spark: SparkSession, sfDir: String,
-      runs: Int): (Seq[(String, Double)], Seq[Double]) = {
+      runs: Int): (Seq[(String, Double)], Seq[Double], Set[String]) = {
     val headline = Registry.all.filter(_.headline)
     headline.foreach(q => try q.run(spark, sfDir).count()
       catch { case _: Throwable => () })
+    val failed = scala.collection.mutable.Set[String]()
     val samples: Seq[Seq[(String, Double)]] = (1 to runs).map { _ =>
       headline.map { q =>
         val t0 = System.nanoTime()
         try q.run(spark, sfDir).count()
         catch { case e: Throwable =>
+          failed += q.name
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
         }
         q.name -> (System.nanoTime() - t0) / 1e9
@@ -45,16 +49,17 @@ object Bench {
     val perQuery = headline.map { q =>
       q.name -> median(samples.map(_.find(_._1 == q.name).map(_._2).getOrElse(0.0)))
     }
-    (perQuery, samples.map(_.map(_._2).sum))
+    (perQuery, samples.map(_.map(_._2).sum), failed.toSet)
   }
 
   private def jsonLine(perQuery: Seq[(String, Double)], runTotals: Seq[Double],
-      sfDir: String, runs: Int): String = {
+      sfDir: String, runs: Int, failed: Set[String]): String = {
     val qs = perQuery.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = perQuery.map(_._2).sum
     val spread = f"""{"min":${runTotals.min}%.3f,"max":${runTotals.max}%.3f}"""
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"spread":$spread}"""
+    val errs = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"spread":$spread,"errors":$errs}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -70,8 +75,8 @@ object Bench {
         "testdata-sf1", "testdata-sf10", "testdata-sf100")
         .filter(d => new java.io.File(s"$d/lineitem.parquet").exists())
       val rows = rungs.map { d =>
-        val (perQuery, totals) = runSuite(spark, d, runs)
-        println(jsonLine(perQuery, totals, d, runs))
+        val (perQuery, totals, failed) = runSuite(spark, d, runs)
+        println(jsonLine(perQuery, totals, d, runs, failed))
         (d, perQuery.map(_._2).sum, totals.min, totals.max)
       }
       println("\n| sf dir | median total (s) | min | max |")
@@ -81,8 +86,8 @@ object Bench {
       }
     } else {
       val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-      val (perQuery, totals) = runSuite(spark, sfDir, runs)
-      println(jsonLine(perQuery, totals, sfDir, runs))
+      val (perQuery, totals, failed) = runSuite(spark, sfDir, runs)
+      println(jsonLine(perQuery, totals, sfDir, runs, failed))
     }
     spark.stop()
   }
