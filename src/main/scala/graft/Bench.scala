@@ -24,41 +24,54 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  /** JSON string escape for query names — a name with a quote or
+    * backslash must not produce an invalid JSON line.
+    */
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
   /** One warm-up pass then `runs` timed passes over the headline suite;
-    * returns (per-query medians in suite order, per-run totals, failed
-    * query names). A failed query must surface as an error, not as a
-    * fast-fail elapsed time masquerading as a good number.
+    * returns (per-query medians in suite order — None when a query never
+    * succeeded, per-run totals over SUCCESSFUL samples only, failed query
+    * names). A failed run contributes NO sample: its fast-fail elapsed
+    * time would otherwise pull the median (and the headline total) BELOW
+    * a healthy rung's, making a broken query read as a fast one.
     */
   private def runSuite(spark: SparkSession, sfDir: String,
-      runs: Int): (Seq[(String, Double)], Seq[Double], Set[String]) = {
+      runs: Int): (Seq[(String, Option[Double])], Seq[Double], Set[String]) = {
     val headline = Registry.all.filter(_.headline)
     headline.foreach(q => try q.run(spark, sfDir).count()
       catch { case _: Throwable => () })
     val failed = scala.collection.mutable.Set[String]()
     val samples: Seq[Seq[(String, Double)]] = (1 to runs).map { _ =>
-      headline.map { q =>
+      headline.flatMap { q =>
         val t0 = System.nanoTime()
-        try q.run(spark, sfDir).count()
-        catch { case e: Throwable =>
+        try {
+          q.run(spark, sfDir).count()
+          Some(q.name -> (System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           failed += q.name
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          None
         }
-        q.name -> (System.nanoTime() - t0) / 1e9
       }
     }
     val perQuery = headline.map { q =>
-      q.name -> median(samples.map(_.find(_._1 == q.name).map(_._2).getOrElse(0.0)))
+      val ok = samples.flatMap(_.find(_._1 == q.name).map(_._2))
+      q.name -> (if (ok.isEmpty) None else Some(median(ok)))
     }
     (perQuery, samples.map(_.map(_._2).sum), failed.toSet)
   }
 
-  private def jsonLine(perQuery: Seq[(String, Double)], runTotals: Seq[Double],
+  private def jsonLine(perQuery: Seq[(String, Option[Double])], runTotals: Seq[Double],
       sfDir: String, runs: Int, failed: Set[String]): String = {
-    val qs = perQuery.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = perQuery.map(_._2).sum
+    val qs = perQuery.map {
+      case (k, Some(v)) => jstr(k) + f":$v%.3f"
+      case (k, None)    => jstr(k) + ":null"
+    }.mkString("{", ",", "}")
+    val total = perQuery.flatMap(_._2).sum
     val spread = f"""{"min":${runTotals.min}%.3f,"max":${runTotals.max}%.3f}"""
-    val errs = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val errs = failed.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"spread":$spread,"errors":$errs}"""
   }
 
@@ -77,12 +90,13 @@ object Bench {
       val rows = rungs.map { d =>
         val (perQuery, totals, failed) = runSuite(spark, d, runs)
         println(jsonLine(perQuery, totals, d, runs, failed))
-        (d, perQuery.map(_._2).sum, totals.min, totals.max)
+        (d, perQuery.flatMap(_._2).sum, totals.min, totals.max, failed)
       }
-      println("\n| sf dir | median total (s) | min | max |")
-      println("| --- | --- | --- | --- |")
-      rows.foreach { case (d, t, mn, mx) =>
-        println(f"| $d | $t%.1f | $mn%.1f | $mx%.1f |")
+      println("\n| sf dir | median total (s) | min | max | errors |")
+      println("| --- | --- | --- | --- | --- |")
+      rows.foreach { case (d, t, mn, mx, failed) =>
+        val err = if (failed.isEmpty) "" else failed.toSeq.sorted.mkString("FAILED: ", ", ", "")
+        println(f"| $d | $t%.1f | $mn%.1f | $mx%.1f | $err |")
       }
     } else {
       val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -562,6 +562,13 @@ object TextOps {
   // one), integer token counts so the running sum is exact, rank ties
   // broken by doc_id so the cut line is deterministic. Output is bounded
   // by budget × sources regardless of corpus size.
+  //
+  // Oracle note: the windowed sum MUST be wrapped in CAST(... AS BIGINT).
+  // DuckDB widens windowed sum(BIGINT) to HUGEINT, which pandas renders
+  // as float64, so the driver's hasher saw "811.0" against Spark's int64
+  // "811" — three rounds of hash-red from a dtype artifact, zero
+  // differing cells. (No SQL "--" comments here: the oracle dump
+  // collapses newlines, so a line comment would eat the rest of the SQL.)
   private val qBudgetSelect = GQuery(
     "q_budget_select",
     (s, d) => {
@@ -596,9 +603,9 @@ object TextOps {
                            * 10000 + 0.5) AS BIGINT) AS sr
               FROM documents),
             c AS (SELECT doc_id, source, tok, sr,
-                         sum(tok) OVER (PARTITION BY source
+                         CAST(sum(tok) OVER (PARTITION BY source
                            ORDER BY sr DESC, doc_id ASC
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
                   FROM scored)
             SELECT doc_id, source, tok, sr, cum FROM c WHERE cum <= 20000
             ORDER BY source, cum, doc_id"""))

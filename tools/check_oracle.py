@@ -30,7 +30,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 def h(df: pd.DataFrame) -> str:
-    return hashlib.md5(df.to_csv(index=False, float_format="%.10g").encode()).hexdigest()
+    # NO float_format mask: the driver's hasher prints values as-is, so a
+    # dtype drift (e.g. DuckDB HUGEINT -> pandas float64 rendering 811 as
+    # "811.0" against Spark's int64 "811") must FAIL here too. Three rounds
+    # of q_budget_select driver-reds passed this check only because
+    # "%.10g" silently printed 811.0 as 811.
+    return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
 
 def main(sf, out, skip=(), only=None):
     con = duckdb.connect()
@@ -59,6 +64,12 @@ def main(sf, out, skip=(), only=None):
                 fails.append((name, f"cols {list(g.columns)} vs {list(w.columns)}"))
             elif len(g) != len(w):
                 fails.append((name, f"rows {len(g)} vs {len(w)}"))
+            elif list(map(str, g.dtypes)) != list(map(str, w.dtypes)):
+                # dtype-sensitive: an int64-vs-float64 drift hashes
+                # differently driver-side even when every cell is equal
+                fails.append((name, "dtype mismatch " + str(
+                    [(c, str(g[c].dtype), str(w[c].dtype))
+                     for c in g.columns if str(g[c].dtype) != str(w[c].dtype)])))
             elif h(g) != h(w):
                 diff = (g != w) & ~(g.isna() & w.isna())
                 bad = diff.any(axis=1)
