@@ -42,8 +42,15 @@ object Compiler {
       * @param doneSet (topic: string, offset: long) pairs already processed
       * @param baseOffsets next producer offset per output topic (missing
       *               topic = 0)
+      * @param pin    hook applied to intermediates the renumbering phase
+      *               re-evaluates (the routed input and each denorm join).
+      *               Default identity; a caller that will materialize the
+      *               result (Pipeline) passes `_.persist(...)` and
+      *               unpersists after, so the scan and joins run once
+      *               instead of once per renumber statistics job.
       */
-    def run(input: DataFrame, doneSet: DataFrame, baseOffsets: Map[String, Long]): DataFrame = {
+    def run(input: DataFrame, doneSet: DataFrame, baseOffsets: Map[String, Long],
+        pin: DataFrame => DataFrame = identity): DataFrame = {
       val t = transform
       val inputTopics = t.inputs.map(_.topic)
       val schema = input.schema
@@ -65,7 +72,7 @@ object Compiler {
           }
           when(cond, lit(i)).otherwise(rest)
       }
-      val routed = undone.withColumn("_rule", ruleIdx)
+      val routed = pin(undone.withColumn("_rule", ruleIdx))
 
       // -- per rule: (data rows with out + original kafka, done rows)
       val parts: Seq[(DataFrame, DataFrame)] = t.rules.zipWithIndex.map {
@@ -93,7 +100,7 @@ object Compiler {
                 .select(struct(matched.columns.toSeq.map(col): _*).as("left"))
               val rrows = matched.filter(col("kafka.topic") === r.right)
                 .select(struct(matched.columns.toSeq.map(col): _*).as("right"))
-              val joined = lrows.join(rrows, col(lk) === col(rk), "inner")
+              val joined = pin(lrows.join(rrows, col(lk) === col(rk), "inner"))
               val data = joined.select(
                 ZedExpr.toColumn(ZedExpr.parseOutAssign(r.zed), joined.schema).as("out"),
                 col("left.kafka").as("_inkafka"))
@@ -114,18 +121,57 @@ object Compiler {
       val allDone = parts.map(_._2).reduce(_.unionByName(_))
 
       // -- dense offset assignment per output topic, continuing from the
-      //    pool high-water mark; ordered by original (offset, topic)
-      val w = Window.partitionBy(col("_outtopic"))
-        .orderBy(col("_inkafka.offset").asc, col("_inkafka.topic").asc)
+      //    pool high-water mark; ordered by original (offset, topic).
+      //
+      // Two-phase distributed renumber (same shape as the prefix sum in
+      // ml/PackOps.scala): Window.partitionBy(_outtopic) alone constant-
+      // folds to a NO-PARTITION window when the program has one output
+      // topic — a single task numbering the whole batch. Instead, range-
+      // bucket rows by the input offset (bucket = pure integer function of
+      // the row, monotone in the order key, boundaries from one stats-only
+      // min/max job), run the row_number window per (_outtopic, _bkt) —
+      // all buckets in parallel — and add a driver-computed exclusive
+      // per-(topic, bucket) count base (topics × buckets rows, metadata
+      // scale). (offset, topic) is a unique total order per kafka
+      // envelope, so the numbering is deterministic across re-evaluations.
       val baseExpr = baseOffsets.foldLeft(lit(0L)) { case (acc, (topic, base)) =>
         when(col("_outtopic") === topic, lit(base)).otherwise(acc)
       }
+      val stats = allData.agg(
+        min(col("_inkafka.offset")), max(col("_inkafka.offset"))).head()
       // `_outtopic` survives into the result so a multi-pool pipeline can
       // split rows (data AND done markers) by their destination pool; the
       // pipeline drops it before append.
-      val renumbered = allData
-        .withColumn("_newoff", row_number().over(w).cast("long") - 1L + baseExpr)
-        .select(
+      val renumbered = (if (stats.isNullAt(0)) {
+        // empty batch: no window needed to number zero rows
+        allData.withColumn("_newoff", baseExpr)
+      } else {
+        val (lo, hi) = (stats.getLong(0), stats.getLong(1))
+        val nb = allData.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+        // integer bucket width, ceil(span / nb): (offset - lo) / width is
+        // monotone, lands in [0, nb-1], and never overflows (no multiply)
+        val span = hi - lo + 1L
+        val width = math.max(1L, span / nb + (if (span % nb == 0) 0L else 1L))
+        val bucket = ((col("_inkafka.offset") - lit(lo)) / lit(width)).cast("int")
+        val withB = allData.withColumn("_bkt", bucket)
+        val counts = withB.groupBy("_outtopic", "_bkt").count().collect()
+          .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+        val bucketBase: Map[(String, Int), Long] = counts.keys.groupBy(_._1)
+          .flatMap { case (topic, keys) =>
+            val sorted = keys.toSeq.sortBy(_._2)
+            sorted.zip(sorted.scanLeft(0L)((acc, k) => acc + counts(k)))
+              .map { case (k, excl) => k -> excl }
+          }
+        val bucketBaseExpr = bucketBase.foldLeft(lit(0L)) {
+          case (acc, ((topic, b), base)) =>
+            when(col("_outtopic") === topic && col("_bkt") === b, lit(base))
+              .otherwise(acc)
+        }
+        val w = Window.partitionBy(col("_outtopic"), col("_bkt"))
+          .orderBy(col("_inkafka.offset").asc, col("_inkafka.topic").asc)
+        withB.withColumn("_newoff",
+          row_number().over(w).cast("long") - 1L + bucketBaseExpr + baseExpr)
+      }).select(
           col("out.*"),
           struct(col("_outtopic").as("topic"), col("_newoff").as("offset")).as("kafka"),
           lit(null).cast("string").as(TypeCol),

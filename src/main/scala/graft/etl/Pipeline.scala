@@ -184,7 +184,17 @@ final class Pipeline(spark: SparkSession, transform: Transform, root: String) {
       .flatMap(_.nextProducerOffsets())
       .groupMapReduce(_._1)(_._2)(math.max)
 
-    val result = program.run(prunedIn, prunedDone, bases).cache()
+    // pin: the renumber phase's statistics jobs (offset min/max, bucket
+    // counts) re-evaluate the routed input and denorm joins; persisting
+    // them here runs the scan and joins once, and the finally below
+    // releases them with the result.
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val pin: DataFrame => DataFrame = { df =>
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned += p
+      p
+    }
+    val result = program.run(prunedIn, prunedDone, bases, pin).cache()
     try {
       val n = result.count()
       if (n > 0) {
@@ -210,6 +220,9 @@ final class Pipeline(spark: SparkSession, transform: Transform, root: String) {
         if (merged.nonEmpty) outputPools.values.foreach(_.writeCursors(merged))
       }
       n
-    } finally result.unpersist()
+    } finally {
+      result.unpersist()
+      pinned.foreach(_.unpersist())
+    }
   }
 }

@@ -27,13 +27,18 @@ class PlanAuditSpec extends AnyFunSuite {
         s"${q.name} plans a cartesian product")
       // a window with an empty partition spec funnels the whole input
       // through one task — the q_pack prefix sum exists precisely to
-      // avoid this; nothing in the inventory may reintroduce it
+      // avoid this; nothing in the inventory may reintroduce it.
+      // An all-FOLDABLE spec is the same bottleneck after constant
+      // folding (the ETL renumber's partitionBy(_outtopic) was exactly
+      // this for single-output programs: _outtopic is lit(out) per rule),
+      // so constants don't count as partitioning either.
       val globalWindows = exec.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec
-            if w.partitionSpec.isEmpty => w
+            if w.partitionSpec.forall(_.foldable) => w
       }
       assert(globalWindows.isEmpty,
-        s"${q.name}: global (unpartitioned) window — single-task bottleneck")
+        s"${q.name}: global (unpartitioned or constant-partitioned) window" +
+          " — single-task bottleneck")
     }
   }
 
