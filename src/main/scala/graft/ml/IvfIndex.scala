@@ -335,4 +335,90 @@ object IvfIndex {
     newCents.foreach(_.unpersist())
     IvfIndex(spark, newPath)
   }
+
+  /** Knobs for the closed maintenance loop [[maintain]]. Health thresholds
+    * mirror [[health]]'s defaults; `recallFloor` is the index's own
+    * quality bar — maintenance is not "done" until a post-action probe
+    * audit clears it (or escalation is exhausted).
+    */
+  final case class MaintainPolicy(
+      sampleFraction: Double = 1.0,
+      splitFactor: Double = 2.0, mergeFraction: Double = 0.1,
+      driftTol: Double = 0.05,
+      subCells: Int = 2, trainIters: Int = 3,
+      retrainCells: Int = 0, // 0 = keep the current centroid count
+      // same bar the q_ann_ivf gate pins (recallSummary floor 0.65 at
+      // nprobe=3): the audit holds the maintained index to the recall
+      // contract its QUERY path already promises
+      recallFloor: Double = 0.65, recallQueries: Int = 32,
+      k: Int = 5, nprobe: Int = 3,
+      escalate: Boolean = true)
+
+  /** Outcome of one [[maintain]] tick: the (possibly unchanged) index, the
+    * health report that drove it, the action applied ("ok", "splitMerge",
+    * "retrain", or "splitMerge->retrain" after escalation), and the
+    * post-action recall audit (None when no action ran).
+    */
+  final case class MaintainResult(index: IvfIndex, report: HealthReport,
+      action: String, recall: Option[Double])
+
+  /** Probe-recall audit against the index's OWN stored corpus: a bounded
+    * deterministic self-query sample (md5-ordered, `nQueries` rows) whose
+    * exact top-k is one broadcast-join corpus scan — at 100 TB this is a
+    * single extra pass over the cells, the bounded price of knowing a
+    * maintenance action actually restored quality.
+    */
+  def measureRecall(index: IvfIndex, k: Int = 5, nprobe: Int = 3,
+      nQueries: Int = 32): Double = {
+    val stored = index.spark.read.parquet(s"${index.path}/cells")
+      .select("vec_id", "v")
+    val queries = stored
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(nQueries)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val exact = AnnOps.bruteForceTopK(stored, queries, k).select("q_id", "n_id")
+      val got = index.search(queries, k, nprobe).select("q_id", "n_id")
+      val tot = exact.count()
+      if (tot == 0) 1.0 else exact.intersect(got).count().toDouble / tot
+    } finally queries.unpersist()
+  }
+
+  /** The closed loop the monitor exists for: run [[health]], apply its
+    * recommendation as a NEW GENERATION at `newPath` (splitMerge links
+    * untouched cells; retrain rewrites), then audit probe recall against
+    * `policy.recallFloor`. A splitMerge that fails its audit escalates to
+    * a full retrain at `newPath-retrain` (localized surgery was the cheap
+    * bet; the floor is the contract). "ok" applies nothing and audits
+    * nothing. The caller flips its generation pointer to `result.index`
+    * when it accepts the result — same immutable-generation contract as
+    * [[retrain]]/[[splitMerge]].
+    */
+  def maintain(index: IvfIndex, newPath: String,
+      policy: MaintainPolicy = MaintainPolicy()): MaintainResult = {
+    val h = health(index, policy.sampleFraction, policy.splitFactor,
+      policy.mergeFraction, policy.driftTol)
+    def retrainTo(path: String): IvfIndex = {
+      val cells = if (policy.retrainCells > 0) policy.retrainCells
+        else index.centroids.count().toInt
+      retrain(index, path, cells, policy.trainIters)
+    }
+    h.recommendation match {
+      case "ok" => MaintainResult(index, h, "ok", None)
+      case "retrain" =>
+        val next = retrainTo(newPath)
+        MaintainResult(next, h, "retrain",
+          Some(measureRecall(next, policy.k, policy.nprobe, policy.recallQueries)))
+      case "splitMerge" =>
+        val next = splitMerge(index, newPath, policy.splitFactor,
+          policy.mergeFraction, policy.subCells, policy.trainIters)
+        val r = measureRecall(next, policy.k, policy.nprobe, policy.recallQueries)
+        if (r >= policy.recallFloor || !policy.escalate)
+          MaintainResult(next, h, "splitMerge", Some(r))
+        else {
+          val esc = retrainTo(s"$newPath-retrain")
+          MaintainResult(esc, h, "splitMerge->retrain",
+            Some(measureRecall(esc, policy.k, policy.nprobe, policy.recallQueries)))
+        }
+    }
+  }
 }

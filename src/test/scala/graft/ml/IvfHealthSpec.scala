@@ -117,6 +117,67 @@ class IvfHealthSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("maintain: drifted corpus -> one call applies retrain and restores recall") {
+    val corpus = baseCorpus.persist()
+    val dim = corpus.select(size(col("v"))).head().getInt(0)
+    val path = java.nio.file.Files.createTempDirectory("ivf-maint1").toString
+    val idx = IvfIndex.build(corpus, s"$path/gen0", cells = 10, trainIters = 3)
+    // the recall SLO is what a HEALTHY index of this family delivers on
+    // this corpus (self-query recall at the policy's nprobe is bounded by
+    // the quantizer's intrinsic quality, not 1.0) — maintenance restores
+    // the healthy band, it cannot exceed the family's ceiling
+    val healthy = IvfIndex.measureRecall(idx)
+    // the full IvfRetrainSpec drift corpus — recall through the frozen
+    // quantizer decays below the healthy band before maintenance
+    val drift = driftVectors(dim, count = 25).persist()
+    IvfIndex.append(idx, drift)
+    val before = IvfIndex.measureRecall(idx)
+    val floor = healthy - 0.05
+    val res = IvfIndex.maintain(idx, s"$path/gen1",
+      IvfIndex.MaintainPolicy(recallFloor = floor))
+    info(f"action=${res.action} healthy=$healthy%.2f drifted=$before%.2f after=${res.recall.get}%.2f")
+    assert(res.action == "retrain", s"drift must drive a retrain, got ${res.action}")
+    assert(res.index.path == s"$path/gen1")
+    assert(res.recall.get >= floor,
+      s"maintenance must restore the healthy band: ${res.recall.get} < $floor")
+    assert(res.recall.get > before,
+      s"maintenance must improve the drifted index: $before -> ${res.recall.get}")
+    // old generation untouched until the caller flips its pointer
+    assert(idx.centroids.count() == 10)
+    corpus.unpersist(); drift.unpersist()
+  }
+
+  test("maintain: healthy index is a no-op; pile-up applies splitMerge and clears the floor") {
+    val corpus = baseCorpus.persist()
+    val path = java.nio.file.Files.createTempDirectory("ivf-maint2").toString
+    val idx = IvfIndex.build(corpus, s"$path/gen0", cells = 10, trainIters = 3)
+    val healthy = IvfIndex.measureRecall(idx)
+    val ok = IvfIndex.maintain(idx, s"$path/never")
+    assert(ok.action == "ok" && (ok.index eq idx) && ok.recall.isEmpty)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/never")))
+
+    // in-distribution pile-up: the biggest cell's vectors under fresh ids
+    // with a small DETERMINISTIC jitter (renormalized) — exact duplicates
+    // would make the recall audit a tie-break lottery between brute force
+    // and the probed scan, and no amount of maintenance clears that
+    val biggest = idx.stats.orderBy(col("n").desc).head().getInt(0)
+    val pile = spark.read.parquet(s"$path/gen0/cells")
+      .filter(col("cell") === biggest).select("vec_id", "v")
+      .withColumn("vec_id", col("vec_id") + 3000000L)
+      .withColumn("v", expr(
+        "transform(v, (x, i) -> x + 0.002 * double((vec_id * 7 + i * 13) % 11 - 5))"))
+      .withColumn("v", graft.functions.l2normalize(col("v")))
+    IvfIndex.append(idx, pile)
+    val floor = healthy - 0.05
+    val res = IvfIndex.maintain(idx, s"$path/gen1",
+      IvfIndex.MaintainPolicy(splitFactor = 1.5, recallFloor = floor))
+    info(f"action=${res.action} healthy=$healthy%.2f recall=${res.recall.get}%.2f")
+    assert(res.action == "splitMerge" || res.action == "splitMerge->retrain")
+    assert(res.recall.get >= floor,
+      s"maintenance must stay in the healthy band: ${res.recall.get} < $floor")
+    corpus.unpersist()
+  }
+
   test("sampled health agrees with exact health on the recommendation") {
     val corpus = baseCorpus.persist()
     val dim = corpus.select(size(col("v"))).head().getInt(0)

@@ -10,9 +10,15 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 STAGE=/tmp/graft_stage
 mkdir -p "$STAGE"
-# stage only if the built jar is newer than the staged copy
+# stage to a UNIQUE path per invocation: overwriting a shared staged jar
+# truncates the inode a still-running JVM has open (lazy classloading
+# reads would see a corrupt zip mid-run)
 JAR=target/scala-2.13/zingerspark_2.13-0.1.0.jar
-if [ "$JAR" -nt "$STAGE/graft.jar" ]; then cp "$JAR" "$STAGE/graft.jar"; fi
+STAGED="$STAGE/graft-$$-$(date +%s).jar"
+cp "$JAR" "$STAGED"
+trap 'rm -f "$STAGED"' EXIT
+# stale copies from crashed runs (best effort; in-use files survive rm)
+find "$STAGE" -name 'graft-*.jar' -mmin +360 -delete 2>/dev/null || true
 MAIN=$1; shift
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
@@ -22,6 +28,7 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java -Xmx"${SPARK_DRIVER_MEM:-8g}" $ADD_OPENS \
+# no exec: the EXIT trap must run to reap the staged copy
+java -Xmx"${SPARK_DRIVER_MEM:-8g}" $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -cp "$STAGE/graft.jar:/opt/spark/jars/*" "$MAIN" "$@"
+  -cp "$STAGED:/opt/spark/jars/*" "$MAIN" "$@"
