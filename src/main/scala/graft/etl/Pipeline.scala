@@ -31,7 +31,8 @@ import org.apache.spark.sql.functions._
   *    change. The anti-join still covers out-of-order gaps above the
   *    cursor.
   */
-final class Pipeline(spark: SparkSession, transform: Transform, root: String) {
+final class Pipeline(spark: SparkSession, transform: Transform, root: String,
+    publisher: graft.lake.CommitPublisher = graft.lake.CommitPublisher.HardLink) {
 
   Transform.validate(transform)
 
@@ -39,7 +40,7 @@ final class Pipeline(spark: SparkSession, transform: Transform, root: String) {
   require(inputPoolNames.size == 1,
     "all input topics must route through one pool (matches reference constraint)")
 
-  val inputPool: Pool = Pool.open(spark, root, inputPoolNames.head)
+  val inputPool: Pool = Pool.open(spark, root, inputPoolNames.head, publisher)
 
   /** Out-topic → pool name (unlisted topics land in the primary pool). */
   private val topicPoolName: Map[String, String] =
@@ -48,7 +49,7 @@ final class Pipeline(spark: SparkSession, transform: Transform, root: String) {
 
   val outputPools: Map[String, Pool] =
     topicPoolName.values.toSeq.distinct
-      .map(p => p -> Pool.create(spark, root, p)).toMap
+      .map(p => p -> Pool.create(spark, root, p, publisher = publisher)).toMap
 
   /** Primary output pool (single-output view). */
   val outputPool: Pool = outputPools(transform.output.pool)

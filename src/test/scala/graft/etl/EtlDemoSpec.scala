@@ -177,6 +177,44 @@ class EtlDemoSpec extends AnyFunSuite {
     assert(again.run() == 0L, "re-run with no new input must commit nothing")
   }
 
+  test("etl-demo commits land via HTTP conditional PUT (store-backed lake shape)") {
+    // same 4-batch golden scenario, but EVERY manifest publication —
+    // input seeding and pipeline commits alike — goes through the
+    // HttpConditionalPut client against the server-side create-if-absent
+    // double. Proves a store-backed lake is a constructor swap: identical
+    // golden bytes, with the commit counter showing the protocol actually
+    // rode HTTP.
+    val root = Files.createTempDirectory("graft-etl-http").toString
+    val srv = graft.lake.CPutHttpServer.start()
+    try {
+      val base = java.net.URI.create(s"http://127.0.0.1:${srv.getAddress.getPort}")
+      val puts = new java.util.concurrent.atomic.AtomicLong(0L)
+      val inner = new graft.lake.HttpConditionalPut(base)
+      val http = new graft.lake.CommitPublisher {
+        def publish(target: java.nio.file.Path, tmp: java.nio.file.Path): Boolean = {
+          puts.incrementAndGet(); inner.publish(target, tmp)
+        }
+      }
+      val transform = Transform.fromYaml(invoicesYaml)
+      val raw = Pool.create(spark, root, "Raw", publisher = http)
+      Pool.create(spark, root, "Staging", publisher = http)
+
+      batches.zipWithIndex.foreach { case (batch, i) =>
+        raw.append(spark.createDataFrame(
+          spark.sparkContext.parallelize(batch), rowSchema))
+        val pipeline = new Pipeline(spark, transform, root, publisher = http)
+        assert(pipeline.run() > 0, s"run ${i + 1} wrote nothing")
+        val got = poolContents(pipeline.outputPool)
+        assert(got == goldenAfterRun(i).sorted,
+          s"run ${i + 1} over HTTP commits diverged from the golden output")
+      }
+      // 4 input appends + 4 pipeline output commits at minimum, all HTTP
+      assert(puts.get() >= 8,
+        s"commits did not ride the HTTP publisher (saw ${puts.get()} PUTs)")
+      assert(new Pipeline(spark, transform, root, publisher = http).run() == 0L)
+    } finally srv.stop(0)
+  }
+
   test("compiled plan has the reference scaffold shape (etl-zed golden)") {
     // the structural equivalent of ztests/etl-zed.yaml: the compiled
     // program contains the anti-join scaffold, the per-rule branches
