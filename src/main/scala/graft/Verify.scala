@@ -11,10 +11,17 @@ object Verify {
     // optional 3rd arg: comma-separated gate names to skip (scale-ladder
     // runs, where a handful of gates are exact-verification ops whose WORK
     // — not just whose oracle — is quadratic in the corpus and therefore
-    // bounded-corpus by contract; the driver's sf0.01 runs pass no skips)
-    val (sfDir, outDir, skip) = args match {
-      case Array(s, o) => (s, o, Set.empty[String])
-      case Array(s, o, sk) => (s, o, sk.split(',').map(_.trim).toSet)
+    // bounded-corpus by contract; the driver's sf0.01 runs pass no skips).
+    // optional 4th arg "--only=a,b,c": dump ONLY those gates — scale
+    // campaigns run gate families in FRESH JVMs so one process's shuffle
+    // spill (blockmgr) is reclaimed before the next family starts, instead
+    // of accumulating 84 gates of spill on one disk.
+    val (sfDir, outDir, skip, only) = args match {
+      case Array(s, o) => (s, o, Set.empty[String], None)
+      case Array(s, o, sk) => (s, o, sk.split(',').map(_.trim).toSet, None)
+      case Array(s, o, sk, on) if on.startsWith("--only=") =>
+        (s, o, sk.split(',').map(_.trim).toSet,
+          Some(on.stripPrefix("--only=").split(',').map(_.trim).toSet))
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
@@ -27,7 +34,8 @@ object Verify {
       // single-threaded end to end — observed 10+ CPU-minutes on one core
       // at sf1), while repartition inserts a shuffle so the plan runs at
       // full parallelism and only the one-file write is serial.
-      if (skip(name)) System.err.println(s"[verify] $name skipped by request")
+      if (only.exists(!_.contains(name))) ()
+      else if (skip(name)) System.err.println(s"[verify] $name skipped by request")
       else try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -594,6 +594,78 @@ class EtlFuzzSpec extends AnyFunSuite {
     info(s"120 programs, $checkedRows output rows compared")
   }
 
+  test("50 random programs through the CURSOR path: two incremental runs == one union run") {
+    // The interpreter differential above fuzzes the COMPILER on full-scan
+    // batches; this fuzzes the incremental PIPELINE — persisted cursors,
+    // zone-map file dropping, late-arrival distrust (etl/Pipeline.scala) —
+    // with the idempotency invariant the reference's anti-join encodes:
+    // running batch 1 then batch 2 incrementally must leave the output
+    // pool equal (as a multiset, modulo which dense offset each data row
+    // drew) to one run over the union. Even cases split contiguously by
+    // offset so run 2 rides an advanced cursor; odd cases feed the HIGH
+    // offsets first so batch 2 arrives BELOW the cursor anchor and the
+    // pipeline must fall back to the full done-set computation.
+    import org.apache.spark.sql.functions.col
+    var cursorRuns = 0
+    for (caseNo <- 0 until 50) {
+      val seed = Seed(5000L + caseNo)
+      val (rows, _) = genRows(seed)
+      val prog = genProgram(seed.next)
+      val label = s"cursor case $caseNo"
+      val contiguous = caseNo % 2 == 0
+      val (b1, b2) = rows.partition { r =>
+        val off = r("kafka").asInstanceOf[RowMap]("offset").asInstanceOf[Long]
+        if (contiguous) off < 20 else off >= 20
+      }
+
+      def canonPool(df: DataFrame): Seq[String] = df.collect().toSeq.map { r =>
+        val isData = r.getAs[String]("_type") == null
+        r.schema.fieldNames.sorted.toList.map {
+          case "kafka" =>
+            val k = r.getAs[Row]("kafka")
+            // a data row's dense offset depends on arrival order; the
+            // multiset invariant masks it (density asserted separately)
+            "kafka" -> (k.getAs[String]("topic"),
+              if (isData) -1L else k.getAs[Long]("offset"))
+          case n => n -> canonSpark(r.getAs[Any](n))
+        }.toString
+      }.sorted
+
+      def runPhases(phases: Seq[Seq[RowMap]]): (Seq[String], Int) = {
+        val root = java.nio.file.Files.createTempDirectory("etl-fuzz-cur").toString
+        val raw = graft.lake.Pool.create(spark, root, "rawpool")
+        graft.lake.Pool.create(spark, root, "stagepool")
+        var sawCursor = 0
+        phases.filter(_.nonEmpty).foreach { batch =>
+          raw.append(toSparkRows(batch))
+          val p = new Pipeline(spark, prog.transform, root)
+          if (p.plan().exists(_.cursors.nonEmpty)) sawCursor += 1
+          p.run()
+        }
+        val out = graft.lake.Pool.open(spark, root, "stagepool").read()
+        // dense per-topic offsets: 0..n-1 regardless of arrival split
+        if (!out.columns.isEmpty) {
+          out.filter(col("_type").isNull)
+            .select(col("kafka.topic"), col("kafka.offset")).collect()
+            .groupBy(_.getString(0)).foreach { case (t, rs) =>
+              val offs = rs.map(_.getLong(1)).sorted.toSeq
+              assert(offs == (0L until offs.length.toLong),
+                s"$label: $t offsets not dense: $offs")
+            }
+          (canonPool(out), sawCursor)
+        } else (Seq.empty, sawCursor)
+      }
+
+      val (incremental, saw) = runPhases(Seq(b1, b2))
+      val (union, _) = runPhases(Seq(b1 ++ b2))
+      assert(incremental == union,
+        s"$label (contiguous=$contiguous):\n inc=${incremental.take(4)}\n uni=${union.take(4)}")
+      cursorRuns += saw
+    }
+    info(s"50 two-phase programs green; $cursorRuns phase runs planned with a live cursor")
+    assert(cursorRuns > 0, "the cursor path was never exercised")
+  }
+
   test("DuckDB authority dump: 50 programs rendered to SQL + parquet") {
     // Dumps case_NNN/{input,done,spark_out}.parquet + oracle.sql under
     // target/etl-fuzz-duckdb; tools/check_etl_fuzz_duckdb.py runs each
