@@ -34,9 +34,15 @@ object Verify {
       // single-threaded end to end — observed 10+ CPU-minutes on one core
       // at sf1), while repartition inserts a shuffle so the plan runs at
       // full parallelism and only the one-file write is serial.
+      // GRAFT_VERIFY_PARTS: dump file count. 1 (default) matches the
+      // driver contract; scale campaigns set e.g. 32 — a 450M-row gate
+      // writes in parallel instead of through one task, and every checker
+      // (pandas read_parquet, DuckDB read_parquet glob) reads the
+      // directory regardless of file count.
+      val parts = sys.env.get("GRAFT_VERIFY_PARTS").map(_.toInt).getOrElse(1)
       if (only.exists(!_.contains(name))) ()
       else if (skip(name)) System.err.println(s"[verify] $name skipped by request")
-      else try fn(spark, sfDir).repartition(1).write.mode("overwrite")
+      else try fn(spark, sfDir).repartition(parts).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -21,6 +21,9 @@ SF=${1:-/root/repo/testdata-sf100}
 OUT=${2:-/tmp/verify_sf100}
 export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-64g}
 export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
+# parallel dump files: pandas/DuckDB checkers read directories, so the
+# driver's one-file contract doesn't apply to campaign dumps
+export GRAFT_VERIFY_PARTS=${GRAFT_VERIFY_PARTS:-32}
 
 chunks=(
   "q_chunk,q_multimodal_frames,q_switch,q_map_lookup,q_dedup_exact,q_rolling_fingerprint,q_cut,q_multimodal_meta"
@@ -40,13 +43,16 @@ chunks=(
 i=0
 for c in "${chunks[@]}"; do
   i=$((i+1))
-  # resume: skip a chunk whose every gate already has a dump directory
-  missing=0
+  # resume PER GATE: run only the gates of this chunk with no dump yet,
+  # so an interrupted chunk re-runs its missing tail, not the whole list
   IFS=',' read -ra gs <<< "$c"
-  for g in "${gs[@]}"; do [ -d "$OUT/$g" ] || missing=1; done
-  if [ "$missing" = 0 ]; then echo "== chunk $i already dumped, skipping"; continue; fi
-  echo "== chunk $i/${#chunks[@]}: $c  ($(date +%H:%M:%S), $(df -h / | awk 'NR==2{print $4}') free)"
-  tools/run_main.sh graft.Verify "$SF" "$OUT" q_ngram_jaccard "--only=$c" \
+  todo=""
+  for g in "${gs[@]}"; do
+    [ -d "$OUT/$g" ] || todo="${todo:+$todo,}$g"
+  done
+  if [ -z "$todo" ]; then echo "== chunk $i already dumped, skipping"; continue; fi
+  echo "== chunk $i/${#chunks[@]}: $todo  ($(date +%H:%M:%S), $(df -h / | awk 'NR==2{print $4}') free)"
+  tools/run_main.sh graft.Verify "$SF" "$OUT" q_ngram_jaccard "--only=$todo" \
     > "/tmp/sf100_chunk_$i.log" 2>&1
   echo "   chunk $i exit=$? ($(date +%H:%M:%S))"
 done
