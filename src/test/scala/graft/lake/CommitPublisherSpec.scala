@@ -56,42 +56,74 @@ class CommitPublisherSpec extends AnyFunSuite {
     assert(new String(Files.readAllBytes(target)) == "earlier process")
   }
 
-  test("conditional PUT: two OS processes racing the same sequence numbers, one winner each") {
-    // The claim the in-thread race above cannot make: the arbiter is the
-    // FILESYSTEM (link(2) EEXIST), not anything process-local, so writers
-    // in different JVMs contending for the same manifest names still get
-    // exactly one winner per name and the loser observes the loss.
-    val dir = Files.createTempDirectory("cput-xproc")
-    val count = 200
+  /** One two-JVM race over `count` names (through the HTTP server when
+    * `base` is set, straight link(2) otherwise). The CORRECTNESS
+    * invariants — disjoint winner sets, every name claimed exactly once,
+    * the on-disk body is the winner's — are asserted unconditionally.
+    * Returns the two win sets so the caller can judge whether the race
+    * actually observed contention (a loaded box can starve one JVM into
+    * winning nothing, which proves nothing either way — see the retry
+    * loops at the call sites).
+    */
+  private def raceTwoProcesses(prefix: String, count: Int,
+                               base: Option[String]): (Set[Int], Set[Int]) = {
+    val dir = Files.createTempDirectory(prefix)
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val cp = System.getProperty("java.class.path")
     def spawn(id: String) = new ProcessBuilder(
-      javaBin, "-cp", cp, "graft.lake.CPutRacer", dir.toString, id, count.toString)
+      (Seq(javaBin, "-cp", cp, "graft.lake.CPutRacer",
+        dir.toString, id, count.toString) ++ base): _*)
       .redirectErrorStream(true).start()
     val (pa, pb) = (spawn("A"), spawn("B"))
     // start barrier: release only once BOTH JVMs are up and spinning, so
-    // startup stagger can't let one process claim everything uncontended
-    val up = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    // startup stagger can't let one process claim everything uncontended.
+    // Generous deadline: a saturated box (32-core verify campaign in the
+    // background) can take tens of seconds just to exec two JVMs.
+    val up = System.nanoTime() + 180L * 1000 * 1000 * 1000
     while (!(Files.exists(dir.resolve("ready-A")) && Files.exists(dir.resolve("ready-B")))) {
-      assert(System.nanoTime() < up, "racers did not come up within 60s")
+      assert(System.nanoTime() < up, "racers did not come up within 180s")
       Thread.sleep(10)
     }
     Files.write(dir.resolve("go"), Array.emptyByteArray)
     def wins(p: Process): Set[Int] = {
       val out = new String(p.getInputStream.readAllBytes())
-      assert(p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS), s"racer hung:\n$out")
+      assert(p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS), s"racer hung:\n$out")
       assert(p.exitValue() == 0, s"racer failed:\n$out")
       out.linesIterator.filter(_.startsWith("WIN ")).map(_.drop(4).trim.toInt).toSet
     }
     val (winsA, winsB) = (wins(pa), wins(pb))
     assert((winsA & winsB).isEmpty, s"both processes won: ${winsA & winsB}")
     assert(winsA ++ winsB == (0 until count).toSet, "every name has exactly one winner")
-    assert(winsA.nonEmpty && winsB.nonEmpty, s"no contention: A=${winsA.size} B=${winsB.size}")
     for (seq <- 0 until count) {
       val body = new String(Files.readAllBytes(dir.resolve(f"seq-$seq%05d")))
       val owner = if (winsA(seq)) "A" else "B"
       assert(body == s"writer-$owner-$seq", s"seq $seq: body is not the winner's: $body")
     }
+    (winsA, winsB)
+  }
+
+  /** Re-race until both JVMs win at least one name. A race where one side
+    * wins everything is CORRECT (all invariants held above) but vacuous —
+    * it observed no contention — and under heavy external load the OS can
+    * starve one JVM long enough for exactly that. Retrying makes the
+    * contention evidence robust without ever weakening the invariants,
+    * which are asserted on every attempt.
+    */
+  private def raceUntilContended(prefix: String, count: Int,
+                                 base: Option[String]): Unit = {
+    val contended = (1 to 3).exists { attempt =>
+      val (winsA, winsB) = raceTwoProcesses(s"$prefix-$attempt", count, base)
+      winsA.nonEmpty && winsB.nonEmpty
+    }
+    assert(contended, "no contention observed in 3 races (one JVM starved every time)")
+  }
+
+  test("conditional PUT: two OS processes racing the same sequence numbers, one winner each") {
+    // The claim the in-thread race above cannot make: the arbiter is the
+    // FILESYSTEM (link(2) EEXIST), not anything process-local, so writers
+    // in different JVMs contending for the same manifest names still get
+    // exactly one winner per name and the loser observes the loss.
+    raceUntilContended("cput-xproc", 200, None)
   }
 
   test("HTTP conditional PUT: two OS processes racing through the server, one winner per name") {
@@ -103,37 +135,8 @@ class CommitPublisherSpec extends AnyFunSuite {
     // filesystem publishers.
     val srv = CPutHttpServer.start()
     try {
-      val base = s"http://127.0.0.1:${srv.getAddress.getPort}"
-      val dir = Files.createTempDirectory("cput-http")
-      val count = 200
-      val javaBin = System.getProperty("java.home") + "/bin/java"
-      val cp = System.getProperty("java.class.path")
-      def spawn(id: String) = new ProcessBuilder(
-        javaBin, "-cp", cp, "graft.lake.CPutRacer",
-        dir.toString, id, count.toString, base)
-        .redirectErrorStream(true).start()
-      val (pa, pb) = (spawn("A"), spawn("B"))
-      val up = System.nanoTime() + 60L * 1000 * 1000 * 1000
-      while (!(Files.exists(dir.resolve("ready-A")) && Files.exists(dir.resolve("ready-B")))) {
-        assert(System.nanoTime() < up, "racers did not come up within 60s")
-        Thread.sleep(10)
-      }
-      Files.write(dir.resolve("go"), Array.emptyByteArray)
-      def wins(p: Process): Set[Int] = {
-        val out = new String(p.getInputStream.readAllBytes())
-        assert(p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS), s"racer hung:\n$out")
-        assert(p.exitValue() == 0, s"racer failed:\n$out")
-        out.linesIterator.filter(_.startsWith("WIN ")).map(_.drop(4).trim.toInt).toSet
-      }
-      val (winsA, winsB) = (wins(pa), wins(pb))
-      assert((winsA & winsB).isEmpty, s"both processes won: ${winsA & winsB}")
-      assert(winsA ++ winsB == (0 until count).toSet, "every name has exactly one winner")
-      assert(winsA.nonEmpty && winsB.nonEmpty, s"no contention: A=${winsA.size} B=${winsB.size}")
-      for (seq <- 0 until count) {
-        val body = new String(Files.readAllBytes(dir.resolve(f"seq-$seq%05d")))
-        val owner = if (winsA(seq)) "A" else "B"
-        assert(body == s"writer-$owner-$seq", s"seq $seq: body is not the winner's: $body")
-      }
+      raceUntilContended("cput-http", 200,
+        Some(s"http://127.0.0.1:${srv.getAddress.getPort}"))
     } finally srv.stop(0)
   }
 
