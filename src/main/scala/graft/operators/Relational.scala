@@ -43,11 +43,21 @@ object Relational {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           stableRound(sum("l_quantity"), 2).as("sum_qty"),
-          stableRound(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0).as("revenue"),
+          // The sf100 rung's scale bug: revenue is a ~100M-row-per-group
+          // float64 sum whose accumulated rounding error (±2 in 5e12)
+          // exceeds the integer rounding grain, so Spark's and DuckDB's
+          // different accumulation orders disagree. Money columns have
+          // exact decimal domains (2-decimal price, 2-decimal discount):
+          // summing as DECIMAL is exact — deterministic at ANY scale and
+          // any partitioning — and rendered as BIGINT on both sides.
+          round(sum(col("l_extendedprice").cast("decimal(18,4)")
+            * (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))), 0)
+            .cast("long").as("revenue"),
           count(lit(1)).as("n")),
     Some("""SELECT l_returnflag, l_linestatus,
                    floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
-                   floor(sum(l_extendedprice * (1 - l_discount)) + 0.5) AS revenue,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))), 0) AS BIGINT) AS revenue,
                    count(*) AS n
             FROM lineitem GROUP BY 1, 2"""),
     headline = true)
@@ -365,10 +375,17 @@ object Relational {
       raw.select(date_format(eventTime(raw, "ts"), "yyyy-MM-dd").as("day"),
           col("event_type"), col("value"))
         .groupBy("day", "event_type")
-        .agg(count(lit(1)).as("n"), stableRound(sum("value"), 2).as("total"))
+        // value has an exact 2-decimal domain: a DECIMAL sum is exact and
+        // order-independent (the double sum's accumulation error is a
+        // function of group size — fine here today, but the q_agg sf100
+        // lesson says don't leave float sums on unbounded-group gates).
+        // Cast back to double so the output schema stays stable.
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
     },
     Some("""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
-                   count(*) AS n, floor(sum(value) * 100 + 0.5) / 100 AS total
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
             FROM events GROUP BY 1, 2"""),
     headline = true)
 
@@ -380,16 +397,21 @@ object Relational {
   private val qSaltedAgg = GQuery(
     "q_salted_agg",
     (s, d) => {
+      // DECIMAL partials: the whole point of the gate is salted == direct,
+      // and exact decimal sums make that equivalence exact by construction
+      // (a 20M-row-per-key double sum at sf100 drifts to within 0.21 of
+      // the rounding boundary — the q_agg failure mode one rung later).
       val salted = events(s, d)
         .withColumn("_salt", pmod(col("event_id"), lit(16)))
         .groupBy(col("event_type"), col("_salt"))
-        .agg(count(lit(1)).as("pn"), sum("value").as("pv"))
+        .agg(count(lit(1)).as("pn"),
+          sum(col("value").cast("decimal(18,2)")).as("pv"))
       salted.groupBy("event_type")
         .agg(sum("pn").cast("long").as("n"),
-          graft.functions.stableRound(sum("pv"), 2).as("total"))
+          sum("pv").cast("double").as("total"))
     },
     Some("""SELECT event_type, count(*) AS n,
-                   floor(sum(value) * 100 + 0.5) / 100 AS total
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
             FROM events GROUP BY 1"""))
 
   // ---- shaper scalar-function breadth ------------------------------------
