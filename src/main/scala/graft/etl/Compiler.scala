@@ -42,12 +42,17 @@ object Compiler {
       * @param doneSet (topic: string, offset: long) pairs already processed
       * @param baseOffsets next producer offset per output topic (missing
       *               topic = 0)
-      * @param pin    hook applied to intermediates the renumbering phase
-      *               re-evaluates (the routed input and each denorm join).
-      *               Default identity; a caller that will materialize the
-      *               result (Pipeline) passes `_.persist(...)` and
-      *               unpersists after, so the scan and joins run once
-      *               instead of once per renumber statistics job.
+      * @param pin    hook applied to the intermediates the plan reads from
+      *               more than one branch (the routed input; the fused
+      *               per-rule frame, whose three consumers are the
+      *               bucket-count aggregate, the renumber window, and the
+      *               done-row explode). Default identity: each branch
+      *               re-evaluates its lineage — measured FASTER at bench
+      *               scale, where a persist's cache-write cost exceeds the
+      *               extra narrow evaluations. A caller whose scan
+      *               dominates (Pipeline at lake scale) passes
+      *               `_.persist(...)` and unpersists after materializing,
+      *               so the input scan and joins run exactly once.
       */
     def run(input: DataFrame, doneSet: DataFrame, baseOffsets: Map[String, Long],
         pin: DataFrame => DataFrame = identity): DataFrame = {
@@ -74,8 +79,15 @@ object Compiler {
       }
       val routed = pin(undone.withColumn("_rule", ruleIdx))
 
-      // -- per rule: (data rows with out + original kafka, done rows)
-      val parts: Seq[(DataFrame, DataFrame)] = t.rules.zipWithIndex.map {
+      // -- per rule: ONE frame carrying the transformed record, the input
+      //    kafka meta (renumber order key), and the done-marker kafka
+      //    envelopes as an ARRAY (one entry for stateless, left+right for
+      //    denorm). Emitting data and done rows from one frame — done rows
+      //    explode out of `_donek` at the end — means every downstream
+      //    consumer (bucket-count aggregate, renumber window, done-row
+      //    branch) reads the SAME narrow frame, so a single pin covers all
+      //    of them and the scan + joins run once per materialization.
+      val parts: Seq[DataFrame] = t.rules.zipWithIndex.map {
         case (r, i) =>
           val matched = routed.filter(col("_rule") === i).drop("_rule")
           r.ruleType match {
@@ -83,15 +95,12 @@ object Compiler {
               val outAst = ZedExpr.parseOutAssign(r.zed)
               // `in` = the whole input record (ref: yield {in:this})
               val wrapped = matched.select(struct(matched.columns.toSeq.map(col): _*).as("in"))
-              val data = wrapped.select(
+              wrapped.select(
                 ZedExpr.toColumn(outAst, wrapped.schema).as("out"),
-                col("in.kafka").as("_inkafka"))
+                col("in.kafka").as("_inkafka"),
+                array(struct(col("in.kafka.topic").as("topic"),
+                  col("in.kafka.offset").as("offset"))).as("_donek"))
                 .withColumn("_outtopic", lit(r.out))
-              val doneRows = matched.select(
-                struct(col("kafka.topic").as("topic"),
-                  col("kafka.offset").as("offset")).as("kafka"))
-                .withColumn("_outtopic", lit(r.out))
-              (data, doneRows)
 
             case "denorm" =>
               val Array(lk, rk) = r.joinOn.split("=").map(_.trim)
@@ -100,85 +109,83 @@ object Compiler {
                 .select(struct(matched.columns.toSeq.map(col): _*).as("left"))
               val rrows = matched.filter(col("kafka.topic") === r.right)
                 .select(struct(matched.columns.toSeq.map(col): _*).as("right"))
-              val joined = pin(lrows.join(rrows, col(lk) === col(rk), "inner"))
-              val data = joined.select(
+              val joined = lrows.join(rrows, col(lk) === col(rk), "inner")
+              joined.select(
                 ZedExpr.toColumn(ZedExpr.parseOutAssign(r.zed), joined.schema).as("out"),
-                col("left.kafka").as("_inkafka"))
-                .withColumn("_outtopic", lit(r.out))
-              val doneRows = joined.select(
-                struct(col("left.kafka.topic").as("topic"),
-                  col("left.kafka.offset").as("offset")).as("kafka"))
-                .unionByName(joined.select(
+                col("left.kafka").as("_inkafka"),
+                array(
+                  struct(col("left.kafka.topic").as("topic"),
+                    col("left.kafka.offset").as("offset")),
                   struct(col("right.kafka.topic").as("topic"),
-                    col("right.kafka.offset").as("offset")).as("kafka")))
+                    col("right.kafka.offset").as("offset"))).as("_donek"))
                 .withColumn("_outtopic", lit(r.out))
-              (data, doneRows)
           }
       }
 
-      // -- fuse rule outputs (heterogeneous out shapes → widened schema)
-      val allData = parts.map(_._1).reduce(_.unionByName(_, allowMissingColumns = true))
-      val allDone = parts.map(_._2).reduce(_.unionByName(_))
+      // -- fuse rule outputs (heterogeneous out shapes → widened schema);
+      //    this fused frame is the one intermediate worth pinning
+      val allData = pin(parts.reduce(_.unionByName(_, allowMissingColumns = true)))
 
       // -- dense offset assignment per output topic, continuing from the
       //    pool high-water mark; ordered by original (offset, topic).
       //
-      // Two-phase distributed renumber (same shape as the prefix sum in
-      // ml/PackOps.scala): Window.partitionBy(_outtopic) alone constant-
-      // folds to a NO-PARTITION window when the program has one output
-      // topic — a single task numbering the whole batch. Instead, range-
-      // bucket rows by the input offset (bucket = pure integer function of
-      // the row, monotone in the order key, boundaries from one stats-only
-      // min/max job), run the row_number window per (_outtopic, _bkt) —
-      // all buckets in parallel — and add a driver-computed exclusive
-      // per-(topic, bucket) count base (topics × buckets rows, metadata
-      // scale). (offset, topic) is a unique total order per kafka
-      // envelope, so the numbering is deterministic across re-evaluations.
+      // Two-phase distributed renumber as ONE lazy Catalyst plan — no
+      // driver-side statistics jobs at all:
+      //  1. bucket = a pure MONOTONE function of the input offset
+      //     ([[graft.functions.OffsetBucketExpr]] octave scheme), so no
+      //     min/max job is needed to pick boundaries and the bucketing is
+      //     deterministic across re-evaluations;
+      //  2. per-(topic, bucket) exclusive bases come from a window over
+      //     the bucket-counts AGGREGATE (topics × buckets rows — metadata
+      //     scale, so one task per topic over that tiny frame is fine),
+      //     broadcast-joined back — O(1) per row and codegen-stable at
+      //     any bucket count, where a compiled when-chain would be
+      //     O(buckets) deep and blow Janino's 64 KB method cap at
+      //     cluster-scale shuffle-partition counts (2000+);
+      //  3. row_number windows per (_outtopic, _bkt) — all buckets in
+      //     parallel. (offset, topic) is a unique total order per kafka
+      //     envelope, so the numbering is deterministic.
+      // Zero collect/head: Program.run composes a plan; nothing executes
+      // until the caller materializes, and there is no driver sync point
+      // between the scan and the append at any scale.
       val baseExpr = baseOffsets.foldLeft(lit(0L)) { case (acc, (topic, base)) =>
         when(col("_outtopic") === topic, lit(base)).otherwise(acc)
       }
-      val stats = allData.agg(
-        min(col("_inkafka.offset")), max(col("_inkafka.offset"))).head()
+      val nb = allData.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      // ≥ 2·partitions sub-ranges per octave → the biggest bucket of a
+      // uniform offset range holds ≈ 1/(2·partitions) of the batch
+      val m = math.max(6, 32 - java.lang.Integer.numberOfLeadingZeros(math.max(nb - 1, 1)) + 1)
+      val withB = allData.withColumn("_bkt",
+        graft.functions.OffsetBucketExpr.offsetBucketNative(col("_inkafka.offset"), m))
+      val bases = withB.groupBy("_outtopic", "_bkt").count()
+        .withColumn("_bb_base",
+          coalesce(
+            sum(col("count")).over(
+              Window.partitionBy(col("_outtopic")).orderBy(col("_bkt").asc)
+                .rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select(col("_outtopic").as("_bb_topic"), col("_bkt").as("_bb_bkt"),
+          col("_bb_base"))
+      val w = Window.partitionBy(col("_outtopic"), col("_bkt"))
+        .orderBy(col("_inkafka.offset").asc, col("_inkafka.topic").asc)
       // `_outtopic` survives into the result so a multi-pool pipeline can
       // split rows (data AND done markers) by their destination pool; the
       // pipeline drops it before append.
-      val renumbered = (if (stats.isNullAt(0)) {
-        // empty batch: no window needed to number zero rows
-        allData.withColumn("_newoff", baseExpr)
-      } else {
-        val (lo, hi) = (stats.getLong(0), stats.getLong(1))
-        val nb = allData.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-        // integer bucket width, ceil(span / nb): (offset - lo) / width is
-        // monotone, lands in [0, nb-1], and never overflows (no multiply)
-        val span = hi - lo + 1L
-        val width = math.max(1L, span / nb + (if (span % nb == 0) 0L else 1L))
-        val bucket = ((col("_inkafka.offset") - lit(lo)) / lit(width)).cast("int")
-        val withB = allData.withColumn("_bkt", bucket)
-        val counts = withB.groupBy("_outtopic", "_bkt").count().collect()
-          .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
-        val bucketBase: Map[(String, Int), Long] = counts.keys.groupBy(_._1)
-          .flatMap { case (topic, keys) =>
-            val sorted = keys.toSeq.sortBy(_._2)
-            sorted.zip(sorted.scanLeft(0L)((acc, k) => acc + counts(k)))
-              .map { case (k, excl) => k -> excl }
-          }
-        val bucketBaseExpr = bucketBase.foldLeft(lit(0L)) {
-          case (acc, ((topic, b), base)) =>
-            when(col("_outtopic") === topic && col("_bkt") === b, lit(base))
-              .otherwise(acc)
-        }
-        val w = Window.partitionBy(col("_outtopic"), col("_bkt"))
-          .orderBy(col("_inkafka.offset").asc, col("_inkafka.topic").asc)
-        withB.withColumn("_newoff",
-          row_number().over(w).cast("long") - 1L + bucketBaseExpr + baseExpr)
-      }).select(
+      val renumbered = withB
+        .join(broadcast(bases), col("_outtopic") === col("_bb_topic") &&
+          col("_bkt") === col("_bb_bkt"), "left")
+        .withColumn("_newoff",
+          row_number().over(w).cast("long") - 1L +
+            coalesce(col("_bb_base"), lit(0L)) + baseExpr)
+        .drop("_bb_topic", "_bb_bkt", "_bb_base")
+        .select(
           col("out.*"),
           struct(col("_outtopic").as("topic"), col("_newoff").as("offset")).as("kafka"),
           lit(null).cast("string").as(TypeCol),
           col("_outtopic"))
 
-      val doneOut = allDone.select(
-        col("kafka"),
+      val doneOut = allData.select(
+        explode(col("_donek")).as("kafka"),
         lit(Done).as(TypeCol),
         col("_outtopic"))
 

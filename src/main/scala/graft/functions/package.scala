@@ -192,6 +192,14 @@ package object functions {
       if (((z ^ (z >>> 31)) & 1L) == 1L) 1.0 else -1.0
     }
 
+  /** Bucket id of `v` among sorted distinct `bounds` (= #bounds strictly
+    * below v) — a native binary search ([[SearchSortedExpr]]): O(log n) per
+    * row with fixed codegen size, where the composed indicator-sum is O(n)
+    * and falls out of whole-stage codegen at cluster-scale bucket counts.
+    */
+  def searchSorted(v: Column, bounds: Array[Double]): Column =
+    SearchSortedExpr.searchSortedNative(v, bounds)
+
   /** Partial-merge exact top-k: the k best (id, sim) pairs per group as an
     * array of structs, best-first by (sim desc, id asc). See
     * [[TopKPairsAgg]] — the map side reduces to one k-entry heap per group

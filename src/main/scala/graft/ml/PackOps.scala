@@ -41,9 +41,12 @@ object PackOps {
     val bounds =
       if (probes.isEmpty) Array.empty[Double]
       else df.stat.approxQuantile(orderCol, probes, 0.001).distinct.sorted
-    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col(orderCol) > b, 1).otherwise(0)
-    }
+    // bucket = #bounds strictly below the key — a BINARY SEARCH over the
+    // (constant, sorted) boundary array via a native expression, not a
+    // chain of per-bound indicator terms: the chain is O(buckets) work per
+    // row and its codegen size grows with the shuffle-partition count,
+    // falling out of whole-stage codegen at cluster scale (2000+).
+    val bucket = searchSorted(col(orderCol), bounds)
     val parted = df.withColumn("_bkt", bucket)
     // per-bucket running sum — parallel windows, one per key range
     val local = parted.withColumn("_local",
@@ -57,10 +60,15 @@ object PackOps {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val bases = totals.scanLeft((0, 0L)) { case ((_, acc), (p, t)) => (p, acc + t) }
       .sliding(2).collect { case Array((_, acc), (p, _)) => (p, acc) }.toMap
-    val baseExpr = bases.foldLeft(lit(0L)) { case (acc, (p, b)) =>
-      when(col("_bkt") === p, lit(b)).otherwise(acc)
-    }
-    local.withColumn("cum", col("_local") + baseExpr).drop("_bkt", "_local")
+    // per-bucket exclusive base joins in as a broadcast dimension (one row
+    // per bucket — metadata scale) rather than a nested when-chain, for the
+    // same codegen-stability reason as the bucket expression above.
+    import spark.implicits._
+    val baseDf = broadcast(bases.toSeq.toDF("_pb_bkt", "_pb_base"))
+    local
+      .join(baseDf, col("_bkt") === col("_pb_bkt"), "left")
+      .withColumn("cum", col("_local") + coalesce(col("_pb_base"), lit(0L)))
+      .drop("_bkt", "_local", "_pb_bkt", "_pb_base")
   }
 
   /** Concat-then-chunk packing: documents in `orderCol` order fill

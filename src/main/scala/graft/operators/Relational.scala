@@ -50,14 +50,20 @@ object Relational {
           // exact decimal domains (2-decimal price, 2-decimal discount):
           // summing as DECIMAL is exact — deterministic at ANY scale and
           // any partitioning — and rendered as BIGINT on both sides.
-          round(sum(col("l_extendedprice").cast("decimal(18,4)")
-            * (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))), 0)
+          // Tight casts with headroom, not decimal(18,4): (18,4)*(19,4)
+          // resolves to decimal(38,8) — exactly Spark's precision cap, one
+          // widening away from silent allowPrecisionLoss scale reduction.
+          // price needs 2 decimals and <10^10 integer digits → (12,2);
+          // discount is 0.00–0.99 → (4,2); the product lands at (18,4),
+          // the grouped sum at (28,4) — far below 38 at any group size.
+          round(sum(col("l_extendedprice").cast("decimal(12,2)")
+            * (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)"))), 0)
             .cast("long").as("revenue"),
           count(lit(1)).as("n")),
     Some("""SELECT l_returnflag, l_linestatus,
                    floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
-                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                        * (1 - CAST(l_discount AS DECIMAL(18,4)))), 0) AS BIGINT) AS revenue,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(4,2)))), 0) AS BIGINT) AS revenue,
                    count(*) AS n
             FROM lineitem GROUP BY 1, 2"""),
     headline = true)

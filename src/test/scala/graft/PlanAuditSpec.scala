@@ -147,6 +147,61 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("ETL renumber stays codegen-stable at cluster-scale shuffle partitions") {
+    // The per-(topic, bucket) offset base must arrive via a broadcast
+    // dimension join, NOT a compiled when-chain: a chain is O(buckets)
+    // deep and at cluster-scale partition counts (2000+) blows Janino's
+    // 64 KB method cap, knocking the renumber projection out of
+    // whole-stage codegen exactly when the batch is big enough to care.
+    // (The ETL gates checkpoint their result, so audit the raw program
+    // plan here, pre-checkpoint.)
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2000")
+    try {
+      val yaml =
+        """inputs:
+          |  - topic: purchase
+          |    pool: Raw
+          |output:
+          |  topic: Out
+          |  pool: Staging
+          |transforms:
+          |  - type: stateless
+          |    in: purchase
+          |    out: Out
+          |    zed: |
+          |      | out:={ key: in.key, value: { amount: in.value.v } }
+          |""".stripMargin
+      val program = graft.etl.Compiler.compile(graft.etl.Transform.fromYaml(yaml))
+      val input = spark.range(0, 100000).select(
+        struct(lit("purchase").as("topic"), col("id").as("offset")).as("kafka"),
+        struct(col("id").cast("string").as("user")).as("key"),
+        struct((col("id") % 1000).as("v")).as("value"))
+      val doneSet = spark.range(0).select(
+        lit("x").as("topic"), col("id").as("offset"))
+      val out = program.run(input, doneSet, Map("Out" -> 0L))
+      out.collect() // drive, so AQE finalizes the plan
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan.take(300))
+      assert(plan.contains("BroadcastHashJoin"),
+        s"bucket-base should broadcast-join, not compile into the projection\n${plan.take(2000)}")
+      // no O(buckets) expression anywhere: with 2000 buckets a when-chain
+      // or indicator-sum would print thousands of CASE WHEN terms
+      val caseWhens = "CASE WHEN".r.findAllIn(plan).size
+      assert(caseWhens < 50, s"found $caseWhens CASE WHEN terms — bucket-" +
+        "count-proportional expression crept back into the renumber")
+      // the renumber projection (row_number − 1 + broadcast bucket base;
+      // `_newoff` itself collapses into the kafka-struct build) must sit
+      // inside a whole-stage-codegen span
+      val renumLines = plan.linesIterator.filter(l =>
+        l.contains("coalesce(_bb_base") && l.contains("Project")).toSeq
+      assert(renumLines.nonEmpty, s"renumber projection missing from plan\n${plan.take(2000)}")
+      assert(renumLines.exists(_.contains("*(")),
+        s"renumber projection left whole-stage codegen:\n${renumLines.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("native per-row expressions run inside whole-stage codegen") {
     // CosineExpr has doGenCode: the projection evaluating it must carry a
     // codegen span marker (`*(n)`), not fall back to interpreted eval.

@@ -24,9 +24,13 @@ object CPutRacer {
       else new CommitPublisher.ConditionalPut
     val go = dir.resolve("go")
     Files.write(dir.resolve(s"ready-$id"), Array.emptyByteArray)
-    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    // Must be >= the parent's readiness window (180s on a loaded box): if
+    // the OTHER racer JVM is slow to start, this one idles here waiting for
+    // the go file — timing out earlier than the parent does would turn a
+    // slow start into a hard raceUntilContended failure.
+    val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
     while (!Files.exists(go)) {
-      if (System.nanoTime() > deadline) sys.error("no go file within 30s")
+      if (System.nanoTime() > deadline) sys.error("no go file within 180s")
       Thread.onSpinWait()
     }
     for (seq <- 0 until count) {
