@@ -47,8 +47,11 @@ final class Pipeline(spark: SparkSession, transform: Transform, root: String,
     transform.rules.map(_.out).distinct
       .map(t => t -> transform.poolForTopic(t)).toMap
 
+  // includes the declared primary even when no rule currently routes to it
+  // (a program whose rules all target secondary pools must still open the
+  // primary for done-set reads and cursor persistence, not crash)
   val outputPools: Map[String, Pool] =
-    topicPoolName.values.toSeq.distinct
+    (topicPoolName.values.toSeq :+ transform.output.pool).distinct
       .map(p => p -> Pool.create(spark, root, p, publisher = publisher)).toMap
 
   /** Primary output pool (single-output view). */

@@ -246,6 +246,43 @@ object MultimodalOps {
             JOIN full_stats f ON d.doc_id = f.doc_id
             JOIN rs r ON d.doc_id = r.doc_id"""))
 
+  // REAL resize gate: PNG payloads go through the full payload-level
+  // pipeline — decode, nearest-neighbor resample to a fixed 6x5 target,
+  // PNG re-encode — and the RESIZED payloads are then independently
+  // re-decoded; recovered dimensions and exact channel means must match a
+  // codec-free oracle that re-derives each sampled source pixel from the
+  // generator formula (x_src = x*w/6, y_src = y*h/5, integer floor). A
+  // resize off-by-one, a lossy re-encode, or a channel swap all
+  // hash-mismatch.
+  private val qMultimodalResize = GQuery(
+    "q_multimodal_resize",
+    (s, d) =>
+      decodeImageStats(resizeImages(imageAssets(s, d), 6, 5)).select(
+        col("asset_id"),
+        col("s.width").as("width"),
+        col("s.height").as("height"),
+        graft.functions.stableRound(col("s.mean_r"), 4).as("mean_r"),
+        graft.functions.stableRound(col("s.mean_g"), 4).as("mean_g"),
+        graft.functions.stableRound(col("s.mean_b"), 4).as("mean_b")),
+    Some("""WITH dims AS (
+              SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+              FROM documents
+            ),
+            px AS (
+              SELECT doc_id, ((p % 6) * w) // 6 AS x, ((p // 6) * h) // 5 AS y
+              FROM dims, (SELECT unnest(range(0, 30)) AS p)
+            )
+            SELECT doc_id AS asset_id,
+                   CAST(6 AS INT) AS width,
+                   CAST(5 AS INT) AS height,
+                   floor(avg((doc_id * 31 + 7 * x + 13 * y) % 256) * 10000 + 0.5)
+                     / 10000 AS mean_r,
+                   floor(avg((doc_id * 17 + 5 * x + 11 * y) % 256) * 10000 + 0.5)
+                     / 10000 AS mean_g,
+                   floor(avg((doc_id * 29 + 3 * x + 19 * y) % 256) * 10000 + 0.5)
+                     / 10000 AS mean_b
+            FROM px GROUP BY doc_id"""))
+
   // REAL audio gate: javax.sound.sampled-encoded WAVs are decoded back —
   // RIFF header parse (sample rate, channels), little-endian 16-bit PCM
   // unpack — and the recovered format + integer-exact sample statistics
@@ -281,14 +318,31 @@ object MultimodalOps {
                      / 10000 AS rms
             FROM smp GROUP BY doc_id"""))
 
-  /** STUB resize: strided byte sample down to `target` bytes — a real
-    * codec swaps in behind the same (payload → payload) signature. Keeps
-    * the resized payload executor-local like decode.
+  /** REAL image resize behind the (payload → payload) seam: ImageIO PNG
+    * decode → exact nearest-neighbor raster resample
+    * ([[ImageCodec.resizeNearest]]) → PNG re-encode. Runs executor-side
+    * like decode; the resized payload stays local and only stats rows
+    * flow downstream. Null/undecodable payloads return null (the caller's
+    * filter decides whether that is an error).
     */
-  def resizeStub(payload: Array[Byte], target: Int): Array[Byte] = {
-    // ??? <- real image resize goes here
-    if (payload == null || payload.length <= target) payload
-    else Array.tabulate(target)(i => payload(i * (payload.length / target)))
+  def resizeImage(payload: Array[Byte], dw: Int, dh: Int): Array[Byte] = {
+    if (payload == null) return null
+    val img = ImageCodec.decode(payload)
+    if (img == null) null
+    else ImageCodec.encodePng(ImageCodec.resizeNearest(img, dw, dh))
+  }
+
+  /** Distributed resize over an asset table: payload column replaced by
+    * the re-encoded resized PNG, n_bytes/content_id metadata refreshed.
+    * Pure per-row work — no shuffle of its own at any scale.
+    */
+  def resizeImages(assets: DataFrame, dw: Int, dh: Int): DataFrame = {
+    val rz = udf((p: Array[Byte]) => resizeImage(p, dw, dh))
+    assets
+      .withColumn("payload", rz(col("payload")))
+      .withColumn("meta", struct(
+        length(col("payload")).cast("long").as("n_bytes"),
+        substring(md5(col("payload")), 1, 8).as("content_id")))
   }
 
   /** Frame sampling: split a media payload into `n` contiguous frames,
@@ -364,6 +418,6 @@ object MultimodalOps {
             FROM dims, (SELECT unnest(range(0, 7)) AS i) WHERE i < nf"""))
 
   val queries: Seq[GQuery] =
-    Seq(qMultimodalMeta, qMultimodalDecode, qMultimodalFrames,
-      qMultimodalAudio, qMultimodalVideo)
+    Seq(qMultimodalMeta, qMultimodalDecode, qMultimodalResize,
+      qMultimodalFrames, qMultimodalAudio, qMultimodalVideo)
 }

@@ -16,29 +16,37 @@ object StreamQueries {
     "q_stream_window",
     (s, d) => {
       val raw = events(s, d)
+      // value has an exact 2-decimal domain and windows GROW with sf, so
+      // the per-window sum runs as DECIMAL — exact at any accumulation
+      // order/partitioning (the q_agg sf100 lesson) — and converts to
+      // double once at the end.
       val ev = raw.select(eventTime(raw, "ts").as("ts"),
-        col("event_type"), col("value"))
+        col("event_type"), col("value").cast("decimal(18,2)").as("value"))
       WindowOps.windowedCounts(ev, "1 hour", "1 hour")
         .select(unix_micros(col("window_start")).as("ws"),
           col("event_type"), col("n"),
-          stableRound(col("total"), 2).as("total"))
+          stableRound(col("total").cast("double"), 2).as("total"))
     },
     Some("""SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS ws,
                    event_type, count(*) AS n,
-                   floor(sum(value) * 100 + 0.5) / 100 AS total
+                   floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                         * 100 + 0.5) / 100 AS total
             FROM events GROUP BY 1, 2"""))
 
   private val qSessionWindow = GQuery(
     "q_session_window",
     (s, d) => {
       val raw = events(s, d)
+      // DECIMAL session totals for the same reason as q_stream_window:
+      // a hot user's session grows with sf, and exact-domain money sums
+      // must not depend on accumulation order.
       val ev = raw.select(eventTime(raw, "ts").as("ts"),
-        col("user_id"), col("value"))
+        col("user_id"), col("value").cast("decimal(18,2)").as("value"))
       WindowOps.sessionWindows(ev, "30 minutes")
         .select(col("user_id"),
           unix_micros(col("session_start")).as("ss"),
           unix_micros(col("session_end")).as("se"),
-          col("n"), stableRound(col("total"), 2).as("total"))
+          col("n"), stableRound(col("total").cast("double"), 2).as("total"))
     },
     Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
                  gaps AS (SELECT *, CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
@@ -49,7 +57,9 @@ object StreamQueries {
                           FROM gaps)
             SELECT user_id, epoch_us(min(ts)) AS ss,
                    epoch_us(max(ts) + INTERVAL 30 MINUTE) AS se,
-                   count(*) AS n, floor(sum(value) * 100 + 0.5) / 100 AS total
+                   count(*) AS n,
+                   floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                         * 100 + 0.5) / 100 AS total
             FROM sess GROUP BY user_id, sid"""),
     headline = true)
 

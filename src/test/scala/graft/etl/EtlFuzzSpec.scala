@@ -666,6 +666,93 @@ class EtlFuzzSpec extends AnyFunSuite {
     assert(cursorRuns > 0, "the cursor path was never exercised")
   }
 
+  test("50 random programs with 2-pool outputs: per-pool two-phase == union, re-run emits nothing") {
+    // CursorSpec pins the multi-pool split with hand cases; this fuzzes
+    // it: the SAME generated programs as the cursor fuzz, lifted so out
+    // topic o1 routes to a SECOND pool off the one shared input scan.
+    // Invariants per case: (a) each pool's contents after two incremental
+    // runs equal the one-union-run contents as multisets; (b) each out
+    // topic's dense offsets stay 0..n-1 within its own pool; (c) a third
+    // run over the fully-processed input emits ZERO rows — the
+    // union-of-done-sets anti-join across pools, which would break if a
+    // done marker landed in (or were read from) the wrong pool.
+    import org.apache.spark.sql.functions.col
+    var bothPools = 0
+    for (caseNo <- 0 until 50) {
+      val seed = Seed(9000L + caseNo)
+      val (rows, _) = genRows(seed)
+      val prog = genProgram(seed.next)
+      // generated rules all route to o0; appended per-topic CATCH-ALL
+      // rules sweep every unmatched row to o1 — so both pools populate
+      // whenever the generated predicates match some-but-not-all rows
+      // (first-match routing starves later random rules otherwise). This
+      // test compares the same transform against itself, so remapping
+      // outputs is sound.
+      val transform = prog.transform.copy(
+        outputs = Seq(TopicPool("o0", "stagepool"), TopicPool("o1", "stagepool2")),
+        rules = prog.transform.rules.map(_.copy(out = "o0")) ++
+          topics.map(t => Rule("stateless", "", t, "", "", "", "o1",
+            "out := { id: in.key.id, amount: in.value.amount }")))
+      val label = s"multipool case $caseNo"
+      val contiguous = caseNo % 2 == 0
+      val (b1, b2) = rows.partition { r =>
+        val off = r("kafka").asInstanceOf[RowMap]("offset").asInstanceOf[Long]
+        if (contiguous) off < 20 else off >= 20
+      }
+
+      def canonPool(df: DataFrame): Seq[String] =
+        if (df.columns.isEmpty) Seq.empty
+        else df.collect().toSeq.map { r =>
+          val isData = r.getAs[String]("_type") == null
+          r.schema.fieldNames.sorted.toList.map {
+            case "kafka" =>
+              val k = r.getAs[Row]("kafka")
+              "kafka" -> (k.getAs[String]("topic"),
+                if (isData) -1L else k.getAs[Long]("offset"))
+            case n => n -> canonSpark(r.getAs[Any](n))
+          }.toString
+        }.sorted
+
+      def runPhases(phases: Seq[Seq[RowMap]]): Map[String, Seq[String]] = {
+        val root = java.nio.file.Files.createTempDirectory("etl-fuzz-mp").toString
+        val raw = graft.lake.Pool.create(spark, root, "rawpool")
+        graft.lake.Pool.create(spark, root, "stagepool")
+        graft.lake.Pool.create(spark, root, "stagepool2")
+        phases.filter(_.nonEmpty).foreach { batch =>
+          raw.append(toSparkRows(batch))
+          new Pipeline(spark, transform, root).run()
+        }
+        // the union-of-done-sets anti-join: everything is marked done in
+        // its own pool, so one more run must plan and emit NOTHING
+        val extra = new Pipeline(spark, transform, root).run()
+        assert(extra == 0L, s"$label: re-run emitted $extra rows, expected 0")
+        Seq("stagepool", "stagepool2").map { pn =>
+          val out = graft.lake.Pool.open(spark, root, pn).read()
+          if (!out.columns.isEmpty) {
+            out.filter(col("_type").isNull)
+              .select(col("kafka.topic"), col("kafka.offset")).collect()
+              .groupBy(_.getString(0)).foreach { case (t, rs) =>
+                val offs = rs.map(_.getLong(1)).sorted.toSeq
+                assert(offs == (0L until offs.length.toLong),
+                  s"$label: $t offsets not dense in $pn: $offs")
+              }
+          }
+          pn -> canonPool(out)
+        }.toMap
+      }
+
+      val incremental = runPhases(Seq(b1, b2))
+      val union = runPhases(Seq(b1 ++ b2))
+      Seq("stagepool", "stagepool2").foreach { pn =>
+        assert(incremental(pn) == union(pn),
+          s"$label pool $pn (contiguous=$contiguous):\n inc=${incremental(pn).take(4)}\n uni=${union(pn).take(4)}")
+      }
+      if (union("stagepool").nonEmpty && union("stagepool2").nonEmpty) bothPools += 1
+    }
+    info(s"50 two-pool programs green; $bothPools cases populated both pools")
+    assert(bothPools >= 10, s"only $bothPools cases routed rows to both pools")
+  }
+
   test("DuckDB authority dump: 50 programs rendered to SQL + parquet") {
     // Dumps case_NNN/{input,done,spark_out}.parquet + oracle.sql under
     // target/etl-fuzz-duckdb; tools/check_etl_fuzz_duckdb.py runs each

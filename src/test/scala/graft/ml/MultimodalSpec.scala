@@ -9,14 +9,19 @@ class MultimodalSpec extends AnyFunSuite {
   lazy val spark = GraftSession.local(4)
   val dir = "/root/testdata/sf0.001"
 
-  test("resize stub: deterministic strided sample to target size") {
-    val payload = (0 until 100).map(_.toByte).toArray
-    val r = MultimodalOps.resizeStub(payload, 10)
-    assert(r.length == 10)
-    assert(r.toSeq == (0 until 100 by 10).map(_.toByte))
-    // already-small payloads pass through untouched
-    assert(MultimodalOps.resizeStub(payload, 200) eq payload)
-    assert(MultimodalOps.resizeStub(null, 10) == null)
+  test("real resize: payload round trip is pixel-exact nearest-neighbor") {
+    val src = ImageCodec.syntheticImage(42L, 11, 9)
+    val resized = MultimodalOps.resizeImage(ImageCodec.encodePng(src), 6, 5)
+    val img = ImageCodec.decode(resized)
+    assert(img.getWidth == 6 && img.getHeight == 5)
+    // every output pixel equals the floor-sampled source pixel
+    for (y <- 0 until 5; x <- 0 until 6)
+      assert((img.getRGB(x, y) & 0xffffff) ==
+        (src.getRGB(x * 11 / 6, y * 9 / 5) & 0xffffff),
+        s"pixel ($x,$y) diverged from nearest-neighbor sample")
+    // null and non-image payloads degrade to null, not an exception
+    assert(MultimodalOps.resizeImage(null, 4, 4) == null)
+    assert(MultimodalOps.resizeImage("not a png".getBytes, 4, 4) == null)
   }
 
   test("frames partition the payload exactly (no byte lost or duplicated)") {
