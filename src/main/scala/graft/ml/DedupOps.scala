@@ -311,10 +311,21 @@ object DedupOps {
       val docs = documents(s, d).withColumn("fp",
         md5(array_join(array_sort(array_distinct(tokens(col("text")))), " ")))
       val isHist = col("source").rlike("^src[0-9]$")
+      // Size the filter from the table's row count (a parquet-footer
+      // metadata aggregate — no data scan) so bits-per-item stays ~9.6 at
+      // ANY scale: the original fixed 1M-item sizing saturated at sf100
+      // (2.5M-fingerprint history → measured FPR above the 2% bound — the
+      // sf100 rung's scale catch this round). The count is an UPPER bound
+      // on history cardinality, so the FPR bound only tightens. Capped at
+      // 2^31 bits (256 MB, still a broadcastable plan constant); beyond
+      // ~200M history items a real pipeline shards the filter by key
+      // range instead of growing one monolith.
+      val histUpper = math.max(1000000L, documents(s, d).count())
+      val numBits = math.min(Int.MaxValue.toLong, (histUpper * 9.6).toLong)
       val bloomAgg = Bridge.column(new BloomFilterAggregate(
         Bridge.expression(xxhash64(col("fp"))),
-        Bridge.expression(lit(1000000L)),
-        Bridge.expression(lit(9600000L))).toAggregateExpression())
+        Bridge.expression(lit(histUpper)),
+        Bridge.expression(lit(numBits))).toAggregateExpression())
       // might_contain requires its filter as a constant or scalar subquery
       // (the same node Spark's runtime-filter rewrite injects): the agg
       // runs once and its ~1.2 MB result broadcasts with the plan
