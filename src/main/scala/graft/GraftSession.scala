@@ -30,6 +30,18 @@ object GraftSession {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // BloomFilterAggregate SILENTLY clamps its numItems/numBits args to
+      // these confs (Math.min against SQLConf — defaults 4M items / 67M
+      // bits): a history-sized dedup filter would stop growing past ~7M
+      // items with no error and saturate (FPR blows the bound) at the next
+      // scale rung. Raise the ceilings to graft's real per-filter cap
+      // (2^31 bits = 256 MB, ~220M items at 9.6 bits/item); DedupOps
+      // asserts its sizing stays below the session's values so an
+      // oversized request fails loudly instead of clamping.
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+        (400L * 1000 * 1000).toString)
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+        Int.MaxValue.toString)
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       // Local test data is ONE parquet file per table; at the default
       // 128 MiB split size a 50 MiB documents table scans as a single
@@ -56,6 +68,10 @@ object GraftSession {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+      (400L * 1000 * 1000).toString)
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+      Int.MaxValue.toString)
     GraftExtensions.install(spark)
     spark
   }

@@ -4,7 +4,7 @@ import graft.GQuery
 import graft.functions._
 import graft.functions.stableRound
 import graft.sources.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
@@ -302,12 +302,80 @@ object DedupOps {
   // exact-derivable fields (batch size, true-dup count) hash-match the
   // DuckDB oracle while the bloom-behavior fields must come out as the
   // oracle's literals: zero false negatives, measured FPR under 2%.
+  /** History → `shards` Bloom filters partitioned by `pmod(hash, shards)`,
+    * packed into ONE struct-valued scalar subquery — a single history scan
+    * and a single aggregate (each shard's BloomFilterAggregate sees only
+    * its slice via a null-out `when`; aggregates skip nulls). The probe
+    * routes to its shard with the same modulus through the
+    * `GetStructField(<scalar subquery>, i)` form `might_contain` accepts
+    * alongside constants and bare subqueries. `shards == 1` degenerates to
+    * the old monolith bit-for-bit. This is the "shard by key range past
+    * the 2^31-bit cap" path: total capacity becomes shards × 256 MB while
+    * each filter stays a broadcastable plan constant.
+    *
+    * Returns the probe constructor: given the probe-side hash column,
+    * yields the boolean might-contain column.
+    */
+  private[ml] def shardedBloomFilter(hist: DataFrame, histHash: Column,
+      itemsPerShard: Long, bitsPerShard: Long, shards: Int): Column => Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, GetStructField}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    require(shards >= 1 && bitsPerShard <= Int.MaxValue.toLong,
+      s"bloom shard sizing out of range: shards=$shards bits=$bitsPerShard")
+    val aggs = (0 until shards).map { i =>
+      val slice = if (shards == 1) histHash
+        else when(pmod(histHash, lit(shards.toLong)) === i, histHash)
+      Bridge.column(new BloomFilterAggregate(
+        Bridge.expression(slice),
+        Bridge.expression(lit(itemsPerShard)),
+        Bridge.expression(lit(bitsPerShard))).toAggregateExpression()).as(s"bf$i")
+    }
+    // one subquery instance reused across probe branches: same exprId, so
+    // the plan executes the aggregation once and broadcasts the struct
+    val sub = Bridge.expression(Bridge.scalarSubquery(hist.agg(struct(aggs: _*).as("bfs"))))
+    (probeHash: Column) => {
+      def mc(i: Int): Column = Bridge.column(BloomFilterMightContain(
+        GetStructField(sub, i, Some(s"bf$i")), Bridge.expression(probeHash)))
+      if (shards == 1) mc(0)
+      else (1 until shards).foldLeft(
+        when(pmod(probeHash, lit(shards.toLong)) === 0, mc(0))) {
+        (acc, i) => acc.when(pmod(probeHash, lit(shards.toLong)) === i, mc(i))
+      }
+    }
+  }
+
+  /** Filter sizing from the session's Bloom clamps: Spark SILENTLY
+    * Math.min's BloomFilterAggregate's args against
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits`
+    * (defaults 4M/67M) — past that a filter stops growing with no error
+    * and saturates. GraftSession raises the ceilings to 400M items /
+    * 2^31 bits; this asserts the computed sizing is under the LIVE
+    * session's values so an unraised session fails loudly instead of
+    * shipping a saturating filter.
+    */
+  private[ml] def bloomSizing(s: SparkSession, histUpper: Long,
+      bitsPerItem: Double = 9.6): (Long, Long, Int) = {
+    val maxItems = s.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = s.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val capBits = math.min(Int.MaxValue.toLong, maxBits)
+    val totalBits = (histUpper * bitsPerItem).toLong
+    val shards = math.max(1L, (totalBits + capBits - 1) / capBits).toInt
+    val itemsPerShard = (histUpper + shards - 1) / shards
+    val bitsPerShard = math.min(capBits, (itemsPerShard * bitsPerItem).toLong)
+    require(itemsPerShard <= maxItems && bitsPerShard <= maxBits,
+      s"bloom sizing (items=$itemsPerShard, bits=$bitsPerShard per shard × $shards) " +
+        s"exceeds session clamps (maxNumItems=$maxItems, maxNumBits=$maxBits): " +
+        "Spark would clamp SILENTLY and the filter would saturate — raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.* (GraftSession sets both)")
+    (itemsPerShard, bitsPerShard, shards)
+  }
+
   private val qDedupBloom = GQuery(
     "q_dedup_bloom",
     (s, d) => {
-      import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
-      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-      import org.apache.spark.sql.graftbridge.Bridge
       val docs = documents(s, d).withColumn("fp",
         md5(array_join(array_sort(array_distinct(tokens(col("text")))), " ")))
       val isHist = col("source").rlike("^src[0-9]$")
@@ -315,26 +383,18 @@ object DedupOps {
       // metadata aggregate — no data scan) so bits-per-item stays ~9.6 at
       // ANY scale: the original fixed 1M-item sizing saturated at sf100
       // (2.5M-fingerprint history → measured FPR above the 2% bound — the
-      // sf100 rung's scale catch this round). The count is an UPPER bound
-      // on history cardinality, so the FPR bound only tightens. Capped at
-      // 2^31 bits (256 MB, still a broadcastable plan constant); beyond
-      // ~200M history items a real pipeline shards the filter by key
-      // range instead of growing one monolith.
+      // sf100 rung's scale catch that round). The count is an UPPER bound
+      // on history cardinality, so the FPR bound only tightens. Past the
+      // per-filter 2^31-bit (256 MB) cap the sizing SHARDS the filter by
+      // hash range (`shardedBloomFilter`) instead of growing one monolith;
+      // at every tested sf shards == 1 and the plan is the old monolith.
       val histUpper = math.max(1000000L, documents(s, d).count())
-      val numBits = math.min(Int.MaxValue.toLong, (histUpper * 9.6).toLong)
-      val bloomAgg = Bridge.column(new BloomFilterAggregate(
-        Bridge.expression(xxhash64(col("fp"))),
-        Bridge.expression(lit(histUpper)),
-        Bridge.expression(lit(numBits))).toAggregateExpression())
-      // might_contain requires its filter as a constant or scalar subquery
-      // (the same node Spark's runtime-filter rewrite injects): the agg
-      // runs once and its ~1.2 MB result broadcasts with the plan
-      val bloom = Bridge.scalarSubquery(docs.filter(isHist).agg(bloomAgg.as("bf")))
+      val (itemsPerShard, bitsPerShard, shards) = bloomSizing(s, histUpper)
+      val probe = shardedBloomFilter(
+        docs.filter(isHist), xxhash64(col("fp")), itemsPerShard, bitsPerShard, shards)
       val histSet = docs.filter(isHist).select("fp").distinct()
       val probed = docs.filter(!isHist)
-        .withColumn("flagged", Bridge.column(BloomFilterMightContain(
-          Bridge.expression(bloom),
-          Bridge.expression(xxhash64(col("fp"))))))
+        .withColumn("flagged", probe(xxhash64(col("fp"))))
         .join(broadcast(histSet.withColumn("_h", lit(true))), Seq("fp"), "left")
         .withColumn("isdup", col("_h").isNotNull)
       probed.agg(

@@ -210,4 +210,41 @@ class DedupSpec extends AnyFunSuite {
     val total = out.agg(sum("n_copies")).head().getLong(0)
     assert(total == Tables.documents(spark, dir).count())
   }
+
+  test("sharded bloom filter == monolith verdicts at a forced-small bit cap") {
+    val gate = graft.Registry.byName("q_dedup_bloom")
+    val maxBitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val maxItemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val savedBits = spark.conf.get(maxBitsKey)
+    val savedItems = spark.conf.get(maxItemsKey)
+    try {
+      // monolith: GraftSession ceilings, 1M-item floor → 9.6M bits, 1 shard
+      val mono = gate.run(spark, dir).head()
+      // force sharding: cap 3M bits → ceil(9.6M/3M) = 4 shards of 250k
+      // items / 2.4M bits. The gate row's fields are all deterministic
+      // under any correctly-sized filter (exact counts, false_neg = 0 by
+      // Bloom construction, fpr_ok from a 2% bound) so the rows must match.
+      spark.conf.set(maxBitsKey, "3000000")
+      val sharded = gate.run(spark, dir).head()
+      assert(sharded == mono, s"sharded=$sharded mono=$mono")
+      // direct shard-routing check: every history hash must be flagged
+      // (false negatives are impossible per shard, and routing must send
+      // each probe to the shard that absorbed it)
+      val docs = Tables.documents(spark, dir).withColumn("fp",
+        md5(array_join(array_sort(array_distinct(tokens(col("text")))), " ")))
+      val probe = DedupOps.shardedBloomFilter(
+        docs, xxhash64(col("fp")), itemsPerShard = 300, bitsPerShard = 4096, shards = 4)
+      val misses = docs.withColumn("hit", probe(xxhash64(col("fp"))))
+        .filter(!col("hit")).count()
+      assert(misses == 0, s"$misses self-probe misses across shards")
+      // oversizing the session's clamps fails LOUDLY (Spark alone would
+      // silently Math.min the args and ship a saturating filter)
+      spark.conf.set(maxItemsKey, "200000")
+      val e = intercept[IllegalArgumentException] { gate.run(spark, dir) }
+      assert(e.getMessage.contains("maxNumItems"), e.getMessage)
+    } finally {
+      spark.conf.set(maxBitsKey, savedBits)
+      spark.conf.set(maxItemsKey, savedItems)
+    }
+  }
 }
