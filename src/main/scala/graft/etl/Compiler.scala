@@ -53,9 +53,21 @@ object Compiler {
       *               dominates (Pipeline at lake scale) passes
       *               `_.persist(...)` and unpersists after materializing,
       *               so the input scan and joins run exactly once.
+      * @param anchor driver-known lower bound of the batch's input offsets
+      *               (Pipeline passes the min of its per-topic contiguity
+      *               bases — already computed for cursor pruning, no extra
+      *               job). Subtracted before octave bucketing: the octave
+      *               scheme spreads keys whose SPAN is proportional to
+      *               their MAGNITUDE, so a steady-state incremental batch
+      *               with offsets in a narrow high range (say
+      *               [1e9, 1e9+1e5]) would land in 1-2 buckets and
+      *               renumber on a single task; a constant shift restores
+      *               near-zero-based spread while preserving monotonicity
+      *               (hence renumber order) and determinism. Never affects
+      *               RESULTS — only the parallelism of the renumber window.
       */
     def run(input: DataFrame, doneSet: DataFrame, baseOffsets: Map[String, Long],
-        pin: DataFrame => DataFrame = identity): DataFrame = {
+        pin: DataFrame => DataFrame = identity, anchor: Long = 0L): DataFrame = {
       val t = transform
       val inputTopics = t.inputs.map(_.topic)
       val schema = input.schema
@@ -153,10 +165,16 @@ object Compiler {
       }
       val nb = allData.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
       // ≥ 2·partitions sub-ranges per octave → the biggest bucket of a
-      // uniform offset range holds ≈ 1/(2·partitions) of the batch
-      val m = math.max(6, 32 - java.lang.Integer.numberOfLeadingZeros(math.max(nb - 1, 1)) + 1)
+      // uniform offset range holds ≈ 1/(2·partitions) of the batch.
+      // Capped at 25: OffsetBucketExpr's Int bucket id overflows past that
+      // (needs > 2^24 shuffle partitions to matter — see its require).
+      val m = math.min(25,
+        math.max(6, 32 - java.lang.Integer.numberOfLeadingZeros(math.max(nb - 1, 1)) + 1))
+      // max(anchor, 0) guards a caller passing a sentinel; offsets are
+      // non-negative by kafka contract so the shifted key stays ≥ 0
       val withB = allData.withColumn("_bkt",
-        graft.functions.OffsetBucketExpr.offsetBucketNative(col("_inkafka.offset"), m))
+        graft.functions.OffsetBucketExpr.offsetBucketNative(
+          col("_inkafka.offset") - lit(math.max(anchor, 0L)), m))
       val bases = withB.groupBy("_outtopic", "_bkt").count()
         .withColumn("_bb_base",
           coalesce(

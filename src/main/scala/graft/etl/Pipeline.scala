@@ -188,17 +188,23 @@ final class Pipeline(spark: SparkSession, transform: Transform, root: String,
       .flatMap(_.nextProducerOffsets())
       .groupMapReduce(_._1)(_._2)(math.max)
 
-    // pin: the renumber phase's statistics jobs (offset min/max, bucket
-    // counts) re-evaluate the routed input and denorm joins; persisting
-    // them here runs the scan and joins once, and the finally below
-    // releases them with the result.
+    // pin: the fused frame is read by multiple plan branches (the renumber
+    // window, the bucket-count aggregate, the done-row explode) during the
+    // single materialization below; persisting it (and the routed input)
+    // runs the scan and joins once instead of once per branch, and the
+    // finally below releases them with the result.
     val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val pin: DataFrame => DataFrame = { df =>
       val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       pinned += p
       p
     }
-    val result = program.run(prunedIn, prunedDone, bases, pin).cache()
+    // bucketing anchor: the smallest offset any surviving input row can
+    // carry (per topic, rows are > cursor = contBase − 1, or ≥ input min)
+    // — keeps the octave renumber buckets near-zero-based on incremental
+    // runs whose offsets sit in a narrow high range (steady state)
+    val anchor = if (contBases.nonEmpty) contBases.values.min else 0L
+    val result = program.run(prunedIn, prunedDone, bases, pin, anchor).cache()
     try {
       val n = result.count()
       if (n > 0) {

@@ -27,7 +27,12 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   */
 case class OffsetBucketExpr(child: Expression, m: Int) extends UnaryExpression {
 
-  require(m >= 1 && m <= 30, s"octave bits out of range: $m")
+  // Upper bound 25 keeps the Int bucket id overflow-free: a non-negative
+  // long key has bitLength ≤ 63, so t ≤ 63−m and bucket < (t+1)·2^m ≤
+  // (64−m)·2^m, which fits Int iff m ≤ 25 ((64−25)·2^25 ≈ 1.31e9 < 2^31;
+  // m=26 gives 38·2^26 ≈ 2.55e9 — silent negative buckets that would
+  // break the documented monotonicity).
+  require(m >= 1 && m <= 25, s"octave bits out of range: $m")
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "offset_bucket"

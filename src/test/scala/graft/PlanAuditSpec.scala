@@ -202,6 +202,54 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("ETL renumber stays parallel on narrow high-offset incremental batches") {
+    // The octave bucket scheme spreads keys whose span is proportional to
+    // their magnitude: a steady-state incremental batch whose offsets sit
+    // in a narrow HIGH range (cursor-pruned, e.g. [1e9, 1e9+1e5)) lands in
+    // 1-2 buckets — the renumber window would run on a single task.
+    // Pipeline passes its contiguity-base min as an anchor; a constant
+    // shift restores near-zero-based spread and cannot change results.
+    import org.apache.spark.sql.functions._
+    import graft.functions.OffsetBucketExpr.offsetBucketNative
+    val base = 1000000000L
+    val n = 100000L
+    val unanchored = spark.range(base, base + n)
+      .select(offsetBucketNative(col("id"), 7).as("b"))
+      .distinct().count()
+    assert(unanchored <= 2, s"expected bucket collapse unanchored, got $unanchored")
+    val anchored = spark.range(base, base + n)
+      .select(offsetBucketNative(col("id") - base, 7).as("b"))
+      .distinct().count()
+    assert(anchored >= 64, s"anchored spread too narrow: $anchored buckets")
+
+    // end-to-end: anchor affects only parallelism, never the assignment
+    val yaml =
+      """inputs:
+        |  - topic: purchase
+        |    pool: Raw
+        |output:
+        |  topic: Out
+        |  pool: Staging
+        |transforms:
+        |  - type: stateless
+        |    in: purchase
+        |    out: Out
+        |    zed: |
+        |      | out:={ key: in.key, value: { amount: in.value.v } }
+        |""".stripMargin
+    val program = graft.etl.Compiler.compile(graft.etl.Transform.fromYaml(yaml))
+    val input = spark.range(base, base + 5000).select(
+      struct(lit("purchase").as("topic"), col("id").as("offset")).as("kafka"),
+      struct(col("id").cast("string").as("user")).as("key"),
+      struct((col("id") % 1000).as("v")).as("value"))
+    val doneSet = spark.range(0).select(lit("x").as("topic"), col("id").as("offset"))
+    def rows(anchor: Long) =
+      program.run(input, doneSet, Map("Out" -> 7L), identity, anchor)
+        .orderBy(col("kafka.offset"), col("_type"))
+        .collect().map(_.toString).toSeq
+    assert(rows(base) == rows(0L))
+  }
+
   test("native per-row expressions run inside whole-stage codegen") {
     // CosineExpr has doGenCode: the projection evaluating it must carry a
     // codegen span marker (`*(n)`), not fall back to interpreted eval.
