@@ -238,7 +238,7 @@ object AnnOps {
         org.apache.spark.sql.types.StructField("cell",
           org.apache.spark.sql.types.IntegerType),
         org.apache.spark.sql.types.StructField("cent", vType))))
-    for (_ <- 0 until iters) {
+    for (it <- 0 until iters) {
       val assigned = corpus
         .join(broadcast(cents))
         .select(col("vec_id"), col("v"), col("cell"),
@@ -251,6 +251,12 @@ object AnnOps {
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           p => p.getField("m")).as("cent"))
+      // Cut the lineage every few rounds (the ClusterOps discipline):
+      // without it each iteration's plan nests the previous one's, so a
+      // caller passing trainIters=20 re-derives a 20-deep plan per action
+      // and analysis cost grows quadratically. The frame is k rows —
+      // checkpoint cost is trivial; eager so the cut actually happens here.
+      if ((it + 1) % 3 == 0 && it + 1 < iters) cents = cents.localCheckpoint(true)
     }
     cents
   }

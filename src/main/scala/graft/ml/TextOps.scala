@@ -189,17 +189,21 @@ object TextOps {
   // Vocabulary with document frequency + idf — the wordcount shape:
   // explode is map-side, the groupBy partial-aggregates before the one
   // shuffle on word, top-k under a total order (df desc, word) so the cut
-  // is deterministic.
+  // is deterministic. The idf's corpus total rides IN the plan as a 1-row
+  // broadcast stats frame (the q_bm25 pattern) instead of a separate
+  // driver count() job — one job per run, no extra scan.
   private val qVocab = GQuery(
     "q_vocab",
     (s, d) => {
       val docs = documents(s, d)
-      val total = docs.count().toDouble
+      val totalRow = docs.agg(count(lit(1)).cast("double").as("_total"))
       docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
         .groupBy("word")
         .agg(countDistinct("doc_id").cast("long").as("df"),
           count(lit(1)).as("tf"))
-        .withColumn("idf", stableRound(log(lit(total) / col("df")), 4))
+        .crossJoin(broadcast(totalRow))
+        .withColumn("idf", stableRound(log(col("_total") / col("df")), 4))
+        .drop("_total")
         .orderBy(col("df").desc, col("word").asc)
         .limit(50)
     },

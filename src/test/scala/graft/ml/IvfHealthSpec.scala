@@ -190,4 +190,18 @@ class IvfHealthSpec extends AnyFunSuite {
     assert(exact.recommendation == sampled.recommendation)
     corpus.unpersist()
   }
+
+  test("deep k-means training stays caller-proof (lineage checkpointed)") {
+    // Each Lloyd's round nests the previous round's plan; without the
+    // periodic localCheckpoint a trainIters=20 caller re-derives a
+    // 20-deep plan per action (quadratic analysis cost, driver OOM at
+    // width). The checkpoint every 3 rounds bounds the final plan to the
+    // last ≤3 rounds' lineage regardless of iters.
+    val corpus = baseCorpus.limit(200).persist()
+    val cents = AnnOps.kmeansCells(corpus, k = 4, iters = 20)
+    val planLines = cents.queryExecution.optimizedPlan.numberedTreeString.linesIterator.size
+    assert(planLines < 120, s"k-means plan not checkpointed: $planLines lines")
+    assert(cents.count() == 4)
+    corpus.unpersist()
+  }
 }
