@@ -86,12 +86,10 @@ private[ml] object SimhashOracle {
 
   private val pows = (0 until 64).map(j => s"($j, ${BigInt(1) << j}::HUGEINT)").mkString(", ")
 
-  /** q_dedup_simhash oracle: per-doc bit votes → 64-bit signature →
-    * 4×16-bit block candidates → hamming ≤ maxHamming. Mirrors
-    * [[DedupOps.simhashPairs]] stage for stage.
+  /** Per-doc bit votes → 64-bit signature: the `sg(doc_id, usig, sig)`
+    * CTE chain shared by the pair oracle and the signature-stage oracle.
     */
-  def sql(maxHamming: Int): String = s"""
-    WITH $tokenHashCtes,
+  private val sigCtes = s"""$tokenHashCtes,
       pw(j, p) AS (VALUES $pows),
       votes AS (SELECT dt.doc_id, pw.j,
           sum(CASE WHEN (th.uh // pw.p) % 2 = 1 THEN 1 ELSE -1 END) AS v
@@ -100,7 +98,26 @@ private[ml] object SimhashOracle {
       sg AS (SELECT doc_id, usig,
           (CASE WHEN usig >= 9223372036854775808 THEN usig - $M ELSE usig END)::BIGINT AS sig
         FROM (SELECT doc_id, sum(CASE WHEN v > 0 THEN p ELSE 0::HUGEINT END) AS usig
-              FROM votes JOIN pw USING (j) GROUP BY doc_id)),
+              FROM votes JOIN pw USING (j) GROUP BY doc_id))"""
+
+  /** Signature-stage oracle: `(doc_id, sig)` per document. Row-per-doc, so
+    * a doc_id-modulus chunk over a filtered `documents` view is an exact
+    * partition of the full check — unlike [[sql]]'s pair output, where a
+    * row depends on TWO docs and modulus slices are invalid (the r10 sf100
+    * campaign's methodological dead end). Big-sf verification runs this
+    * chunked, then re-derives the pairs from the verified signatures with
+    * cheap BIGINT ops (tools/check_simhash_sf100_v2.py stage B).
+    */
+  def sigSql: String = s"""
+    WITH $sigCtes
+    SELECT doc_id, sig FROM sg"""
+
+  /** q_dedup_simhash oracle: per-doc bit votes → 64-bit signature →
+    * 4×16-bit block candidates → hamming ≤ maxHamming. Mirrors
+    * [[DedupOps.simhashPairs]] stage for stage.
+    */
+  def sql(maxHamming: Int): String = s"""
+    WITH $sigCtes,
       ch AS (SELECT doc_id, sig, blk, ((usig // CASE blk WHEN 0 THEN 1 WHEN 1 THEN 65536
             WHEN 2 THEN 4294967296 ELSE 281474976710656 END) % 65536)::BIGINT AS chunk
         FROM sg CROSS JOIN (SELECT unnest([0,1,2,3]) AS blk)),
