@@ -24,6 +24,9 @@ object AnnBatchCheck {
     val (sfDir, slice) = args match {
       case Array(s) => (s, None)
       case Array(s, n, k) => (s, Some((n.toInt, k.toInt)))
+      case _ =>
+        System.err.println("usage: AnnBatchCheck <sfDir> [nchunks chunk]")
+        sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()

@@ -321,7 +321,11 @@ object DedupOps {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, GetStructField}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.Bridge
-    require(shards >= 1 && bitsPerShard <= Int.MaxValue.toLong,
+    // shards <= 64 bounds the probe's when-chain depth below the Janino
+    // codegen-depth hazard documented for when-chains (Compiler.scala); at
+    // ~224M items/shard that is ~14B history fingerprints — past it, shard
+    // by an outer key split, not more branches.
+    require(shards >= 1 && shards <= 64 && bitsPerShard <= Int.MaxValue.toLong,
       s"bloom shard sizing out of range: shards=$shards bits=$bitsPerShard")
     val aggs = (0 until shards).map { i =>
       val slice = if (shards == 1) histHash
