@@ -37,9 +37,10 @@ object Bench {
     * time would otherwise pull the median (and the headline total) BELOW
     * a healthy rung's, making a broken query read as a fast one.
     */
-  private def runSuite(spark: SparkSession, sfDir: String,
-      runs: Int): (Seq[(String, Option[Double])], Seq[Double], Set[String]) = {
+  private def runSuite(spark: SparkSession, sfDir: String, runs: Int,
+      only: Option[Set[String]] = None): (Seq[(String, Option[Double])], Seq[Double], Set[String]) = {
     val headline = Registry.all.filter(_.headline)
+      .filter(q => only.forall(_.contains(q.name)))
     headline.foreach(q => try q.run(spark, sfDir).count()
       catch { case _: Throwable => () })
     val failed = scala.collection.mutable.Set[String]()
@@ -75,11 +76,103 @@ object Bench {
     f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"spread":$spread,"errors":$errs}"""
   }
 
+  /** Family partition for `-families` mode — the run_sf100.sh lesson
+    * applied to the bench: at data-bound rungs one marathon JVM measures
+    * its own accumulated heap/spill state, not the queries; a fresh JVM
+    * per family reclaims shuffle spill and old-gen at process exit. Any
+    * headline query not listed lands in a trailing `other` family so a
+    * new headline gate can't be silently dropped from the total.
+    */
+  private val families: Seq[(String, Seq[String])] = Seq(
+    "scanagg" -> Seq("q_scan_filter", "q_agg", "q_window_day"),
+    "join" -> Seq("q_inner_join", "q_anti_join"),
+    "text" -> Seq("q_tokens", "q_dedup_exact"),
+    "minhash" -> Seq("q_dedup_minhash"),
+    "simhash" -> Seq("q_dedup_simhash"),
+    "ann" -> Seq("q_ann_topk", "q_ann_lsh"),
+    "etl" -> Seq("q_etl_stateless", "q_etl_denorm", "q_session_window"))
+
+  /** Fork one fresh JVM per family (same classpath, the parent's
+    * --add-opens/-D flags, heap from GRAFT_BENCH_FAMILY_MEM or the
+    * parent's -Xmx); each child runs the standard median-of-n suite
+    * restricted to its family and reports `BENCHQ`/`BENCHSPREAD`/
+    * `BENCHERR` lines on stdout. The parent sums family medians into the
+    * same one-line JSON contract; the reported spread is the sum of
+    * per-family min/max totals (families run sequentially, so the sums
+    * bound any single sequential pass).
+    */
+  private def runFamilies(sfDir: String, runs: Int): Unit = {
+    import scala.jdk.CollectionConverters._
+    val headline = Registry.all.filter(_.headline).map(_.name)
+    val listed = families.flatMap(_._2).toSet
+    val missing = headline.filterNot(listed)
+    require(listed.subsetOf(headline.toSet),
+      s"families list stale gates: ${listed.diff(headline.toSet)}")
+    val plan = if (missing.isEmpty) families else families :+ ("other" -> missing)
+    val jvm = java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
+    val passthrough = jvm.zipWithIndex.flatMap { case (a, i) =>
+      if (a == "--add-opens" || a == "--add-exports") Seq(a, jvm(i + 1))
+      else if (a.startsWith("--add-opens=") || a.startsWith("-D")) Seq(a)
+      else Nil
+    }
+    val mem = sys.env.getOrElse("GRAFT_BENCH_FAMILY_MEM",
+      jvm.find(_.startsWith("-Xmx")).map(_.stripPrefix("-Xmx")).getOrElse("8g"))
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val results = plan.map { case (fam, qs) =>
+      val cmd = Seq(javaBin, s"-Xmx$mem") ++ passthrough ++ Seq(
+        "-cp", System.getProperty("java.class.path"),
+        "graft.Bench", "-family", qs.mkString(","))
+      System.err.println(s"[bench] family $fam: ${qs.mkString(",")} (fresh JVM, -Xmx$mem)")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      val out = scala.io.Source.fromInputStream(p.getInputStream).getLines().toVector
+      val rc = p.waitFor()
+      if (rc != 0) System.err.println(s"[bench] family $fam exited rc=$rc")
+      val perQ = qs.map { q =>
+        q -> out.collectFirst { case l if l.startsWith(s"BENCHQ $q ") =>
+          l.split(" ")(2) }.filter(_ != "null").map(_.toDouble)
+      }
+      val spread = out.collectFirst { case l if l.startsWith("BENCHSPREAD ") =>
+        val Array(_, mn, mx) = l.split(" "); (mn.toDouble, mx.toDouble) }
+      val errs = out.collect { case l if l.startsWith("BENCHERR ") => l.stripPrefix("BENCHERR ") }
+      // a child that died before reporting marks its whole family failed
+      val dead = if (rc != 0 || spread.isEmpty) qs.filterNot(errs.contains).filter(
+        q => perQ.find(_._1 == q).exists(_._2.isEmpty)) else Nil
+      (perQ, spread.getOrElse((0.0, 0.0)), errs ++ dead)
+    }
+    val perQuery = results.flatMap(_._1)
+    val spreads = results.map(_._2)
+    val failed = results.flatMap(_._3).toSet
+    println(jsonLine(perQuery, Seq(spreads.map(_._1).sum, spreads.map(_._2).sum),
+      sfDir, runs, failed))
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("GRAFT_BENCH_RUNS", "5").toInt.max(1)
+
+    if (args.contains("-families")) {
+      runFamilies(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"), runs)
+      return
+    }
+
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    if (args.contains("-family")) {
+      // child mode for -families: machine lines on stdout, no JSON
+      val names = args(args.indexOf("-family") + 1).split(",").toSet
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val (perQuery, totals, failed) = runSuite(spark, sfDir, runs, Some(names))
+      perQuery.foreach { case (k, v) =>
+        println(s"BENCHQ $k ${v.map(x => f"$x%.3f").getOrElse("null")}") }
+      println(f"BENCHSPREAD ${totals.min}%.3f ${totals.max}%.3f")
+      failed.toSeq.sorted.foreach(f => println(s"BENCHERR $f"))
+      spark.stop()
+      return
+    }
 
     if (args.contains("-ladder")) {
       // every rung present: driver-written sf dirs + locally generated ones
