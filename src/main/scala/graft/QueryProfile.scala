@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+
+/** Stage-level profiler for a single registry gate (dev tool, like
+  * AnnBatchCheck): runs the gate `runs` times after one warm-up and
+  * prints, per timed run, the wall time plus every completed stage's
+  * duration, task count, and first call-site line — the data the Spark
+  * UI would show, captured headlessly so scale runs can attribute a
+  * gate's cost to its scan / shuffle / window stages.
+  *
+  * usage: QueryProfile <gateName> [sfDir] [runs]
+  */
+object QueryProfile {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse {
+      System.err.println("usage: QueryProfile <gateName> [sfDir] [runs]"); sys.exit(2)
+    }
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val runs = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val q = Registry.all.find(_.name == name).getOrElse {
+      System.err.println(s"unknown gate $name"); sys.exit(2)
+    }
+
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long, Int)]()
+    @volatile var jobs = 0
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        val si = s.stageInfo
+        val ms = (for (a <- si.submissionTime; b <- si.completionTime) yield b - a).getOrElse(-1L)
+        stages.add((si.stageId, si.name.linesIterator.next(), ms, si.numTasks))
+      }
+    })
+
+    q.run(spark, sfDir).count() // warm-up: JIT, codegen, parquet footers
+    for (r <- 1 to runs) {
+      stages.clear(); jobs = 0
+      val t0 = System.nanoTime()
+      val n = q.run(spark, sfDir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // listener bus is async; let it drain before reporting
+      println(f"== run $r: $name $sec%.3f s ($n rows, $jobs jobs)")
+      import scala.jdk.CollectionConverters._
+      stages.asScala.toSeq.sortBy(-_._3).foreach { case (id, nm, ms, tasks) =>
+        println(f"   stage $id%4d $ms%6d ms $tasks%4d tasks  $nm")
+      }
+    }
+    spark.stop()
+  }
+}
