@@ -83,7 +83,7 @@ object Bench {
     * headline query not listed lands in a trailing `other` family so a
     * new headline gate can't be silently dropped from the total.
     */
-  private val families: Seq[(String, Seq[String])] = Seq(
+  private[graft] val families: Seq[(String, Seq[String])] = Seq(
     "scanagg" -> Seq("q_scan_filter", "q_agg", "q_window_day"),
     "join" -> Seq("q_inner_join", "q_anti_join"),
     "text" -> Seq("q_tokens", "q_dedup_exact"),
