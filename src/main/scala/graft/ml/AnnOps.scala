@@ -342,6 +342,81 @@ object AnnOps {
     },
     Some(recallOracle(0.65, None)))
 
+  // ---- IVF+PQ combined: the big-ANN index layout, as one plan -----------
+  // The disk-backed index (ml.IvfPq / IvfPqIndex.search) is spec-tested;
+  // this gate runs the SAME two-stage search — coarse-cell probe → ADC
+  // shortlist over probed cells only → exact cosine re-rank — as a single
+  // Catalyst plan with a pinned recall floor, so the combined path has a
+  // CORRECTNESS row like its IVF-only (q_ann_ivf) and PQ-only (q_ann_pq)
+  // siblings. Per the q_ann_pq lesson both quantizers train on
+  // unit-normalized vectors (L2² = 2·(1−cos), same ordering); the re-rank
+  // stays raw. The shortlist is a fraction of the PROBED-cell population
+  // (nprobe/cells of the corpus), not the whole corpus — the cost shape
+  // that makes IVF+PQ the billions-of-vectors layout.
+  /** The in-plan IVF+PQ search the gate (and AnnRecallProbe) runs: both
+    * quantizers trained on unit-normalized vectors, probe, ADC shortlist
+    * restricted to probed cells, exact raw-vector re-rank. Returns the
+    * usual (q_id, n_id, sim, rk) top-k frame.
+    */
+  private[ml] def ivfPqTopK(all: DataFrame, qs: DataFrame, k: Int,
+      nprobe: Int = 3, cells: Int = 10): DataFrame = {
+    val allN = all.select(col("vec_id"), l2normalize(col("v")).as("v"))
+    val qsN = qs.select(col("vec_id"), l2normalize(col("v")).as("v"))
+    val cents = kmeansCells(allN, cells, 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = assignCells(allN, cents) // vec_id, v, cell
+    val book = Pq.train(allN, m = 8, k = 16, iters = 2)
+    val codes = Pq.encode(allN, book)
+      .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    // probe: nprobe nearest cells per query against the broadcast
+    // centroids; one row per query carrying its (normalized) vector and
+    // probed-cell list
+    val probeW = Window.partitionBy("q_id").orderBy(col("csim").desc, col("cell").asc)
+    val probed = qsN.select(col("vec_id").as("q_id"), col("v"))
+      .join(broadcast(cents))
+      .select(col("q_id"), col("v"), col("cell"),
+        cosine(col("v"), col("cent")).as("csim"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .groupBy("q_id").agg(first("v").as("v"), collect_list("cell").as("cells"))
+    // ADC shortlist over probed cells only: a code row scores against a
+    // query iff its cell is in that query's probe set (the in-plan form
+    // of the disk index's partition pruning)
+    val shortlist = math.max(50L, all.count() * nprobe / cells / 10L).toInt
+    val qDf = Pq.queryTables(book, probed.select(col("q_id").as("vec_id"), col("v")))
+      .join(probed.select(col("q_id"), col("cells")), Seq("q_id"))
+    val shortW = Window.partitionBy("q_id").orderBy(col("d2").asc, col("n_id").asc)
+    val cand = codes.select(col("vec_id").as("n_id"), col("codes"), col("cell"))
+      .join(broadcast(qDf), array_contains(col("cells"), col("cell")) &&
+        col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), Pq.adcDist.as("d2"))
+      .withColumn("rk", row_number().over(shortW))
+      .filter(col("rk") <= shortlist)
+      .select("q_id", "n_id")
+    // exact re-rank of the shortlist on the raw vectors
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+    cand
+      .join(broadcast(qs.select(col("vec_id").as("q_id"), col("v").as("qv"))), Seq("q_id"))
+      .join(all.select(col("vec_id").as("n_id"), col("v").as("nv")), Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        stableRound(cosine(col("qv"), col("nv")), 4).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("sim"), col("rk").cast("long").as("rk"))
+  }
+
+  private val qAnnIvfPq = GQuery(
+    "q_ann_ivfpq",
+    (s, d) => {
+      val all = corpus(s, d).select(col("vec_id"), col("v"))
+      val qs = all.filter(col("vec_id") < 20)
+      // floor 0.50 under the observed 0.61–0.79 avg band (sf0.001/0.01/
+      // 0.1/1: .67/.73/.61/.79, AnnRecallProbe) — fails only on a real
+      // regression, same margin discipline as the IVF/PQ siblings
+      recallSummary(recallVsExact(all, qs, 5, ivfPqTopK(all, qs, 5)), 0.50, None)
+    },
+    Some(recallOracle(0.50, None)))
+
   // ---- vector utilities as oracled gates --------------------------------
   // Per-row array math (norms, unit-normalization): identical sequential
   // fold order on both engines, so values agree to well under the 1e-4
@@ -477,6 +552,6 @@ object AnnOps {
             FROM r WHERE rk = 1"""))
 
   val queries: Seq[GQuery] =
-    Seq(qAnnTopK, qAnnBatch, qAnnLsh, qAnnIvf, qAnnPq, qEmbedNorm, qMeanPool,
-      qCentroidAssign)
+    Seq(qAnnTopK, qAnnBatch, qAnnLsh, qAnnIvf, qAnnPq, qAnnIvfPq, qEmbedNorm,
+      qMeanPool, qCentroidAssign)
 }
