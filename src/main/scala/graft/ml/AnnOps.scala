@@ -405,6 +405,85 @@ object AnnOps {
       .select(col("q_id"), col("n_id"), col("sim"), col("rk").cast("long").as("rk"))
   }
 
+  // ---- SQ8 scalar quantization: the bandwidth tier ----------------------
+  // Per-dimension affine uint8 codes (the FAISS SQ8 layout): train is one
+  // min/max pass reduced to a single broadcastable stats row; encode is an
+  // in-row transform. The 100 TB story is I/O: the persisted codes table
+  // is 1 byte/dim vs 8 for float64 — the shortlist pass scans 8× less —
+  // while 8-bit quantization error is small enough that a corpus-fraction
+  // shortlist + exact re-rank recovers near-exact recall (vs PQ's lossier
+  // sub-quantizers, which trade more recall for 1 byte per SUBSPACE).
+
+  /** Train: per-dimension [min,max] over the corpus, reduced to ONE row of
+    * (mins, maxs) arrays — metadata-scale, broadcastable like a codebook.
+    */
+  private[ml] def sqStats(corpus: DataFrame): DataFrame =
+    corpus.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+      .groupBy()
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+          p => p.getField("mn")).as("mins"),
+        transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+          p => p.getField("mx")).as("maxs"))
+
+  /** Encode: half-up affine uint8 code per dimension; a degenerate
+    * dimension (max == min) codes to 0 and decodes back to its min.
+    */
+  private[ml] def sqEncode(corpus: DataFrame, stats: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        transform(col("v"), (x, i) => {
+          val mn = element_at(col("mins"), i + 1)
+          val mx = element_at(col("maxs"), i + 1)
+          when(mx > mn, floor((x - mn) / (mx - mn) * 255.0 + 0.5))
+            .otherwise(0.0).cast("int")
+        }).as("codes"))
+
+  /** SQ8 search: shortlist by cosine of the DEQUANTIZED codes against the
+    * raw query (deterministic — codes and stats are exact functions of the
+    * corpus), then the usual exact re-rank of the shortlist on raw
+    * vectors. Shortlist scales as a corpus fraction, per the q_ann_pq
+    * rationale.
+    */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val stats = sqStats(corpus)
+    val codes = sqEncode(corpus, stats)
+    val shortlist = math.max(50L, corpus.count() / 10L).toInt
+    val deq = transform(col("codes"), (c, i) => {
+      val mn = element_at(col("mins"), i + 1)
+      val mx = element_at(col("maxs"), i + 1)
+      mn + c * (mx - mn) / 255.0
+    })
+    val shortW = Window.partitionBy("q_id").orderBy(col("asim").desc, col("n_id").asc)
+    val cand = codes.crossJoin(broadcast(stats))
+      .join(broadcast(queries.select(col("vec_id").as("q_id"), col("v").as("qv"))),
+        col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        stableRound(cosine(deq, col("qv")), 4).as("asim"))
+      .withColumn("rk", row_number().over(shortW))
+      .filter(col("rk") <= shortlist)
+      .select("q_id", "n_id")
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+    cand
+      .join(broadcast(queries.select(col("vec_id").as("q_id"), col("v").as("qv"))), Seq("q_id"))
+      .join(corpus.select(col("vec_id").as("n_id"), col("v").as("nv")), Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        stableRound(cosine(col("qv"), col("nv")), 4).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("sim"), col("rk").cast("long").as("rk"))
+  }
+
+  private val qAnnSq = GQuery(
+    "q_ann_sq",
+    (s, d) => {
+      val all = corpus(s, d).select(col("vec_id"), col("v"))
+      val qs = all.filter(col("vec_id") < 20)
+      recallSummary(recallVsExact(all, qs, 5, sqTopK(all, qs, 5)), 0.85, None)
+    },
+    Some(recallOracle(0.85, None)))
+
   private val qAnnIvfPq = GQuery(
     "q_ann_ivfpq",
     (s, d) => {
@@ -552,6 +631,6 @@ object AnnOps {
             FROM r WHERE rk = 1"""))
 
   val queries: Seq[GQuery] =
-    Seq(qAnnTopK, qAnnBatch, qAnnLsh, qAnnIvf, qAnnPq, qAnnIvfPq, qEmbedNorm,
-      qMeanPool, qCentroidAssign)
+    Seq(qAnnTopK, qAnnBatch, qAnnLsh, qAnnIvf, qAnnPq, qAnnIvfPq, qAnnSq,
+      qEmbedNorm, qMeanPool, qCentroidAssign)
 }
