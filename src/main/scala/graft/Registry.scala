@@ -25,6 +25,7 @@ object Registry {
       graft.operators.AsofJoin.queries ++
       graft.operators.RangeJoin.queries ++
       graft.ml.TextOps.queries ++
+      graft.ml.CleanOps.queries ++
       graft.ml.DedupOps.queries ++
       graft.ml.ClusterOps.queries ++
       graft.ml.PackOps.queries ++

@@ -1,0 +1,236 @@
+package graft.ml
+
+import graft.GQuery
+import graft.functions.NfcNormalizeExpr.nfcNative
+import graft.sources.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-cleaning operators for the ingestion edge of a training-data
+  * pipeline: cross-document line deduplication (the CCNet/RefinedWeb
+  * boilerplate pass), HTML stripping, URL/domain extraction with a
+  * blocklist, and Unicode NFC canonicalization. The scan-side pieces are
+  * pure codegen'd expression chains; the one genuinely distributed op
+  * (line dedup) is an aggregate + anti-join shaped so the shuffled rows
+  * are 8-byte hashes, not text.
+  *
+  * The synthetic corpus is clean single-line text, so — exactly like
+  * q_redact — each gate plants the dirt it cleans as a pure function of
+  * (doc_id, source), rebuilt identically in the DuckDB oracle, and
+  * asserts the full pipeline end to end.
+  */
+object CleanOps {
+
+  // ---- cross-document line dedup -----------------------------------------
+  // Remove every line that appears in >= minDf distinct documents (CCNet's
+  // paragraph-hash dedup: navigation chrome, cookie banners, footers
+  // repeat across a crawl; body text doesn't). Plan shape at 100 TB:
+  //   1. explode lines, hash each to 8 bytes (xxhash64) — map-side only;
+  //   2. groupBy hash with countDistinct(doc) — partial aggregation means
+  //      a boilerplate line repeated 1e9 times ships one row per input
+  //      partition, not 1e9 rows, so heavy-hitter skew never reaches the
+  //      shuffle;
+  //   3. the df >= minDf survivors form the BOILERPLATE CATALOG — small by
+  //      construction (it's the set of distinct repeated lines), so the
+  //      left_anti join against it is AQE-broadcastable; unique lines
+  //      never ship anywhere;
+  //   4. regroup kept lines per doc (one shuffle on doc_id, the same key
+  //      the scan is usually already bucketed by) and reassemble in
+  //      original order via array_sort over (idx, line) structs.
+  // Hashing trades an astronomically small false-drop probability (64-bit
+  // collision between a unique line and a boilerplate line) for never
+  // shuffling line text; the exact variant groups the string itself.
+  def lineDedup(lines: DataFrame, minDf: Long): DataFrame = {
+    val withH = lines.withColumn("h", xxhash64(col("line")))
+    val boiler = withH.groupBy("h")
+      .agg(countDistinct("doc_id").as("line_df"))
+      .filter(col("line_df") >= minDf)
+      .select("h")
+    withH.join(boiler, Seq("h"), "left_anti")
+  }
+
+  private val qLineDedup = GQuery(
+    "q_line_dedup",
+    (s, d) => {
+      val docs = documents(s, d)
+      // three lines per doc: body text (may repeat — the corpus has exact
+      // dups), a per-source footer (repeats across the source's docs), a
+      // per-doc note (never repeats)
+      val synth = concat_ws("\n",
+        col("text"),
+        concat(lit("subscribe to "), col("source"), lit(" newsletter")),
+        concat(lit("unique note "), col("doc_id")))
+      val lines = docs
+        .select(col("doc_id"), posexplode(split(synth, "\n")).as(Seq("idx", "line")))
+      val kept = lineDedup(lines, minDf = 2L)
+      val rebuilt = kept.groupBy("doc_id")
+        .agg(
+          concat_ws("\n",
+            transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+              x => x.getField("line"))).as("clean_text"),
+          count(lit(1)).as("n_kept"))
+      docs.select("doc_id").join(rebuilt, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (lit(3L) - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+    },
+    Some("""WITH src AS (
+              SELECT doc_id,
+                     string_split(text || chr(10) ||
+                                  'subscribe to ' || source || ' newsletter' || chr(10) ||
+                                  'unique note ' || doc_id, chr(10)) AS ls
+              FROM documents),
+            lines AS (
+              SELECT doc_id, generate_subscripts(ls, 1) AS idx, unnest(ls) AS line
+              FROM src),
+            boiler AS (
+              SELECT line FROM lines GROUP BY line
+              HAVING count(DISTINCT doc_id) >= 2),
+            kept AS (
+              SELECT l.doc_id, l.idx, l.line FROM lines l
+              WHERE l.line NOT IN (SELECT line FROM boiler)),
+            reb AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(reb.clean_text, '') AS clean_text,
+                   CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(3 - coalesce(reb.n_kept, 0) AS BIGINT) AS n_dropped
+            FROM documents d LEFT JOIN reb USING (doc_id)"""))
+
+  // ---- HTML boilerplate stripping ----------------------------------------
+  // Strip script/style blocks, then tags, then unescape the core entities
+  // (lt/gt first, amp LAST so '&amp;lt;' can't double-unescape), then
+  // collapse whitespace. Pure regexp_replace chain — scan-speed inside
+  // WholeStageCodegen at 100 TB, no shuffle.
+  def stripHtml(c: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(c, lit("<script[^>]*>.*?</script>"), lit("")),
+      lit("<style[^>]*>.*?</style>"), lit(""))
+    val noTags = regexp_replace(noBlocks, lit("<[^>]+>"), lit(" "))
+    val unesc = regexp_replace(
+      regexp_replace(
+        regexp_replace(noTags, lit("&lt;"), lit("<")),
+        lit("&gt;"), lit(">")),
+      lit("&amp;"), lit("&"))
+    trim(regexp_replace(unesc, lit("\\s+"), lit(" ")))
+  }
+
+  private val qHtmlStrip = GQuery(
+    "q_html_strip",
+    (s, d) => {
+      val synth = concat(
+        lit("<html><head><style>p{color:red}</style></head><body><h1>Doc "),
+        col("doc_id"),
+        lit("</h1><p>"), col("text"),
+        lit(" &amp; more &lt;tags&gt;</p><script>var x=1;</script></body></html>"))
+      documents(s, d).select(
+        col("doc_id"),
+        stripHtml(synth).as("stripped"),
+        size(regexp_extract_all(synth, lit("<[^>]+>"), lit(0))).cast("long")
+          .as("n_tags"))
+    },
+    Some("""SELECT doc_id,
+                   trim(regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(
+                               regexp_replace(synth, '<script[^>]*>.*?</script>', '', 'g'),
+                               '<style[^>]*>.*?</style>', '', 'g'),
+                             '<[^>]+>', ' ', 'g'),
+                           '&lt;', '<', 'g'),
+                         '&gt;', '>', 'g'),
+                       '&amp;', '&', 'g'),
+                     '\s+', ' ', 'g')) AS stripped,
+                   CAST(len(regexp_extract_all(synth, '<[^>]+>')) AS BIGINT) AS n_tags
+            FROM (SELECT doc_id,
+                         '<html><head><style>p{color:red}</style></head><body><h1>Doc ' ||
+                         doc_id || '</h1><p>' || text ||
+                         ' &amp; more &lt;tags&gt;</p><script>var x=1;</script></body></html>'
+                           AS synth
+                  FROM documents)"""))
+
+  // ---- URL/domain extraction + blocklist ---------------------------------
+  // Host via Spark's native parse_url, registered domain as the last two
+  // labels, per-domain doc counts with a blocklist flag — the shape of
+  // crawl-level domain filtering. One partial-aggregated shuffle on a key
+  // whose cardinality is the number of registered domains (~1e7 for the
+  // full web), trivially fine at 100 TB.
+  private val blockedDomains = Seq("spamco.com", "spamco.org", "spamco.net")
+
+  private val qUrlDomain = GQuery(
+    "q_url_domain",
+    (s, d) => {
+      val sub = element_at(array(lit("www"), lit("api"), lit("cdn")),
+        (col("doc_id") % 3 + 1).cast("int"))
+      val name = element_at(array(lit("alpha"), lit("beta"), lit("gamma"), lit("spamco")),
+        (col("doc_id") % 4 + 1).cast("int"))
+      val tld = element_at(array(lit("com"), lit("org"), lit("net")),
+        (col("doc_id") % 5 % 3 + 1).cast("int"))
+      val url = concat(lit("https://"), sub, lit("."), name, lit("."), tld,
+        lit("/p/"), col("doc_id"), lit("?ref=1"))
+      documents(s, d)
+        .select(col("doc_id"), parse_url(url, lit("HOST")).as("host"))
+        .select(col("doc_id"),
+          substring_index(col("host"), ".", -2).as("domain"),
+          substring_index(col("host"), ".", -1).as("tld"))
+        .groupBy("domain", "tld")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("blocked", col("domain").isin(blockedDomains: _*))
+    },
+    Some(s"""WITH u AS (
+              SELECT doc_id,
+                     'https://' ||
+                     (['www','api','cdn'])[CAST(doc_id % 3 + 1 AS INT)] || '.' ||
+                     (['alpha','beta','gamma','spamco'])[CAST(doc_id % 4 + 1 AS INT)] || '.' ||
+                     (['com','org','net'])[CAST(doc_id % 5 % 3 + 1 AS INT)] ||
+                     '/p/' || doc_id || '?ref=1' AS url
+              FROM documents),
+            h AS (
+              SELECT doc_id, regexp_extract(url, 'https?://([^/]+)', 1) AS host
+              FROM u),
+            dom AS (
+              SELECT doc_id,
+                     regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain,
+                     regexp_extract(host, '([^.]+)$$', 1) AS tld
+              FROM h)
+            SELECT domain, tld, count(*) AS n_docs,
+                   domain IN (${blockedDomains.map("'" + _ + "'").mkString(", ")}) AS blocked
+            FROM dom GROUP BY domain, tld"""))
+
+  // ---- Unicode NFC canonicalization --------------------------------------
+  // Mixed normalization forms silently fragment every downstream equality
+  // (exact-dup hashes, line-dedup joins, vocab lookups). nfcNative is a
+  // native codegen expression with an isNormalized fast path — pure ASCII
+  // (most of a web corpus) returns the input UTF8String untouched. The
+  // gate plants NFD sequences (combining acute/tilde/ring) and checks the
+  // canonicalized string plus the codepoint-count contraction against
+  // DuckDB's nfc_normalize.
+  private val qUnicodeNorm = GQuery(
+    "q_unicode_norm",
+    (s, d) => {
+      val synth = concat(col("text"),
+        lit(" cafe\u0301 nin\u0303o A\u030A"))
+      documents(s, d).select(
+        col("doc_id"),
+        nfcNative(synth).as("norm"),
+        length(synth).cast("long").as("len_nfd"),
+        length(nfcNative(synth)).cast("long").as("len_nfc"))
+    },
+    Some("""SELECT doc_id,
+                   nfc_normalize(synth) AS norm,
+                   CAST(length(synth) AS BIGINT) AS len_nfd,
+                   CAST(length(nfc_normalize(synth)) AS BIGINT) AS len_nfc
+            FROM (SELECT doc_id,
+                         text || ' cafe' || chr(769) || ' nin' || chr(771) ||
+                         'o A' || chr(778) AS synth
+                  FROM documents)"""))
+
+  val queries: Seq[GQuery] =
+    Seq(qLineDedup, qHtmlStrip, qUrlDomain, qUnicodeNorm)
+}

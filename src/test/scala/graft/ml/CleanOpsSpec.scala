@@ -1,0 +1,88 @@
+package graft.ml
+
+import graft.GraftSession
+import graft.functions.NfcNormalizeExpr.nfcNative
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics pins for the corpus-cleaning operators: line dedup keeps
+  * unique lines in order and drops cross-document boilerplate, HTML strip
+  * handles blocks/entities/whitespace, NFC normalization matches
+  * java.text.Normalizer on both execution paths with the no-op fast path
+  * preserving ASCII bytes.
+  */
+class CleanOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(8)
+
+  test("lineDedup drops lines shared across docs, keeps unique ones in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq("alpha body one", "shared footer", "tail one")),
+      (2L, Seq("beta body two", "shared footer", "tail two")),
+      (3L, Seq("gamma body three", "tail three"))).toDF("doc_id", "ls")
+    val lines = docs.select(col("doc_id"),
+      posexplode(col("ls")).as(Seq("idx", "line")))
+    val kept = CleanOps.lineDedup(lines, minDf = 2L)
+      .groupBy("doc_id")
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+          x => x.getField("line"))).as("clean"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept(1L) == "alpha body one\ntail one")
+    assert(kept(2L) == "beta body two\ntail two")
+    assert(kept(3L) == "gamma body three\ntail three")
+  }
+
+  test("lineDedup with minDf=2 keeps a line that repeats WITHIN one doc") {
+    import spark.implicits._
+    // df counts DISTINCT docs: an intra-doc repeat is not boilerplate
+    val lines = Seq((1L, 0, "la"), (1L, 1, "la"), (1L, 2, "end"))
+      .toDF("doc_id", "idx", "line")
+    assert(CleanOps.lineDedup(lines, minDf = 2L).count() == 3)
+  }
+
+  test("stripHtml removes blocks and tags, unescapes entities, collapses ws") {
+    import spark.implicits._
+    val in = Seq(
+      "<html><style>p{}</style><body><h1>T</h1> <p>a &amp; b &lt;x&gt;</p><script a=1>var q='<p>';</script></body></html>")
+      .toDF("s")
+    val out = in.select(CleanOps.stripHtml(col("s"))).head().getString(0)
+    assert(out == "T a & b <x>")
+  }
+
+  test("stripHtml entity order: &amp;lt; must not double-unescape") {
+    import spark.implicits._
+    val out = Seq("x &amp;lt; y").toDF("s")
+      .select(CleanOps.stripHtml(col("s"))).head().getString(0)
+    assert(out == "x &lt; y")
+  }
+
+  test("nfcNative matches java.text.Normalizer, codegen and interpreted") {
+    import spark.implicits._
+    val samples = Seq(
+      "café",          // NFD e + combining acute -> é
+      "Ångström", // ring + diaeresis
+      "ẛ̣",        // long s with dot above + dot below (reorders)
+      "plain ascii text",
+      "")
+    val df = samples.toDF("s").select(col("s"), nfcNative(col("s")).as("n"))
+    df.collect().foreach { r =>
+      val expect = java.text.Normalizer.normalize(
+        r.getString(0), java.text.Normalizer.Form.NFC)
+      assert(r.getString(1) == expect, s"input ${r.getString(0)}")
+    }
+    // interpreted path (eval without codegen): head() on a filtered literal
+    val one = df.filter(length(col("s")) === 5).head()
+    assert(one.getString(1) == "café")
+  }
+
+  test("nfcNative fast path: already-NFC input is returned unchanged") {
+    import spark.implicits._
+    val composed = "café plain"
+    val out = Seq(composed).toDF("s")
+      .select(nfcNative(col("s"))).head().getString(0)
+    assert(out == composed)
+  }
+}
