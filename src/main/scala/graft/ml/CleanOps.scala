@@ -231,6 +231,107 @@ object CleanOps {
                          'o A' || chr(778) AS synth
                   FROM documents)"""))
 
+  // ---- span-level exact substring dedup ----------------------------------
+  // The Lee et al. "Deduplicating Training Data Makes Language Models
+  // Better" operator, in its fixed-window form: any k-token span that
+  // occurs more than once ANYWHERE in the corpus is removed from every
+  // occurrence except one canonical survivor (lexicographic min of
+  // (doc_id, pos)). The suffix array of the paper is replaced by what a
+  // cluster is actually good at: a hash-partitioned positional span
+  // table.
+  //
+  // Plan shape at 100 TB:
+  //   1. one-pass native tokenize+shingle per doc (ShinglesExpr) — spans
+  //      leave the scan as (doc_id, pos, 8-byte hash), never span text;
+  //   2. survivor per hash = min(struct(doc_id,pos)) — partial-aggregated
+  //      groupBy on the hash, so a span repeated 1e9 times combines
+  //      map-side;
+  //   3. non-survivor occurrences explode to dropped token positions
+  //      (bounded: k per occurrence);
+  //   4. token stream anti-joins dropped positions on (doc_id, pos) and
+  //      reassembles in order — both joins on narrow keys, and the
+  //      doc_id regroup is the same key the scan is bucketed by.
+  // Docs shorter than k tokens collapse to ONE whole-doc span (the
+  // ShinglesExpr contract), so short exact-dup docs dedup whole-doc.
+  // Grouping 8-byte hashes instead of span text trades an astronomically
+  // small false-drop for never shuffling text (same trade as lineDedup).
+  def spanDedup(docs: DataFrame, k: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      graft.functions.tokens(col("text")).as("toks"))
+    val spans = docs
+      .select(col("doc_id"),
+        size(graft.functions.tokens(col("text"))).as("m"),
+        posexplode(graft.functions.TextExprs.shinglesTextNative(col("text"), k))
+          .as(Seq("pos", "span")))
+      .select(col("doc_id"), col("m"), col("pos"), xxhash64(col("span")).as("h"))
+    val survivors = spans.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("surv"),
+        count(lit(1)).as("occ"))
+      .filter(col("occ") > 1)
+    val dropped = spans.join(survivors, "h")
+      .filter(!(col("doc_id") === col("surv.doc_id") && col("pos") === col("surv.pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + least(lit(k), col("m")) - 1))
+          .as("pos"))
+      .distinct()
+    val tokenStream = toks.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos", "tok")))
+    val kept = tokenStream.join(dropped, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok"))).as("kept_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col("doc_id"), size(graft.functions.tokens(col("text"))).as("n_total"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("n_total").cast("long").as("n_total"))
+  }
+
+  private val spanK = 8
+
+  private val qSpanDedup = GQuery(
+    "q_span_dedup",
+    (s, d) => spanDedup(documents(s, d), spanK),
+    Some(s"""WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                                 x -> len(x) > 0) AS toks
+              FROM documents),
+            spans AS (
+              SELECT doc_id, len(toks) AS m, i - 1 AS pos,
+                     array_to_string(toks[i:i+least($spanK, len(toks))-1], ' ') AS span
+              FROM t,
+                   unnest(CASE WHEN len(toks) <= $spanK THEN [1]
+                               ELSE range(1, len(toks) - $spanK + 2) END) AS u(i)),
+            ranked AS (
+              SELECT doc_id, m, pos, span,
+                     row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn,
+                     count(*) OVER (PARTITION BY span) AS occ
+              FROM spans),
+            dropped AS (
+              SELECT DISTINCT doc_id, unnest(range(pos, pos + least($spanK, m))) AS pos
+              FROM ranked WHERE occ > 1 AND rn > 1),
+            tok_stream AS (
+              SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS tok
+              FROM t),
+            kept AS (
+              SELECT ts.doc_id,
+                     string_agg(ts.tok, ' ' ORDER BY ts.pos) AS kept_text,
+                     count(*) AS n_kept
+              FROM tok_stream ts
+              WHERE NOT EXISTS (SELECT 1 FROM dropped dr
+                                WHERE dr.doc_id = ts.doc_id AND dr.pos = ts.pos)
+              GROUP BY ts.doc_id)
+            SELECT t.doc_id,
+                   coalesce(kept.kept_text, '') AS kept_text,
+                   CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(len(t.toks) AS BIGINT) AS n_total
+            FROM t LEFT JOIN kept USING (doc_id)"""))
+
   val queries: Seq[GQuery] =
-    Seq(qLineDedup, qHtmlStrip, qUrlDomain, qUnicodeNorm)
+    Seq(qLineDedup, qHtmlStrip, qUrlDomain, qUnicodeNorm, qSpanDedup)
 }

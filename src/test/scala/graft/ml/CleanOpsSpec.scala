@@ -78,6 +78,43 @@ class CleanOpsSpec extends AnyFunSuite {
     assert(one.getString(1) == "café")
   }
 
+  test("spanDedup removes the non-survivor copy of a shared k-token span") {
+    import spark.implicits._
+    // doc 1 and doc 2 share their first 8 tokens; doc 1 (min doc_id) is
+    // the canonical survivor, doc 2 loses positions 0-7 and keeps its tail
+    val shared = "t1 t2 t3 t4 t5 t6 t7 t8"
+    val docs = Seq(
+      (1L, s"$shared a b c d"),
+      (2L, s"$shared x y z w")).toDF("doc_id", "text")
+    val out = CleanOps.spanDedup(docs, 8).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (s"$shared a b c d", 12L, 12L))
+    assert(out(2L) == ("x y z w", 4L, 12L))
+  }
+
+  test("spanDedup: short exact-dup docs collapse whole-doc, survivor keeps all") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "tiny duplicate document"),
+      (11L, "tiny duplicate document"),
+      (12L, "a different short doc")).toDF("doc_id", "text")
+    val out = CleanOps.spanDedup(docs, 8).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(10L)._1 == "tiny duplicate document")
+    assert(out(11L) == (("", 0L)))
+    assert(out(12L)._1 == "a different short doc")
+  }
+
+  test("spanDedup: intra-doc repetition dedups against its own first copy") {
+    import spark.implicits._
+    // 16 identical tokens: span at pos 0 survives; the other 8 positional
+    // copies (pos 1-8) are dropped, covering positions 1..15
+    val docs = Seq((1L, ("la " * 16).trim)).toDF("doc_id", "text")
+    val out = CleanOps.spanDedup(docs, 8).head()
+    assert(out.getString(1) == "la")
+    assert(out.getLong(2) == 1L && out.getLong(3) == 16L)
+  }
+
   test("nfcNative fast path: already-NFC input is returned unchanged") {
     import spark.implicits._
     val composed = "café plain"
