@@ -89,6 +89,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q_shuffle_order: want exactly 1 shard-keyed exchange\n${planOf("q_shuffle_order").take(1500)}")
   }
 
+  test("line/span dedup shuffle hashes, aggregate partially, and strip text") {
+    Seq("q_line_dedup", "q_span_dedup").foreach { n =>
+      val plan = planOf(n)
+      // the df/survivor aggregate over line/span hashes must partial-agg
+      // (heavy-hitter boilerplate combines map-side, never reaching the
+      // shuffle un-combined)
+      assert("partial".r.findAllIn(plan.toLowerCase).nonEmpty,
+        s"$n: no partial aggregation before the hash shuffle")
+      // the catalog join is an anti join on the 8-byte hash / (doc,pos)
+      // key, not an inner join carrying text
+      assert(plan.contains("LeftAnti"),
+        s"$n: expected a left_anti against the dedup catalog")
+      assert(!plan.contains("CartesianProduct"), s"$n: cartesian")
+    }
+    // span dedup's survivor aggregate groups the 8-byte xxhash64, so the
+    // wide span strings never enter that exchange
+    val span = planOf("q_span_dedup")
+    assert(span.contains("Exchange hashpartitioning(h#") ||
+      span.contains("hashpartitioning(h"),
+      s"q_span_dedup: survivor aggregate should shuffle on the span hash\n${span.take(1500)}")
+  }
+
   test("LSH candidate generation shuffles only narrow band keys") {
     val plan = planOf("q_dedup_minhash")
     // the exploded band join must not carry the shingle arrays; the
