@@ -760,11 +760,24 @@ class EtlFuzzSpec extends AnyFunSuite {
     // both ways). Same seeds as the interpreter differential above, so the
     // three renderings (Catalyst, interpreter, SQL) cover the same programs.
     val base = java.nio.file.Paths.get("target/etl-fuzz-duckdb")
-    if (java.nio.file.Files.exists(base)) {
+    // retry the recursive delete: a concurrent sbt/Spark process sharing
+    // target/ can materialize .crc/_temporary entries between the walk
+    // snapshot and the directory delete (observed once as
+    // DirectoryNotEmptyException on a stale case dir) — a second pass
+    // sees and removes them
+    var pass = 0
+    while (java.nio.file.Files.exists(base) && pass < 3) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
+      pass += 1
+      try java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      catch {
+        case _: java.nio.file.DirectoryNotEmptyException if pass < 3 =>
+        case _: java.nio.file.NoSuchFileException =>
+      }
     }
+    assert(!java.nio.file.Files.exists(base),
+      s"stale dump dir $base survived $pass delete passes")
     for (caseNo <- 0 until 50) {
       val seed = Seed(1000L + caseNo)
       val (rows, doneSeq) = genRows(seed)
