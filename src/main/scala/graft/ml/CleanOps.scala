@@ -256,14 +256,20 @@ object CleanOps {
   // Grouping 8-byte hashes instead of span text trades an astronomically
   // small false-drop for never shuffling text (same trade as lineDedup).
   def spanDedup(docs: DataFrame, k: Int): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      graft.functions.tokens(col("text")).as("toks"))
+    // NO expression downstream of the explode may reference tokens(text):
+    // CollapseProject inlines a single-use tokenize into the post-Generate
+    // projection, re-splitting the whole document once per SPAN row (the
+    // q_repetition/ShinglesExpr bug class — measured 300+ CPU-min at sf10
+    // before this structure). The span's own width (= min(k, doc tokens))
+    // is recovered from the span STRING instead: spans are single-space
+    // token joins, so size(split(span, " ")) is exact and O(k).
     val spans = docs
       .select(col("doc_id"),
-        size(graft.functions.tokens(col("text"))).as("m"),
         posexplode(graft.functions.TextExprs.shinglesTextNative(col("text"), k))
           .as(Seq("pos", "span")))
-      .select(col("doc_id"), col("m"), col("pos"), xxhash64(col("span")).as("h"))
+      .select(col("doc_id"), col("pos"),
+        size(split(col("span"), " ")).as("w"),
+        xxhash64(col("span")).as("h"))
     val survivors = spans.groupBy("h")
       .agg(min(struct(col("doc_id"), col("pos"))).as("surv"),
         count(lit(1)).as("occ"))
@@ -271,11 +277,10 @@ object CleanOps {
     val dropped = spans.join(survivors, "h")
       .filter(!(col("doc_id") === col("surv.doc_id") && col("pos") === col("surv.pos")))
       .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + least(lit(k), col("m")) - 1))
-          .as("pos"))
+        explode(sequence(col("pos"), col("pos") + col("w") - 1)).as("pos"))
       .distinct()
-    val tokenStream = toks.select(col("doc_id"),
-      posexplode(col("toks")).as(Seq("pos", "tok")))
+    val tokenStream = docs.select(col("doc_id"),
+      posexplode(graft.functions.tokens(col("text"))).as(Seq("pos", "tok")))
     val kept = tokenStream.join(dropped, Seq("doc_id", "pos"), "left_anti")
       .groupBy("doc_id")
       .agg(

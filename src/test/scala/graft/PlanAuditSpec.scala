@@ -109,6 +109,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(span.contains("Exchange hashpartitioning(h#") ||
       span.contains("hashpartitioning(h"),
       s"q_span_dedup: survivor aggregate should shuffle on the span hash\n${span.take(1500)}")
+    // the document tokenize must appear exactly where it's computed once
+    // per INPUT row (the token-stream generator and the n_total
+    // projection) — an occurrence downstream of the span explode means
+    // CollapseProject inlined it to run once per SPAN row (measured 300+
+    // CPU-min at sf10 when the width column referenced tokens(text))
+    val tokenizes = "\\btokens\\(".r.findAllIn(span).length
+    assert(tokenizes <= 2,
+      s"q_span_dedup: document tokenize appears $tokenizes times — recomputed past the explode")
   }
 
   test("LSH candidate generation shuffles only narrow band keys") {
