@@ -82,6 +82,13 @@ object GraftExtensions {
     "chunk_text" -> ((args: Seq[Expression]) =>
       e(graft.ml.TextOps.chunkText(c(args(0)),
         litInt(args(1), "chunk_text", 1), litInt(args(2), "chunk_text", 2)))),
+    // corpus-cleaning scalar surface (ml.CleanOps / TextOps)
+    "nfc_normalize" -> ((args: Seq[Expression]) =>
+      e(graft.functions.NfcNormalizeExpr.nfcNative(c(args.head)))),
+    "strip_html" -> ((args: Seq[Expression]) =>
+      e(graft.ml.CleanOps.stripHtml(c(args.head)))),
+    "redact_pii" -> ((args: Seq[Expression]) =>
+      e(graft.ml.TextOps.redactPii(c(args.head)))),
     // aggregate: topk_pairs(sim, id, k) in GROUP BY queries — the
     // bounded-shuffle exact top-k (see functions.TopKPairsAgg)
     "topk_pairs" -> ((args: Seq[Expression]) =>

@@ -102,6 +102,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(got == Map(1L -> List(30L, 10L), 2L -> List(40L)))
   }
 
+  test("cleaning surface: nfc_normalize, strip_html, redact_pii from SQL") {
+    import spark.implicits._
+    Seq(("<p>mail a@b.co</p> café", 1L)).toDF("s", "i")
+      .createOrReplaceTempView("ext_clean")
+    val r = spark.sql(
+      """SELECT nfc_normalize(s) AS n, strip_html(s) AS h, redact_pii(s) AS p
+         FROM ext_clean""").head()
+    assert(r.getString(0) == "<p>mail a@b.co</p> café")
+    assert(r.getString(1) == "mail a@b.co caf" + "é")
+    assert(r.getString(2) == "<p>mail <EMAIL></p> café")
+  }
+
   test("non-literal table/band counts are rejected with a clear error") {
     val err = intercept[Exception](
       spark.sql("SELECT hyperplane_sigs(array(1.0), cast(rand()*4 AS INT), 2)").collect())
