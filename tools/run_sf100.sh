@@ -39,7 +39,7 @@ chunks=(
   "q_stream_minhash,q_stream_window,q_session_window,q_txn_bundle,q_etl_stateless,q_etl_denorm,q_envelope,q_offset_guard,q_offset_assign"
   "q_codec_avro,q_codec_connect,q_connect_json,q_multimodal_decode,q_multimodal_audio,q_multimodal_video"
   "q_multimodal_resize,q_ann_ivfpq,q_ann_sq"
-  "q_line_dedup,q_html_strip,q_url_domain,q_unicode_norm,q_span_dedup"
+  "q_line_dedup,q_html_strip,q_url_domain,q_unicode_norm,q_span_dedup,q_clean_pipeline"
 )
 
 i=0
