@@ -18,11 +18,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * and fall out of whole-stage codegen), so this is a `UnaryExpression`
   * with the same reference-object `doGenCode` pattern as [[TokensExpr]].
   *
-  * Fast path: `Normalizer.isNormalized` is a cheap scan that returns true
-  * for pure-ASCII and already-NFC text (the overwhelming majority of a web
-  * corpus), in which case the input UTF8String is returned as-is with zero
-  * allocation — at 100 TB the expensive `normalize` call runs only on the
-  * rows that actually need it.
+  * Fast paths: pure-ASCII rows (one UTF-8 byte per codepoint — the
+  * overwhelming majority of a web corpus) return the input UTF8String
+  * with zero allocation, before any UTF-16 decode; non-ASCII rows that
+  * are already NFC pay one String decode for the `isNormalized` scan but
+  * skip the normalize+re-encode. At 100 TB the expensive `normalize`
+  * call runs only on the rows that actually need it.
   */
 object NfcNormalizeExpr {
   import org.apache.spark.sql.graftbridge.Bridge
@@ -39,6 +40,10 @@ case class NfcExpr(child: Expression) extends UnaryExpression {
 
   /** Called from both eval and generated code. */
   def run(input: UTF8String): UTF8String = {
+    // pure-ASCII guard BEFORE any allocation: one UTF-8 byte per codepoint
+    // ⇔ all ASCII, and ASCII is always NFC — the overwhelming majority of
+    // a web corpus returns here without the String decode below
+    if (input.numBytes == input.numChars) return input
     val s = input.toString
     if (Normalizer.isNormalized(s, Normalizer.Form.NFC)) input
     else UTF8String.fromString(Normalizer.normalize(s, Normalizer.Form.NFC))

@@ -107,9 +107,13 @@ object CleanOps {
   // collapse whitespace. Pure regexp_replace chain — scan-speed inside
   // WholeStageCodegen at 100 TB, no shuffle.
   def stripHtml(c: Column): Column = {
+    // (?is): real HTML has uppercase tags and multi-line script bodies;
+    // without DOTALL the block patterns never match across newlines and
+    // the later tag pass would strip only the tags, LEAKING the JS/CSS
+    // body text into the cleaned corpus
     val noBlocks = regexp_replace(
-      regexp_replace(c, lit("<script[^>]*>.*?</script>"), lit("")),
-      lit("<style[^>]*>.*?</style>"), lit(""))
+      regexp_replace(c, lit("(?is)<script[^>]*>.*?</script>"), lit("")),
+      lit("(?is)<style[^>]*>.*?</style>"), lit(""))
     val noTags = regexp_replace(noBlocks, lit("<[^>]+>"), lit(" "))
     val unesc = regexp_replace(
       regexp_replace(
@@ -140,8 +144,8 @@ object CleanOps {
                          regexp_replace(
                            regexp_replace(
                              regexp_replace(
-                               regexp_replace(synth, '<script[^>]*>.*?</script>', '', 'g'),
-                               '<style[^>]*>.*?</style>', '', 'g'),
+                               regexp_replace(synth, '(?is)<script[^>]*>.*?</script>', '', 'g'),
+                               '(?is)<style[^>]*>.*?</style>', '', 'g'),
                              '<[^>]+>', ' ', 'g'),
                            '&lt;', '<', 'g'),
                          '&gt;', '>', 'g'),
@@ -298,106 +302,17 @@ object CleanOps {
 
   private val spanK = 8
 
-  private val qSpanDedup = GQuery(
-    "q_span_dedup",
-    (s, d) => spanDedup(documents(s, d), spanK),
-    Some(s"""WITH t AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
-                                 x -> len(x) > 0) AS toks
-              FROM documents),
-            spans AS (
-              SELECT doc_id, len(toks) AS m, i - 1 AS pos,
-                     array_to_string(toks[i:i+least($spanK, len(toks))-1], ' ') AS span
-              FROM t,
-                   unnest(CASE WHEN len(toks) <= $spanK THEN [1]
-                               ELSE range(1, len(toks) - $spanK + 2) END) AS u(i)),
-            ranked AS (
-              SELECT doc_id, m, pos, span,
-                     row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn,
-                     count(*) OVER (PARTITION BY span) AS occ
-              FROM spans),
-            dropped AS (
-              SELECT DISTINCT doc_id, unnest(range(pos, pos + least($spanK, m))) AS pos
-              FROM ranked WHERE occ > 1 AND rn > 1),
-            tok_stream AS (
-              SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS tok
-              FROM t),
-            kept AS (
-              SELECT ts.doc_id,
-                     string_agg(ts.tok, ' ' ORDER BY ts.pos) AS kept_text,
-                     count(*) AS n_kept
-              FROM tok_stream ts
-              WHERE NOT EXISTS (SELECT 1 FROM dropped dr
-                                WHERE dr.doc_id = ts.doc_id AND dr.pos = ts.pos)
-              GROUP BY ts.doc_id)
-            SELECT t.doc_id,
-                   coalesce(kept.kept_text, '') AS kept_text,
-                   CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
-                   CAST(len(t.toks) AS BIGINT) AS n_total
-            FROM t LEFT JOIN kept USING (doc_id)"""))
-
-  // ---- composed cleaning pipeline -----------------------------------------
-  // The full ingestion pass as ONE plan: HTML strip → NFC canonicalize →
-  // PII redact → whitespace/case normalize → span-level dedup. Each stage
-  // is individually gated above; this gate proves they COMPOSE — the
-  // scalar stages fuse into the scan projection (still one pass per row,
-  // still codegen), and the span-dedup shuffles see already-clean text.
-  // The planted dirt exercises every stage: HTML wrapper + entities, an
-  // NFD suffix, an email/URL/id triple — all pure functions of doc_id,
-  // rebuilt identically in the oracle.
-  def cleanChain(raw: Column): Column =
-    TextOps.normalizeText(TextOps.redactPii(nfcNative(stripHtml(raw))))
-
-  private val qCleanPipeline = GQuery(
-    "q_clean_pipeline",
-    (s, d) => {
-      val synth = concat(
-        lit("<html><body><p>"), col("text"),
-        lit(" café contact user"), col("doc_id"),
-        lit("@mail.example.com or https://ex.org/d/"), col("doc_id"),
-        lit(" &amp; id "), (col("doc_id") * 9000077L + 5000000L).cast("long"),
-        lit("</p><script>x()</script></body></html>"))
-      val cleaned = documents(s, d)
-        .select(col("doc_id"), cleanChain(synth).as("text"))
-      spanDedup(cleaned, spanK)
-    },
-    Some(s"""WITH cleaned AS (
-              SELECT doc_id,
-                     lower(trim(regexp_replace(
-                       regexp_replace(
-                         regexp_replace(
-                           regexp_replace(
-                             nfc_normalize(
-                               trim(regexp_replace(
-                                 regexp_replace(
-                                   regexp_replace(
-                                     regexp_replace(
-                                       regexp_replace(
-                                         regexp_replace(
-                                           regexp_replace(synth, '<script[^>]*>.*?</script>', '', 'g'),
-                                           '<style[^>]*>.*?</style>', '', 'g'),
-                                         '<[^>]+>', ' ', 'g'),
-                                       '&lt;', '<', 'g'),
-                                     '&gt;', '>', 'g'),
-                                   '&amp;', '&', 'g'),
-                                 '\\s+', ' ', 'g'))),
-                             'https?://[^\\s]+', '<URL>', 'g'),
-                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                         '\\b\\d{6,}\\b', '<NUM>', 'g'),
-                       '\\s+', ' ', 'g'))) AS text
-              FROM (SELECT doc_id,
-                           '<html><body><p>' || text ||
-                           ' cafe' || chr(769) || ' contact user' || doc_id ||
-                           '@mail.example.com or https://ex.org/d/' || doc_id ||
-                           ' &amp; id ' || CAST(doc_id * 9000077 + 5000000 AS BIGINT) ||
-                           '</p><script>x()</script></body></html>' AS synth
-                    FROM documents)),
+  /** The span-dedup oracle, parameterized on a CTE named `docs` yielding
+    * (doc_id, text) — shared verbatim by q_span_dedup and q_clean_pipeline
+    * so the two renderings of the drop+reassembly semantics cannot drift.
+    */
+  private def spanDedupSql(docsCte: String): String =
+    s"""WITH $docsCte,
             t AS (
               SELECT doc_id,
                      list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
                                  x -> len(x) > 0) AS toks
-              FROM cleaned),
+              FROM docs),
             spans AS (
               SELECT doc_id, i - 1 AS pos,
                      array_to_string(toks[i:i+least($spanK, len(toks))-1], ' ') AS span,
@@ -428,7 +343,70 @@ object CleanOps {
                    coalesce(kept.kept_text, '') AS kept_text,
                    CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
                    CAST(len(t.toks) AS BIGINT) AS n_total
-            FROM t LEFT JOIN kept USING (doc_id)"""))
+            FROM t LEFT JOIN kept USING (doc_id)"""
+
+  private val qSpanDedup = GQuery(
+    "q_span_dedup",
+    (s, d) => spanDedup(documents(s, d), spanK),
+    Some(spanDedupSql("docs AS (SELECT doc_id, text FROM documents)")))
+
+  // ---- composed cleaning pipeline -----------------------------------------
+  // The full ingestion pass as ONE plan: HTML strip → NFC canonicalize →
+  // PII redact → whitespace/case normalize → span-level dedup. Each stage
+  // is individually gated above; this gate proves they COMPOSE — the
+  // scalar stages fuse into the scan projection (still one pass per row,
+  // still codegen), and the span-dedup shuffles see already-clean text.
+  // The planted dirt exercises every stage: HTML wrapper + entities, an
+  // NFD suffix, an email/URL/id triple — all pure functions of doc_id,
+  // rebuilt identically in the oracle.
+  def cleanChain(raw: Column): Column =
+    TextOps.normalizeText(TextOps.redactPii(nfcNative(stripHtml(raw))))
+
+  private val qCleanPipeline = GQuery(
+    "q_clean_pipeline",
+    (s, d) => {
+      val synth = concat(
+        lit("<html><body><p>"), col("text"),
+        lit(" café contact user"), col("doc_id"),
+        lit("@mail.example.com or https://ex.org/d/"), col("doc_id"),
+        lit(" &amp; id "), (col("doc_id") * 9000077L + 5000000L).cast("long"),
+        lit("</p><script>x()</script></body></html>"))
+      val cleaned = documents(s, d)
+        .select(col("doc_id"), cleanChain(synth).as("text"))
+      spanDedup(cleaned, spanK)
+    },
+    Some(spanDedupSql(s"""cleaned AS (
+              SELECT doc_id,
+                     lower(trim(regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             nfc_normalize(
+                               trim(regexp_replace(
+                                 regexp_replace(
+                                   regexp_replace(
+                                     regexp_replace(
+                                       regexp_replace(
+                                         regexp_replace(
+                                           regexp_replace(synth, '(?is)<script[^>]*>.*?</script>', '', 'g'),
+                                           '(?is)<style[^>]*>.*?</style>', '', 'g'),
+                                         '<[^>]+>', ' ', 'g'),
+                                       '&lt;', '<', 'g'),
+                                     '&gt;', '>', 'g'),
+                                   '&amp;', '&', 'g'),
+                                 '\\s+', ' ', 'g'))),
+                             'https?://[^\\s]+', '<URL>', 'g'),
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                         '\\b\\d{6,}\\b', '<NUM>', 'g'),
+                       '\\s+', ' ', 'g'))) AS text
+              FROM (SELECT doc_id,
+                           '<html><body><p>' || text ||
+                           ' cafe' || chr(769) || ' contact user' || doc_id ||
+                           '@mail.example.com or https://ex.org/d/' || doc_id ||
+                           ' &amp; id ' || CAST(doc_id * 9000077 + 5000000 AS BIGINT) ||
+                           '</p><script>x()</script></body></html>' AS synth
+                    FROM documents)),
+            docs AS (SELECT doc_id, text FROM cleaned)""")))
 
   val queries: Seq[GQuery] =
     Seq(qLineDedup, qHtmlStrip, qUrlDomain, qUnicodeNorm, qSpanDedup,

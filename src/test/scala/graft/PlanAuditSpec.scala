@@ -106,8 +106,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // span dedup's survivor aggregate groups the 8-byte xxhash64, so the
     // wide span strings never enter that exchange
     val span = planOf("q_span_dedup")
-    assert(span.contains("Exchange hashpartitioning(h#") ||
-      span.contains("hashpartitioning(h"),
+    assert("hashpartitioning\\(h#".r.findFirstIn(span).isDefined,
       s"q_span_dedup: survivor aggregate should shuffle on the span hash\n${span.take(1500)}")
     // the document tokenize must appear exactly where it's computed once
     // per INPUT row (the token-stream generator and the n_total

@@ -769,12 +769,17 @@ class EtlFuzzSpec extends AnyFunSuite {
     while (java.nio.file.Files.exists(base) && pass < 3) {
       import scala.jdk.CollectionConverters._
       pass += 1
-      try java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+      val stream = java.nio.file.Files.walk(base)
+      // entries vanishing DURING the walk surface as UncheckedIOException
+      // from the stream's iterator, not just as delete-time exceptions —
+      // catch both shapes and let the next pass see the settled tree
+      try stream.iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
       catch {
         case _: java.nio.file.DirectoryNotEmptyException if pass < 3 =>
+        case _: java.io.UncheckedIOException if pass < 3 =>
         case _: java.nio.file.NoSuchFileException =>
-      }
+      } finally stream.close()
     }
     assert(!java.nio.file.Files.exists(base),
       s"stale dump dir $base survived $pass delete passes")

@@ -52,6 +52,16 @@ class CleanOpsSpec extends AnyFunSuite {
     assert(out == "T a & b <x>")
   }
 
+  test("stripHtml removes MULTI-LINE and UPPERCASE script/style blocks") {
+    import spark.implicits._
+    // without (?is) the block patterns never match across newlines and
+    // the tag pass strips only the tags, leaking 'var secret=1;' into
+    // the cleaned text
+    val out = Seq("<SCRIPT type=x>\nvar secret=1;\n</SCRIPT><p>body</p>\n<STYLE>\np{}\n</STYLE>")
+      .toDF("s").select(CleanOps.stripHtml(col("s"))).head().getString(0)
+    assert(out == "body")
+  }
+
   test("stripHtml entity order: &amp;lt; must not double-unescape") {
     import spark.implicits._
     val out = Seq("x &amp;lt; y").toDF("s")
@@ -73,9 +83,18 @@ class CleanOpsSpec extends AnyFunSuite {
         r.getString(0), java.text.Normalizer.Form.NFC)
       assert(r.getString(1) == expect, s"input ${r.getString(0)}")
     }
-    // interpreted path (eval without codegen): head() on a filtered literal
-    val one = df.filter(length(col("s")) === 5).head()
-    assert(one.getString(1) == "café")
+    // interpreted path: eval() the expression directly with a Literal
+    // child — head()/collect() above run whole-stage codegen, which never
+    // touches nullSafeEval
+    samples.foreach { s =>
+      val got = graft.functions.NfcExpr(
+        org.apache.spark.sql.catalyst.expressions.Literal(s)).eval(null)
+      val expect = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      assert(got.toString == expect, s"interpreted eval on $s")
+    }
+    assert(graft.functions.NfcExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal(null,
+        org.apache.spark.sql.types.StringType)).eval(null) == null)
   }
 
   test("spanDedup removes the non-survivor copy of a shared k-token span") {
