@@ -1,0 +1,167 @@
+#!/usr/bin/env python3
+"""Memory-bounded sf100 oracle for the span-dedup gates (q_span_dedup,
+q_clean_pipeline), whose one-shot DuckDB oracle OOMs at sf100: the
+450M-row span table with string keys cannot window/group in memory.
+
+The check is the SAME oracle semantics evaluated in two exactly-
+partitionable passes (one fresh process per chunk, per the campaign
+discipline):
+
+  pass 1 "dropped":  the survivor analysis groups spans by EQUALITY, so
+     it partitions exactly by any pure function of the span string —
+     chunk by md5-prefix bucket (deterministic across processes, unlike
+     a possibly-seeded hash()); each chunk re-derives the span table
+     from `documents`, keeps only its bucket's span classes, computes
+     survivors (min (doc_id,pos), order-isomorphic BIGINT key) and
+     writes that bucket's dropped (doc_id, pos) set to parquet.
+     A (doc,pos) may be dropped by span classes in different buckets —
+     duplicates across chunk files are harmless under pass 2's
+     NOT EXISTS.
+
+  pass 2 "verify":   reassembly is row-per-doc given the global dropped
+     set, so it partitions exactly by doc_id modulus — each chunk
+     re-derives its docs' token streams, anti-joins the UNION of pass-1
+     parquets, reassembles, and canon+hash-compares against the gate
+     dump slice (check_oracle's exact comparator).
+
+usage:
+  check_span_sf100.py dropped <sfDir> <workDir> <gate> <M> <m>
+  check_span_sf100.py verify  <sfDir> <dumpDir> <workDir> <gate> <N> <n>
+
+gate ∈ {q_span_dedup, q_clean_pipeline} — selects the docs derivation
+(identity, or the full cleaning chain mirroring CleanOps.cleanChain).
+"""
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+from check_oracle import canon, h  # noqa: E402
+
+K = 8  # spanK in ml/CleanOps.scala
+
+# docs CTE per gate, over a `documents` view (doc_id, text, ...).
+# q_clean_pipeline mirrors CleanOps.cleanChain + its synth plant verbatim
+# (see CleanOps.scala — kept in lockstep with the gate's oracle SQL).
+DOCS_SQL = {
+    "q_span_dedup": "SELECT doc_id, text FROM documents",
+    "q_clean_pipeline": r"""
+        SELECT doc_id,
+               lower(trim(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       nfc_normalize(
+                         trim(regexp_replace(
+                           regexp_replace(
+                             regexp_replace(
+                               regexp_replace(
+                                 regexp_replace(
+                                   regexp_replace(
+                                     regexp_replace(synth, '(?is)<script[^>]*>.*?</script>', '', 'g'),
+                                     '(?is)<style[^>]*>.*?</style>', '', 'g'),
+                                   '<[^>]+>', ' ', 'g'),
+                                 '&lt;', '<', 'g'),
+                               '&gt;', '>', 'g'),
+                             '&amp;', '&', 'g'),
+                           '\s+', ' ', 'g'))),
+                       'https?://[^\s]+', '<URL>', 'g'),
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b\d{6,}\b', '<NUM>', 'g'),
+                 '\s+', ' ', 'g'))) AS text
+        FROM (SELECT doc_id,
+                     '<html><body><p>' || text ||
+                     ' cafe' || chr(769) || ' contact user' || doc_id ||
+                     '@mail.example.com or https://ex.org/d/' || doc_id ||
+                     ' &amp; id ' || CAST(doc_id * 9000077 + 5000000 AS BIGINT) ||
+                     '</p><script>x()</script></body></html>' AS synth
+              FROM documents)""",
+}
+
+SPAN_CTES = f"""
+    t AS (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                             x -> len(x) > 0) AS toks
+          FROM docs),
+    spans AS (SELECT doc_id, i - 1 AS pos,
+                     array_to_string(toks[i:i+least({K}, len(toks))-1], ' ') AS span,
+                     least({K}, len(toks)) AS w
+              FROM t,
+                   unnest(CASE WHEN len(toks) <= {K} THEN [1]
+                               ELSE range(1, len(toks) - {K} + 2) END) AS u(i))"""
+
+
+def connect(sf, doc_where=""):
+    con = duckdb.connect()
+    con.execute("SET threads TO 8")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet'){doc_where}")
+    return con
+
+
+def dropped(sf, work, gate, big_m, m):
+    con = connect(sf)
+    con.execute(f"""
+        COPY (
+          WITH docs AS ({DOCS_SQL[gate]}), {SPAN_CTES},
+          mine AS (SELECT * FROM spans
+                   WHERE ('0x' || substr(md5(span), 1, 8))::UBIGINT % {big_m} = {m}),
+          agg AS (SELECT span, count(*) AS occ,
+                         min(doc_id * 4294967296 + pos) AS mink
+                  FROM mine GROUP BY span)
+          SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos
+          FROM (SELECT mi.doc_id, unnest(range(mi.pos, mi.pos + mi.w)) AS p
+                FROM mine mi JOIN agg USING (span)
+                WHERE agg.occ > 1
+                  AND mi.doc_id * 4294967296 + mi.pos <> agg.mink)
+        ) TO '{work}/dropped_{gate}_{m}.parquet' (FORMAT PARQUET)""")
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{work}/dropped_{gate}_{m}.parquet')"
+    ).fetchone()[0]
+    print(f"OK    {gate} dropped bucket {m}/{big_m} ({n} positions)")
+
+
+def verify(sf, dump, work, gate, big_n, n):
+    con = connect(sf, f" WHERE doc_id % {big_n} = {n}")
+    want = con.execute(f"""
+        WITH docs AS ({DOCS_SQL[gate]}), {SPAN_CTES},
+        tok_stream AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+                              unnest(toks) AS tok
+                       FROM t),
+        dropped AS (SELECT doc_id, pos
+                    FROM read_parquet('{work}/dropped_{gate}_*.parquet')
+                    WHERE doc_id % {big_n} = {n}),
+        kept AS (SELECT ts.doc_id,
+                        string_agg(ts.tok, ' ' ORDER BY ts.pos) AS kept_text,
+                        count(*) AS n_kept
+                 FROM tok_stream ts
+                 WHERE NOT EXISTS (SELECT 1 FROM dropped dr
+                                   WHERE dr.doc_id = ts.doc_id AND dr.pos = ts.pos)
+                 GROUP BY ts.doc_id)
+        SELECT t.doc_id,
+               coalesce(kept.kept_text, '') AS kept_text,
+               CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(len(t.toks) AS BIGINT) AS n_total
+        FROM t LEFT JOIN kept USING (doc_id)""").df()
+    got = pd.read_parquet(f"{dump}/{gate}")
+    got = got[got["doc_id"] % big_n == n]
+    g, w = canon(got), canon(want)
+    assert list(g.columns) == list(w.columns), \
+        f"cols {list(g.columns)} vs {list(w.columns)}"
+    assert len(g) == len(w), f"rows {len(g)} vs {len(w)}"
+    assert h(g) == h(w), "hash mismatch"
+    print(f"OK    {gate} verify chunk {n}/{big_n} ({len(g)} rows)")
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1]
+    if mode == "dropped":
+        sf, work, gate, M, m = sys.argv[2:7]
+        dropped(sf, work, gate, int(M), int(m))
+    elif mode == "verify":
+        sf, dump, work, gate, N, n = sys.argv[2:8]
+        verify(sf, dump, work, gate, int(N), int(n))
+    else:
+        sys.exit(f"unknown mode {mode}")
