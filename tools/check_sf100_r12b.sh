@@ -51,3 +51,4 @@ ck q_span_dedup
 echo "R12B DONE ($(date +%H:%M:%S))" | tee -a "$LOG"
 grep -cE "^OK" "$LOG" | xargs echo "OK lines:"
 grep -E "FAIL|!!" "$LOG" | head -20
+exit 0

@@ -13,12 +13,13 @@ SF=${1:-/root/repo/testdata-sf100}
 DUMP=${2:-/tmp/verify_sf100_r12b}
 WORK=${3:-/tmp/spanwork_sf100}
 LOG=${4:-/tmp/check_span_sf100.log}
-M=${M:-16}
-N=${N:-20}
+M=${M:-6}
+N=${N:-8}
+GATES=${GATES:-"q_span_dedup q_clean_pipeline"}
 mkdir -p "$WORK"
 : > "$LOG"
 
-for gate in q_span_dedup q_clean_pipeline; do
+for gate in $GATES; do
   if [ ! -d "$DUMP/$gate" ]; then
     echo "!! $gate dump missing in $DUMP — dump it first" | tee -a "$LOG"
     continue
