@@ -145,8 +145,12 @@ def verify(sf, dump, work, gate, big_n, n):
                CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
                CAST(len(t.toks) AS BIGINT) AS n_total
         FROM t LEFT JOIN kept USING (doc_id)""").df()
-    got = pd.read_parquet(f"{dump}/{gate}")
-    got = got[got["doc_id"] % big_n == n]
+    # read the dump through DuckDB, not pd.read_parquet: pyarrow's mmap
+    # init fails transiently under campaign memory pressure ("failed to
+    # map segment"), and the chunk predicate pushes down this way too
+    got = con.execute(
+        f"SELECT * FROM read_parquet('{dump}/{gate}/*.parquet') "
+        f"WHERE doc_id % {big_n} = {n}").df()
     g, w = canon(got), canon(want)
     assert list(g.columns) == list(w.columns), \
         f"cols {list(g.columns)} vs {list(w.columns)}"
