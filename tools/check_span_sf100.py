@@ -96,6 +96,11 @@ def connect(sf, doc_where=""):
     con = duckdb.connect()
     con.execute("SET threads TO 8")
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # explicit budget: two campaign processes share the box — without a
+    # limit DuckDB asks the OS for more than is free and dies with
+    # 'bad allocation' instead of spilling (GRAFT_DUCK_MEM to override)
+    import os
+    con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCK_MEM', '20GB')}'")
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{sf}/documents.parquet'){doc_where}")
     return con
@@ -124,8 +129,13 @@ def dropped(sf, work, gate, big_m, m):
 
 
 def verify(sf, dump, work, gate, big_n, n):
+    # the comparison is a DuckDB multiset equality (EXCEPT ALL both ways,
+    # the check_etl_fuzz_duckdb.py precedent), NOT the pandas canon+hash:
+    # materializing a 625k-row long-string frame into pandas proved flaky
+    # at sf100 (transient mmap/bad-alloc failures), while EXCEPT ALL stays
+    # inside DuckDB's spillable operators and is a stronger check anyway.
     con = connect(sf, f" WHERE doc_id % {big_n} = {n}")
-    want = con.execute(f"""
+    want_cte = f"""
         WITH docs AS ({DOCS_SQL[gate]}), {SPAN_CTES},
         tok_stream AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
                               unnest(toks) AS tok
@@ -144,19 +154,21 @@ def verify(sf, dump, work, gate, big_n, n):
                coalesce(kept.kept_text, '') AS kept_text,
                CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
                CAST(len(t.toks) AS BIGINT) AS n_total
-        FROM t LEFT JOIN kept USING (doc_id)""").df()
-    # read the dump through DuckDB, not pd.read_parquet: pyarrow's mmap
-    # init fails transiently under campaign memory pressure ("failed to
-    # map segment"), and the chunk predicate pushes down this way too
-    got = con.execute(
-        f"SELECT * FROM read_parquet('{dump}/{gate}/*.parquet') "
-        f"WHERE doc_id % {big_n} = {n}").df()
-    g, w = canon(got), canon(want)
-    assert list(g.columns) == list(w.columns), \
-        f"cols {list(g.columns)} vs {list(w.columns)}"
-    assert len(g) == len(w), f"rows {len(g)} vs {len(w)}"
-    assert h(g) == h(w), "hash mismatch"
-    print(f"OK    {gate} verify chunk {n}/{big_n} ({len(g)} rows)")
+        FROM t LEFT JOIN kept USING (doc_id)"""
+    got_sql = (f"SELECT doc_id, kept_text, n_kept, n_total "
+               f"FROM read_parquet('{dump}/{gate}/*.parquet') "
+               f"WHERE doc_id % {big_n} = {n}")
+    con.execute(f"CREATE TEMP TABLE want AS {want_cte}")
+    n_want = con.execute("SELECT count(*) FROM want").fetchone()[0]
+    n_got = con.execute(f"SELECT count(*) FROM ({got_sql})").fetchone()[0]
+    assert n_got == n_want, f"rows {n_got} vs {n_want}"
+    diff = con.execute(f"""
+        SELECT count(*) FROM (
+          (SELECT * FROM ({got_sql}) EXCEPT ALL SELECT * FROM want)
+          UNION ALL
+          (SELECT * FROM want EXCEPT ALL SELECT * FROM ({got_sql})))""").fetchone()[0]
+    assert diff == 0, f"{diff} multiset-differing rows"
+    print(f"OK    {gate} verify chunk {n}/{big_n} ({n_got} rows, multiset-equal)")
 
 
 if __name__ == "__main__":
