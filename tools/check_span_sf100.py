@@ -135,26 +135,27 @@ def verify(sf, dump, work, gate, big_n, n):
     # at sf100 (transient mmap/bad-alloc failures), while EXCEPT ALL stays
     # inside DuckDB's spillable operators and is a stronger check anyway.
     con = connect(sf, f" WHERE doc_id % {big_n} = {n}")
+    # reassembly is ROW-LOCAL list filtering (no 34M-row token explode, no
+    # ordered string_agg — DuckDB's ordered-aggregate memory ballooned past
+    # any budget on some sf100 chunks): per doc, drop the positions in its
+    # dropped-list and join the survivors
     want_cte = f"""
         WITH docs AS ({DOCS_SQL[gate]}), {SPAN_CTES},
-        tok_stream AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
-                              unnest(toks) AS tok
-                       FROM t),
         dropped AS (SELECT doc_id, pos
                     FROM read_parquet('{work}/dropped_{gate}_*.parquet')
                     WHERE doc_id % {big_n} = {n}),
-        kept AS (SELECT ts.doc_id,
-                        string_agg(ts.tok, ' ' ORDER BY ts.pos) AS kept_text,
-                        count(*) AS n_kept
-                 FROM tok_stream ts
-                 WHERE NOT EXISTS (SELECT 1 FROM dropped dr
-                                   WHERE dr.doc_id = ts.doc_id AND dr.pos = ts.pos)
-                 GROUP BY ts.doc_id)
-        SELECT t.doc_id,
-               coalesce(kept.kept_text, '') AS kept_text,
-               CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
-               CAST(len(t.toks) AS BIGINT) AS n_total
-        FROM t LEFT JOIN kept USING (doc_id)"""
+        d AS (SELECT doc_id, list(pos) AS dl FROM dropped GROUP BY doc_id),
+        k AS (SELECT t.doc_id, len(t.toks) AS n_total,
+                     list_filter(list_transform(range(1, len(t.toks) + 1),
+                       i -> CASE WHEN d.dl IS NOT NULL AND list_contains(d.dl, i - 1)
+                                 THEN NULL ELSE t.toks[i] END),
+                       x -> x IS NOT NULL) AS kl
+              FROM t LEFT JOIN d USING (doc_id))
+        SELECT doc_id,
+               coalesce(array_to_string(kl, ' '), '') AS kept_text,
+               CAST(len(kl) AS BIGINT) AS n_kept,
+               CAST(n_total AS BIGINT) AS n_total
+        FROM k"""
     got_sql = (f"SELECT doc_id, kept_text, n_kept, n_total "
                f"FROM read_parquet('{dump}/{gate}/*.parquet') "
                f"WHERE doc_id % {big_n} = {n}")
