@@ -30,6 +30,14 @@ object Bench {
   private def jstr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
+  /** Locale-independent %.3f: every machine-readable line (the JSON
+    * artifact, the BENCHQ/BENCHSPREAD child protocol) must print '.'
+    * decimals even on a comma-locale JVM — the parent parses them back
+    * with .toDouble.
+    */
+  private def fmt3(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+
   /** One warm-up pass then `runs` timed passes over the headline suite;
     * returns (per-query medians in suite order — None when a query never
     * succeeded, per-run totals over SUCCESSFUL samples only, failed query
@@ -64,16 +72,22 @@ object Bench {
     (perQuery, samples.map(_.map(_._2).sum), failed.toSet)
   }
 
-  private def jsonLine(perQuery: Seq[(String, Option[Double])], runTotals: Seq[Double],
-      sfDir: String, runs: Int, failed: Set[String]): String = {
+  private def jsonLine(perQuery: Seq[(String, Option[Double])],
+      spreadOpt: Option[(Double, Double)], sfDir: String, runs: Int,
+      failed: Set[String]): String = {
     val qs = perQuery.map {
-      case (k, Some(v)) => jstr(k) + f":$v%.3f"
+      case (k, Some(v)) => jstr(k) + ":" + fmt3(v)
       case (k, None)    => jstr(k) + ":null"
     }.mkString("{", ",", "}")
     val total = perQuery.flatMap(_._2).sum
-    val spread = f"""{"min":${runTotals.min}%.3f,"max":${runTotals.max}%.3f}"""
+    // spread is null when it could not be measured faithfully (a family
+    // child died before reporting) — a silently understated min/max would
+    // read as a better bench than was run
+    val spread = spreadOpt
+      .map { case (mn, mx) => s"""{"min":${fmt3(mn)},"max":${fmt3(mx)}}""" }
+      .getOrElse("null")
     val errs = failed.toSeq.sorted.map(jstr).mkString("[", ",", "]")
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"spread":$spread,"errors":$errs}"""
+    s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"spread":$spread,"errors":$errs}"""
   }
 
   /** Family partition for `-families` mode — the run_sf100.sh lesson
@@ -90,7 +104,10 @@ object Bench {
     "minhash" -> Seq("q_dedup_minhash"),
     "simhash" -> Seq("q_dedup_simhash"),
     "ann" -> Seq("q_ann_topk", "q_ann_lsh"),
-    "etl" -> Seq("q_etl_stateless", "q_etl_denorm", "q_session_window"))
+    "etl" -> Seq("q_etl_stateless", "q_etl_denorm", "q_session_window"),
+    // the round-12 heavyweights: most expensive plans in the inventory,
+    // benched from r13 so they carry a regression baseline
+    "clean" -> Seq("q_span_dedup", "q_clean_pipeline"))
 
   /** Fork one fresh JVM per family (same classpath, the parent's
     * --add-opens/-D flags, heap from GRAFT_BENCH_FAMILY_MEM or the
@@ -101,18 +118,32 @@ object Bench {
     * per-family min/max totals (families run sequentially, so the sums
     * bound any single sequential pass).
     */
-  private def runFamilies(sfDir: String, runs: Int): Unit = {
-    import scala.jdk.CollectionConverters._
-    val headline = Registry.all.filter(_.headline).map(_.name)
+  /** The executed family plan: the static partition plus an `other`
+    * catch-all for unlisted headline gates. Exposed (package-private) so
+    * BenchFamiliesSpec asserts coverage of the PRODUCTION plan, not a
+    * re-derivation of it.
+    */
+  private[graft] def familyPlan(headline: Seq[String]): Seq[(String, Seq[String])] = {
     val listed = families.flatMap(_._2).toSet
     val missing = headline.filterNot(listed)
     require(listed.subsetOf(headline.toSet),
       s"families list stale gates: ${listed.diff(headline.toSet)}")
-    val plan = if (missing.isEmpty) families else families :+ ("other" -> missing)
+    if (missing.isEmpty) families else families :+ ("other" -> missing)
+  }
+
+  private def runFamilies(sfDir: String, runs: Int): Unit = {
+    import scala.jdk.CollectionConverters._
+    val headline = Registry.all.filter(_.headline).map(_.name)
+    val plan = familyPlan(headline)
     val jvm = java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
     val passthrough = jvm.zipWithIndex.flatMap { case (a, i) =>
-      if (a == "--add-opens" || a == "--add-exports") Seq(a, jvm(i + 1))
-      else if (a.startsWith("--add-opens=") || a.startsWith("-D")) Seq(a)
+      // space AND '=' forms of both module flags; a truncated space-form
+      // flag at the end of the arg list passes through as-is rather than
+      // throwing on the missing operand
+      if (a == "--add-opens" || a == "--add-exports")
+        a +: jvm.lift(i + 1).toSeq
+      else if (a.startsWith("--add-opens=") || a.startsWith("--add-exports=") ||
+               a.startsWith("-D")) Seq(a)
       else Nil
     }
     val mem = sys.env.getOrElse("GRAFT_BENCH_FAMILY_MEM",
@@ -140,13 +171,19 @@ object Bench {
       // a child that died before reporting marks its whole family failed
       val dead = if (rc != 0 || spread.isEmpty) qs.filterNot(errs.contains).filter(
         q => perQ.find(_._1 == q).exists(_._2.isEmpty)) else Nil
-      (perQ, spread.getOrElse((0.0, 0.0)), errs ++ dead)
+      (perQ, spread, errs ++ dead)
     }
     val perQuery = results.flatMap(_._1)
     val spreads = results.map(_._2)
     val failed = results.flatMap(_._3).toSet
-    println(jsonLine(perQuery, Seq(spreads.map(_._1).sum, spreads.map(_._2).sum),
-      sfDir, runs, failed))
+    // families run sequentially, so summed per-family min/max bound any
+    // single sequential pass — but ONLY if every family reported; a dead
+    // family would silently understate the spread, so it nulls instead
+    val spreadSum =
+      if (spreads.forall(_.isDefined))
+        Some((spreads.flatten.map(_._1).sum, spreads.flatten.map(_._2).sum))
+      else None
+    println(jsonLine(perQuery, spreadSum, sfDir, runs, failed))
   }
 
   def main(args: Array[String]): Unit = {
@@ -167,8 +204,8 @@ object Bench {
       val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
       val (perQuery, totals, failed) = runSuite(spark, sfDir, runs, Some(names))
       perQuery.foreach { case (k, v) =>
-        println(s"BENCHQ $k ${v.map(x => f"$x%.3f").getOrElse("null")}") }
-      println(f"BENCHSPREAD ${totals.min}%.3f ${totals.max}%.3f")
+        println(s"BENCHQ $k ${v.map(fmt3).getOrElse("null")}") }
+      println(s"BENCHSPREAD ${fmt3(totals.min)} ${fmt3(totals.max)}")
       failed.toSeq.sorted.foreach(f => println(s"BENCHERR $f"))
       spark.stop()
       return
@@ -182,7 +219,7 @@ object Bench {
         .filter(d => new java.io.File(s"$d/lineitem.parquet").exists())
       val rows = rungs.map { d =>
         val (perQuery, totals, failed) = runSuite(spark, d, runs)
-        println(jsonLine(perQuery, totals, d, runs, failed))
+        println(jsonLine(perQuery, Some((totals.min, totals.max)), d, runs, failed))
         (d, perQuery.flatMap(_._2).sum, totals.min, totals.max, failed)
       }
       println("\n| sf dir | median total (s) | min | max | errors |")
@@ -194,7 +231,7 @@ object Bench {
     } else {
       val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
       val (perQuery, totals, failed) = runSuite(spark, sfDir, runs)
-      println(jsonLine(perQuery, totals, sfDir, runs, failed))
+      println(jsonLine(perQuery, Some((totals.min, totals.max)), sfDir, runs, failed))
     }
     spark.stop()
   }

@@ -90,10 +90,12 @@ object GraftExtensions {
     "redact_pii" -> ((args: Seq[Expression]) =>
       e(graft.ml.TextOps.redactPii(c(args.head)))),
     // aggregate: topk_pairs(sim, id, k) in GROUP BY queries — the
-    // bounded-shuffle exact top-k (see functions.TopKPairsAgg)
+    // bounded-shuffle exact top-k (see functions.TopKPairsAgg). k may be
+    // any int expression: a literal, or a plan-computed shortlist bound
+    // (constant per group) that saves a driver-side count() job.
     "topk_pairs" -> ((args: Seq[Expression]) =>
-      graft.functions.TopKPairsAgg(args(0), args(1),
-        litInt(args(2), "topk_pairs", 2)).toAggregateExpression()))
+      graft.functions.TopKPairsAgg(args(0), args(1), args(2))
+        .toAggregateExpression()))
 
   /** Register everything on a live session (idempotent). */
   def install(spark: SparkSession): Unit =

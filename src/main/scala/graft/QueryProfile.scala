@@ -21,6 +21,10 @@ object QueryProfile {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // A/B lever for attributing driver overhead: GRAFT_PROFILE_AQE=off
+    // disables adaptive execution for the profiled runs only.
+    sys.env.get("GRAFT_PROFILE_AQE").foreach(v =>
+      spark.conf.set("spark.sql.adaptive.enabled", (v != "off").toString))
     val q = Registry.all.find(_.name == name).getOrElse {
       System.err.println(s"unknown gate $name"); sys.exit(2)
     }
@@ -40,10 +44,17 @@ object QueryProfile {
     for (r <- 1 to runs) {
       stages.clear(); jobs = 0
       val t0 = System.nanoTime()
-      val n = q.run(spark, sfDir).count()
-      val sec = (System.nanoTime() - t0) / 1e9
+      val df = q.run(spark, sfDir)
+      val t1 = System.nanoTime()
+      df.queryExecution.executedPlan // analysis + optimization + planning
+      val t2 = System.nanoTime()
+      val n = df.count()
+      val t3 = System.nanoTime()
+      val sec = (t3 - t0) / 1e9
       Thread.sleep(300) // listener bus is async; let it drain before reporting
-      println(f"== run $r: $name $sec%.3f s ($n rows, $jobs jobs)")
+      println(f"== run $r: $name $sec%.3f s ($n rows, $jobs jobs)  " +
+        f"[build ${(t1 - t0) / 1e9}%.3f  plan ${(t2 - t1) / 1e9}%.3f  " +
+        f"exec ${(t3 - t2) / 1e9}%.3f]")
       import scala.jdk.CollectionConverters._
       stages.asScala.toSeq.sortBy(-_._3).foreach { case (id, nm, ms, tasks) =>
         println(f"   stage $id%4d $ms%6d ms $tasks%4d tasks  $nm")

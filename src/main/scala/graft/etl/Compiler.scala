@@ -3,6 +3,7 @@ package graft.etl
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Compiles an ETL [[Transform]] into a DataFrame program — the Spark
   * replacement for the reference's YAML→Zed compiler + lake execution
@@ -65,9 +66,32 @@ object Compiler {
       *               near-zero-based spread while preserving monotonicity
       *               (hence renumber order) and determinism. Never affects
       *               RESULTS — only the parallelism of the renumber window.
+      * @param batchSpanHint driver-known upper bound on this batch's row
+      *               count (Pipeline: Σ per-topic high-water − contiguity
+      *               base, both already read from #offsets metadata — no
+      *               scan). When the bound is at or under
+      *               `spark.graft.etl.smallBatchSpan` (default 4M) the
+      *               renumber takes the SMALL-BATCH SINGLE-BUCKET fast
+      *               path: one row_number window per output topic, no
+      *               octave bucketing, no bucket-count aggregate / base
+      *               window / broadcast — three fewer materialized
+      *               exchanges, each of which costs an AQE
+      *               re-optimization sync that dominates wall time on
+      *               sync-sized batches (stage sums are single-digit-ms;
+      *               see BENCHNOTES round-12 profile). Results are
+      *               IDENTICAL to the octave path: bucketing is monotone
+      *               in offset, so (bucket asc, offset asc, topic asc)
+      *               orders rows exactly like (offset asc, topic asc) and
+      *               the cumulative bases telescope into the same dense
+      *               numbering. The fast path's one-task-per-topic window
+      *               is exactly the hazard the octave scheme exists to
+      *               avoid — which is why it gates on a DRIVER-KNOWN
+      *               bound, never on a count() job, and an absent or
+      *               oversized hint falls through to the scale path.
       */
     def run(input: DataFrame, doneSet: DataFrame, baseOffsets: Map[String, Long],
-        pin: DataFrame => DataFrame = identity, anchor: Long = 0L): DataFrame = {
+        pin: DataFrame => DataFrame = identity, anchor: Long = 0L,
+        batchSpanHint: Option[Long] = None): DataFrame = {
       val t = transform
       val inputTopics = t.inputs.map(_.topic)
       val schema = input.schema
@@ -99,38 +123,53 @@ object Compiler {
       //    consumer (bucket-count aggregate, renumber window, done-row
       //    branch) reads the SAME narrow frame, so a single pin covers all
       //    of them and the scan + joins run once per materialization.
+      // Schemas below are DERIVED from the one `input.schema` probe, never
+      // re-asked from the growing DataFrames: every .schema/.columns call
+      // mid-build runs the full analyzer on the tree built so far, and the
+      // per-rule probes compound into the dominant cost of Program.run on
+      // sync-sized batches (measured: plan BUILD ≈ 0.6 s of the gate's
+      // ~1.0 s wall at sf0.1 before this was removed — sf-independent).
+      val inCols = schema.fieldNames.toSeq
+      val wrappedSchema = StructType(Seq(StructField("in", schema)))
+      // Layer count matters here, not just probe count: EVERY Dataset
+      // transformation analyzes its whole tree eagerly, so a chain of N
+      // layers costs O(N²) analyzer passes. Consecutive select/withColumn/
+      // drop steps are fused into single selects throughout (the struct
+      // projection drops `_rule` by simply not selecting it).
       val parts: Seq[DataFrame] = t.rules.zipWithIndex.map {
         case (r, i) =>
-          val matched = routed.filter(col("_rule") === i).drop("_rule")
+          val matched = routed.filter(col("_rule") === i)
           r.ruleType match {
             case "stateless" =>
               val outAst = ZedExpr.parseOutAssign(r.zed)
               // `in` = the whole input record (ref: yield {in:this})
-              val wrapped = matched.select(struct(matched.columns.toSeq.map(col): _*).as("in"))
+              val wrapped = matched.select(struct(inCols.map(col): _*).as("in"))
               wrapped.select(
-                ZedExpr.toColumn(outAst, wrapped.schema).as("out"),
+                ZedExpr.toColumn(outAst, wrappedSchema).as("out"),
                 col("in.kafka").as("_inkafka"),
                 array(struct(col("in.kafka.topic").as("topic"),
-                  col("in.kafka.offset").as("offset"))).as("_donek"))
-                .withColumn("_outtopic", lit(r.out))
+                  col("in.kafka.offset").as("offset"))).as("_donek"),
+                lit(r.out).as("_outtopic"))
 
             case "denorm" =>
               val Array(lk, rk) = r.joinOn.split("=").map(_.trim)
               require(lk.nonEmpty && rk.nonEmpty, s"join-on syntax error: ${r.joinOn}")
               val lrows = matched.filter(col("kafka.topic") === r.left)
-                .select(struct(matched.columns.toSeq.map(col): _*).as("left"))
+                .select(struct(inCols.map(col): _*).as("left"))
               val rrows = matched.filter(col("kafka.topic") === r.right)
-                .select(struct(matched.columns.toSeq.map(col): _*).as("right"))
+                .select(struct(inCols.map(col): _*).as("right"))
               val joined = lrows.join(rrows, col(lk) === col(rk), "inner")
+              val joinedSchema = StructType(
+                Seq(StructField("left", schema), StructField("right", schema)))
               joined.select(
-                ZedExpr.toColumn(ZedExpr.parseOutAssign(r.zed), joined.schema).as("out"),
+                ZedExpr.toColumn(ZedExpr.parseOutAssign(r.zed), joinedSchema).as("out"),
                 col("left.kafka").as("_inkafka"),
                 array(
                   struct(col("left.kafka.topic").as("topic"),
                     col("left.kafka.offset").as("offset")),
                   struct(col("right.kafka.topic").as("topic"),
-                    col("right.kafka.offset").as("offset"))).as("_donek"))
-                .withColumn("_outtopic", lit(r.out))
+                    col("right.kafka.offset").as("offset"))).as("_donek"),
+                lit(r.out).as("_outtopic"))
           }
       }
 
@@ -163,6 +202,10 @@ object Compiler {
       val baseExpr = baseOffsets.foldLeft(lit(0L)) { case (acc, (topic, base)) =>
         when(col("_outtopic") === topic, lit(base)).otherwise(acc)
       }
+      val smallMax = allData.sparkSession.conf
+        .getOption("spark.graft.etl.smallBatchSpan").map(_.toLong)
+        .getOrElse(4000000L)
+      val smallBatch = batchSpanHint.exists(h => h >= 0 && h <= smallMax)
       val nb = allData.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
       // ≥ 2·partitions sub-ranges per octave → the biggest bucket of a
       // uniform offset range holds ≈ 1/(2·partitions) of the batch.
@@ -170,37 +213,20 @@ object Compiler {
       // (needs > 2^24 shuffle partitions to matter — see its require).
       val m = math.min(25,
         math.max(6, 32 - java.lang.Integer.numberOfLeadingZeros(math.max(nb - 1, 1)) + 1))
-      // max(anchor, 0) guards a caller passing a sentinel; offsets are
-      // non-negative by kafka contract so the shifted key stays ≥ 0
-      val withB = allData.withColumn("_bkt",
-        graft.functions.OffsetBucketExpr.offsetBucketNative(
-          col("_inkafka.offset") - lit(math.max(anchor, 0L)), m))
-      val bases = withB.groupBy("_outtopic", "_bkt").count()
-        .withColumn("_bb_base",
-          coalesce(
-            sum(col("count")).over(
-              Window.partitionBy(col("_outtopic")).orderBy(col("_bkt").asc)
-                .rowsBetween(Window.unboundedPreceding, -1)),
-            lit(0L)))
-        .select(col("_outtopic").as("_bb_topic"), col("_bkt").as("_bb_bkt"),
-          col("_bb_base"))
-      val w = Window.partitionBy(col("_outtopic"), col("_bkt"))
-        .orderBy(col("_inkafka.offset").asc, col("_inkafka.topic").asc)
-      // `_outtopic` survives into the result so a multi-pool pipeline can
-      // split rows (data AND done markers) by their destination pool; the
-      // pipeline drops it before append.
-      val renumbered = withB
-        .join(broadcast(bases), col("_outtopic") === col("_bb_topic") &&
-          col("_bkt") === col("_bb_bkt"), "left")
-        .withColumn("_newoff",
-          row_number().over(w).cast("long") - 1L +
-            coalesce(col("_bb_base"), lit(0L)) + baseExpr)
-        .drop("_bb_topic", "_bb_bkt", "_bb_base")
-        .select(
+      val renumbered = if (smallBatch) {
+        // small-batch single-bucket fast path (see batchSpanHint scaladoc):
+        // the whole topic renumbers in one window partition — identical
+        // numbers, none of the bases-chain exchanges
+        val w1 = Window.partitionBy(col("_outtopic"))
+          .orderBy(col("_inkafka.offset").asc, col("_inkafka.topic").asc)
+        allData.select(
           col("out.*"),
-          struct(col("_outtopic").as("topic"), col("_newoff").as("offset")).as("kafka"),
+          struct(col("_outtopic").as("topic"),
+            (row_number().over(w1).cast("long") - 1L + baseExpr).as("offset"))
+            .as("kafka"),
           lit(null).cast("string").as(TypeCol),
           col("_outtopic"))
+      } else renumberOctave(allData, baseExpr, anchor, m)
 
       val doneOut = allData.select(
         explode(col("_donek")).as("kafka"),
@@ -210,6 +236,42 @@ object Compiler {
       renumbered
         .unionByName(doneOut, allowMissingColumns = true)
         .orderBy(col("kafka.offset"))
+    }
+
+    /** The scale renumber: octave bucketing + distributed bases (see the
+      * step comments above). Split out so the small-batch branch reads as
+      * the alternative it is.
+      */
+    private def renumberOctave(allData: DataFrame, baseExpr: Column,
+        anchor: Long, m: Int): DataFrame = {
+      // max(anchor, 0) guards a caller passing a sentinel; offsets are
+      // non-negative by kafka contract so the shifted key stays ≥ 0
+      val withB = allData.withColumn("_bkt",
+        graft.functions.OffsetBucketExpr.offsetBucketNative(
+          col("_inkafka.offset") - lit(math.max(anchor, 0L)), m))
+      val bases = withB.groupBy("_outtopic", "_bkt").count()
+        .select(col("_outtopic").as("_bb_topic"), col("_bkt").as("_bb_bkt"),
+          coalesce(
+            sum(col("count")).over(
+              Window.partitionBy(col("_outtopic")).orderBy(col("_bkt").asc)
+                .rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)).as("_bb_base"))
+      val w = Window.partitionBy(col("_outtopic"), col("_bkt"))
+        .orderBy(col("_inkafka.offset").asc, col("_inkafka.topic").asc)
+      // `_outtopic` survives into the result so a multi-pool pipeline can
+      // split rows (data AND done markers) by their destination pool; the
+      // pipeline drops it before append.
+      withB
+        .join(broadcast(bases), col("_outtopic") === col("_bb_topic") &&
+          col("_bkt") === col("_bb_bkt"), "left")
+        .select(
+          col("out.*"),
+          struct(col("_outtopic").as("topic"),
+            (row_number().over(w).cast("long") - 1L +
+              coalesce(col("_bb_base"), lit(0L)) + baseExpr).as("offset"))
+            .as("kafka"),
+          lit(null).cast("string").as(TypeCol),
+          col("_outtopic"))
     }
   }
 

@@ -22,6 +22,19 @@ object EtlOps {
       struct(col("value").as("v"),
         get_json_object(col("props"), "$.k").cast("long").as("k")).as("value"))
 
+  /** Driver-known batch bound for the renumber small-batch fast path: the
+    * input offset span read straight from the parquet footers (driver
+    * metadata read, zero Spark jobs — the same class of driver action as
+    * Pipeline's cursor metadata). The gate models one bounded CDC sync
+    * batch; Pipeline derives the equivalent hint from pool #offsets
+    * metadata. Past the configured span cap (e.g. the sf100 rung's
+    * 100M-row events table) the hint makes Program.run fall through to
+    * the octave scale path by itself; so does a missing-stats None.
+    */
+  private def spanHint(s: SparkSession, d: String): Option[Long] =
+    graft.sources.Tables.footerLongStats(s, s"$d/events.parquet", "event_id")
+      .map { case (lo, hi) => hi - lo + 1L }
+
   private def emptyDone(s: SparkSession): DataFrame =
     s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(StructField("topic", StringType), StructField("offset", LongType))))
@@ -65,7 +78,8 @@ object EtlOps {
         col("event_id") % 3 === 0)
         .select(col("event_type").as("topic"), col("event_id").cast("long").as("offset"))
       val program = Compiler.compile(Transform.fromYaml(statelessYaml))
-      flatten(program.run(input, doneSet, Map("Out" -> 1000L)))
+      flatten(program.run(input, doneSet, Map("Out" -> 1000L),
+        batchSpanHint = spanHint(s, d)))
     },
     Some("""WITH cdc AS (SELECT event_type AS t, event_id AS o, user_id AS u, value AS v
                          FROM events
@@ -108,6 +122,10 @@ object EtlOps {
   private val qEtlDenorm = GQuery(
     "q_etl_denorm",
     (s, d) => {
+      // no span hint here: a SINGLE-output program's fast-path window
+      // would constant-fold its partition spec (_outtopic = lit) into
+      // exactly the global-window shape PlanAuditSpec bans — the octave
+      // path keeps the denorm gate's renumber parallel
       val program = Compiler.compile(Transform.fromYaml(denormYaml))
       program.run(cdcInput(s, d), emptyDone(s), Map.empty)
         .select(

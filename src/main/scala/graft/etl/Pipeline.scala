@@ -204,7 +204,18 @@ final class Pipeline(spark: SparkSession, transform: Transform, root: String,
     // — keeps the octave renumber buckets near-zero-based on incremental
     // runs whose offsets sit in a narrow high range (steady state)
     val anchor = if (contBases.nonEmpty) contBases.values.min else 0L
-    val result = program.run(prunedIn, prunedDone, bases, pin, anchor).cache()
+    // batch-span hint for the small-batch renumber fast path: per-topic
+    // (input high-water − contiguity base) summed — high-water from the
+    // input pool's #offsets METADATA only (manifestOffsets — no scan; the
+    // nextProducerOffsets scan fallback would defeat the point of a
+    // driver-known bound). Falls back to None (scale path) when any topic
+    // lacks metadata.
+    val batchSpanHint = inputPool.manifestOffsets().collect {
+      case high if contBases.nonEmpty && contBases.keySet.subsetOf(high.keySet) =>
+        contBases.map { case (t, b) => math.max(0L, high(t) + 1L - b) }.sum
+    }
+    val result = program.run(prunedIn, prunedDone, bases, pin, anchor,
+      batchSpanHint).cache()
     try {
       val n = result.count()
       if (n > 0) {

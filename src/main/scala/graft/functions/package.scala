@@ -208,8 +208,20 @@ package object functions {
     */
   def topkPairs(sim: Column, id: Column, k: Int): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
-    Bridge.column(TopKPairsAgg(Bridge.expression(sim), Bridge.expression(id), k)
+    Bridge.column(TopKPairsAgg(Bridge.expression(sim), Bridge.expression(id),
+      org.apache.spark.sql.catalyst.expressions.Literal(k))
       .toAggregateExpression())
+  }
+
+  /** [[topkPairs]] with a PLAN-computed bound: `k` is a column (same value
+    * on every row of a group — e.g. a corpus-fraction shortlist size
+    * cross-joined from a 1-row stats frame), so sizing the shortlist needs
+    * no driver-side `count()` job before the plan is built.
+    */
+  def topkPairsDyn(sim: Column, id: Column, k: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(TopKPairsAgg(Bridge.expression(sim), Bridge.expression(id),
+      Bridge.expression(k)).toAggregateExpression())
   }
 
   /** Random-hyperplane signature for cosine LSH: `planes` ±1 hyperplanes

@@ -161,13 +161,11 @@ object AnnOps {
     val cand = corpusSigs.join(broadcast(querySigs), Seq("tbl", "sig"))
       .filter(col("q_id") =!= col("n_id"))
       .select("q_id", "n_id").distinct()
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
-    cand
-      .join(queries.select(col("vec_id").as("q_id"), col("v").as("qv")), Seq("q_id"))
-      .join(corpus.select(col("vec_id").as("n_id"), col("v").as("nv")), Seq("n_id"))
-      .select(col("q_id"), col("n_id"), stableRound(cosine(col("qv"), col("nv")), 4).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    scoredTopK(
+      cand
+        .join(queries.select(col("vec_id").as("q_id"), col("v").as("qv")), Seq("q_id"))
+        .join(corpus.select(col("vec_id").as("n_id"), col("v").as("nv")), Seq("n_id")),
+      k)
       .select(col("q_id"), col("n_id"), col("sim"), col("rk").cast("long").as("rk"))
   }
 
@@ -223,7 +221,6 @@ object AnnOps {
     * each iteration is one broadcast-join assign + one mean-reduce.
     */
   def kmeansCells(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
     // Deterministic init: the k lowest vec_ids, numbered on the driver —
     // k rows is metadata scale, and it avoids a partition-less global
     // window (the pattern PlanAuditSpec bans).
@@ -239,12 +236,9 @@ object AnnOps {
           org.apache.spark.sql.types.IntegerType),
         org.apache.spark.sql.types.StructField("cent", vType))))
     for (it <- 0 until iters) {
-      val assigned = corpus
-        .join(broadcast(cents))
-        .select(col("vec_id"), col("v"), col("cell"),
-          cosine(col("v"), col("cent")).as("csim"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
+      // argmax via the bounded heap (k=1): the shuffle carries one row
+      // per VECTOR, not one per vector × cell as the old rank window did
+      val assigned = argmaxCell(corpus, cents)
       cents = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg("x").as("m"))
@@ -261,15 +255,25 @@ object AnnOps {
     cents
   }
 
-  /** Assign each corpus vector to its trained cell. */
-  def assignCells(corpus: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
+  /** Nearest-cell argmax through the bounded heap — the shared kernel of
+    * training and assignment. Ranking is (csim desc, cell asc), exactly
+    * the old per-vector rank window's order, but the map side reduces to
+    * one heap entry per vector so the exchange carries |corpus| rows
+    * instead of |corpus| × cells.
+    */
+  private def argmaxCell(corpus: DataFrame, cents: DataFrame): DataFrame =
     corpus.join(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("cell"), cosine(col("v"), col("cent")).as("csim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select("vec_id", "v", "cell")
-  }
+      .select(col("vec_id"), col("v"), col("cell"),
+        cosine(col("v"), col("cent")).as("csim"))
+      .groupBy("vec_id")
+      .agg(first("v").as("v"),
+        topkPairs(col("csim"), col("cell").cast("long"), 1).as("pc"))
+      .select(col("vec_id"), col("v"),
+        element_at(col("pc.n_id"), 1).cast("int").as("cell"))
+
+  /** Assign each corpus vector to its trained cell. */
+  def assignCells(corpus: DataFrame, cents: DataFrame): DataFrame =
+    argmaxCell(corpus, cents)
 
   /** IVF with a trained quantizer: probe the `nprobe` nearest cells. At
     * scale the cell assignment is precomputed and the corpus is stored
@@ -277,8 +281,11 @@ object AnnOps {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
       cells: Int = 10, trainIters: Int = 3): DataFrame = {
-    val cents = kmeansCells(corpus, cells, trainIters)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // local centroid frame (metadata scale) instead of a persist that
+    // outlives the call — see ivfPqTopK
+    val centsDf = kmeansCells(corpus, cells, trainIters)
+    val cents = corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(centsDf.collect(): _*), centsDf.schema)
     val assigned = assignCells(corpus, cents)
       .withColumnRenamed("cell", "label")
     ivfSearch(assigned, cents.withColumnRenamed("cell", "label"), queries, k, nprobe)
@@ -287,21 +294,24 @@ object AnnOps {
   private def ivfSearch(corpusWithCells: DataFrame, cents: DataFrame,
       queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val corpus = corpusWithCells
-    val probe = Window.partitionBy("q_id").orderBy(col("csim").desc, col("label").asc)
+    // probe through the bounded heap (label ids as pair ids — the same
+    // (csim desc, label asc) ranking the old probe window used)
+    val labelType = cents.schema("label").dataType
     val cells = queries.select(col("vec_id").as("q_id"), col("v").as("qv"))
       .join(broadcast(cents))
       .select(col("q_id"), col("qv"), col("label"), cosine(col("qv"), col("cent")).as("csim"))
-      .withColumn("pr", row_number().over(probe))
-      .filter(col("pr") <= nprobe)
-      .select(col("q_id"), col("qv"), col("label"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
-    corpus.select(col("vec_id").as("n_id"), col("label"), col("v").as("nv"))
-      .join(broadcast(cells), Seq("label"))
-      .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), stableRound(cosine(col("qv"), col("nv")), 4).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("n_id"), col("sim"), col("rk").cast("long").as("rk"))
+      .groupBy("q_id")
+      .agg(first("qv").as("qv"),
+        topkPairs(col("csim"), col("label").cast("long"), nprobe).as("pc"))
+      .select(col("q_id"), col("qv"),
+        explode(col("pc.n_id")).as("_lbl"))
+      .select(col("q_id"), col("qv"), col("_lbl").cast(labelType).as("label"))
+    // probed-cell scan → shared bounded-heap top-k tail (no rank window)
+    scoredTopK(
+      corpus.select(col("vec_id").as("n_id"), col("label"), col("v").as("nv"))
+        .join(broadcast(cells), Seq("label"))
+        .filter(col("q_id") =!= col("n_id")),
+      k)
   }
 
   private val qAnnIvf = GQuery(
@@ -333,11 +343,11 @@ object AnnOps {
       // cutoff as the corpus grows; rerank cost stays queries×shortlist.
       // (A 10% rerank is for PQ-alone search at this corpus scale — at
       // billions of vectors PQ always sits behind IVF pruning, ml.IvfPq,
-      // where the fraction applies per probed cell.)
-      val shortlist = math.max(50L, all.count() / 10L).toInt
+      // where the fraction applies per probed cell.) The fraction is
+      // computed in-plan (searchWithRerankFrac) — no driver count() job.
       recallSummary(
         recallVsExact(all, qs, 5,
-          Pq.searchWithRerank(codes, cents, all, qsN, 5, shortlist)),
+          Pq.searchWithRerankFrac(codes, cents, all, qsN, 5, 10)),
         0.65, None)
     },
     Some(recallOracle(0.65, None)))
@@ -360,49 +370,62 @@ object AnnOps {
     */
   private[ml] def ivfPqTopK(all: DataFrame, qs: DataFrame, k: Int,
       nprobe: Int = 3, cells: Int = 10): DataFrame = {
+    val spark = all.sparkSession
     val allN = all.select(col("vec_id"), l2normalize(col("v")).as("v"))
     val qsN = qs.select(col("vec_id"), l2normalize(col("v")).as("v"))
-    val cents = kmeansCells(allN, cells, 2)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Land the trained centroids in a LOCAL frame: `cells` rows is
+    // metadata scale (kmeansCells itself collects that many for init),
+    // downstream consumers stop re-deriving the Lloyd's lineage, and —
+    // unlike the r12 persist — nothing stays cached after the call
+    // (repeated bench invocations used to accumulate centroid blocks).
+    val centsDf = kmeansCells(allN, cells, 2)
+    val cents = spark.createDataFrame(
+      java.util.Arrays.asList(centsDf.collect(): _*), centsDf.schema)
     val assigned = assignCells(allN, cents) // vec_id, v, cell
     val book = Pq.train(allN, m = 8, k = 16, iters = 2)
     val codes = Pq.encode(allN, book)
       .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
     // probe: nprobe nearest cells per query against the broadcast
-    // centroids; one row per query carrying its (normalized) vector and
-    // probed-cell list
-    val probeW = Window.partitionBy("q_id").orderBy(col("csim").desc, col("cell").asc)
+    // centroids, through the bounded heap (cell ids as pair ids — same
+    // (csim desc, cell asc) ranking the old probe window used); one row
+    // per query carrying its (normalized) vector and probed-cell list
     val probed = qsN.select(col("vec_id").as("q_id"), col("v"))
       .join(broadcast(cents))
       .select(col("q_id"), col("v"), col("cell"),
         cosine(col("v"), col("cent")).as("csim"))
-      .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= nprobe)
-      .groupBy("q_id").agg(first("v").as("v"), collect_list("cell").as("cells"))
+      .groupBy("q_id")
+      .agg(first("v").as("v"),
+        topkPairs(col("csim"), col("cell").cast("long"), nprobe).as("pc"))
+      .select(col("q_id"), col("v"),
+        transform(col("pc"), p => p.getField("n_id").cast("int")).as("cells"))
     // ADC shortlist over probed cells only: a code row scores against a
     // query iff its cell is in that query's probe set (the in-plan form
-    // of the disk index's partition pruning)
-    val shortlist = math.max(50L, all.count() * nprobe / cells / 10L).toInt
+    // of the disk index's partition pruning). The shortlist BOUND — a
+    // fraction of the probed population — rides the plan as a 1-row
+    // broadcast stats frame feeding topk_pairs' dynamic k: no driver
+    // count() job, and no per-query global-sort window (the map side
+    // reduces to bounded heaps; negate(d2) reuses the (d2 asc, n_id asc)
+    // ranking, the searchTopKDistributed pattern).
+    val cstats = all.groupBy().agg(count(lit(1)).as("cnt"))
+    val sl = greatest(lit(50L),
+      floor(col("cnt") * nprobe / cells / 10)).cast("int")
     val qDf = Pq.queryTables(book, probed.select(col("q_id").as("vec_id"), col("v")))
       .join(probed.select(col("q_id"), col("cells")), Seq("q_id"))
-    val shortW = Window.partitionBy("q_id").orderBy(col("d2").asc, col("n_id").asc)
     val cand = codes.select(col("vec_id").as("n_id"), col("codes"), col("cell"))
+      .crossJoin(broadcast(cstats))
       .join(broadcast(qDf), array_contains(col("cells"), col("cell")) &&
         col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), Pq.adcDist.as("d2"))
-      .withColumn("rk", row_number().over(shortW))
-      .filter(col("rk") <= shortlist)
-      .select("q_id", "n_id")
-    // exact re-rank of the shortlist on the raw vectors
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
-    cand
-      .join(broadcast(qs.select(col("vec_id").as("q_id"), col("v").as("qv"))), Seq("q_id"))
-      .join(all.select(col("vec_id").as("n_id"), col("v").as("nv")), Seq("n_id"))
-      .select(col("q_id"), col("n_id"),
-        stableRound(cosine(col("qv"), col("nv")), 4).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("n_id"), col("sim"), col("rk").cast("long").as("rk"))
+      .select(col("q_id"), col("n_id"), Pq.adcDist.as("d2"), sl.as("sl"))
+      .groupBy("q_id")
+      .agg(topkPairsDyn(negate(col("d2")), col("n_id"), col("sl")).as("top"))
+      .select(col("q_id"), explode(col("top.n_id")).as("n_id"))
+    // exact re-rank of the shortlist on the raw vectors — the shared
+    // bounded-heap tail, not a rank window
+    scoredTopK(
+      cand
+        .join(broadcast(qs.select(col("vec_id").as("q_id"), col("v").as("qv"))), Seq("q_id"))
+        .join(all.select(col("vec_id").as("n_id"), col("v").as("nv")), Seq("n_id")),
+      k)
   }
 
   // ---- SQ8 scalar quantization: the bandwidth tier ----------------------
@@ -416,16 +439,22 @@ object AnnOps {
 
   /** Train: per-dimension [min,max] over the corpus, reduced to ONE row of
     * (mins, maxs) arrays — metadata-scale, broadcastable like a codebook.
+    * The corpus COUNT rides along in the same pass (every dimension
+    * appears once per corpus row, so any per-dimension count IS |C|):
+    * that is what lets the search size its corpus-fraction shortlist
+    * in-plan instead of with a driver `count()` job.
     */
   private[ml] def sqStats(corpus: DataFrame): DataFrame =
     corpus.select(posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+      .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"),
+        count(lit(1)).as("n"))
       .groupBy()
       .agg(
         transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
           p => p.getField("mn")).as("mins"),
         transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
-          p => p.getField("mx")).as("maxs"))
+          p => p.getField("mx")).as("maxs"),
+        max(col("n")).as("cnt"))
 
   /** Encode: half-up affine uint8 code per dimension; a degenerate
     * dimension (max == min) codes to 0 and decodes back to its min.
@@ -449,30 +478,32 @@ object AnnOps {
   def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val stats = sqStats(corpus)
     val codes = sqEncode(corpus, stats)
-    val shortlist = math.max(50L, corpus.count() / 10L).toInt
     val deq = transform(col("codes"), (c, i) => {
       val mn = element_at(col("mins"), i + 1)
       val mx = element_at(col("maxs"), i + 1)
       mn + c * (mx - mn) / 255.0
     })
-    val shortW = Window.partitionBy("q_id").orderBy(col("asim").desc, col("n_id").asc)
+    // corpus-fraction shortlist through the bounded per-partition heaps:
+    // the bound comes from the stats row's cnt (same broadcast the
+    // dequantize already rides), so there is no driver count() job and no
+    // per-query global-sort window — the exchange carries partitions ×
+    // queries × bound entries at most, and each reducer streams its
+    // merge in O(n log bound) instead of sorting the corpus per query.
+    val sl = greatest(lit(50L), floor(col("cnt") / 10)).cast("int")
     val cand = codes.crossJoin(broadcast(stats))
       .join(broadcast(queries.select(col("vec_id").as("q_id"), col("v").as("qv"))),
         col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        stableRound(cosine(deq, col("qv")), 4).as("asim"))
-      .withColumn("rk", row_number().over(shortW))
-      .filter(col("rk") <= shortlist)
-      .select("q_id", "n_id")
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
-    cand
-      .join(broadcast(queries.select(col("vec_id").as("q_id"), col("v").as("qv"))), Seq("q_id"))
-      .join(corpus.select(col("vec_id").as("n_id"), col("v").as("nv")), Seq("n_id"))
-      .select(col("q_id"), col("n_id"),
-        stableRound(cosine(col("qv"), col("nv")), 4).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("n_id"), col("sim"), col("rk").cast("long").as("rk"))
+        stableRound(cosine(deq, col("qv")), 4).as("asim"), sl.as("sl"))
+      .groupBy("q_id")
+      .agg(topkPairsDyn(col("asim"), col("n_id"), col("sl")).as("top"))
+      .select(col("q_id"), explode(col("top.n_id")).as("n_id"))
+    // exact re-rank of the shortlist on raw vectors — shared heap tail
+    scoredTopK(
+      cand
+        .join(broadcast(queries.select(col("vec_id").as("q_id"), col("v").as("qv"))), Seq("q_id"))
+        .join(corpus.select(col("vec_id").as("n_id"), col("v").as("nv")), Seq("n_id")),
+      k)
   }
 
   private val qAnnSq = GQuery(

@@ -114,7 +114,14 @@ object CleanOps {
     val noBlocks = regexp_replace(
       regexp_replace(c, lit("(?is)<script[^>]*>.*?</script>"), lit("")),
       lit("(?is)<style[^>]*>.*?</style>"), lit(""))
-    val noTags = regexp_replace(noBlocks, lit("<[^>]+>"), lit(" "))
+    // comments and CDATA are BLOCK strips too (r12 verdict): the tag pass
+    // alone eats `<!--` only up to its first `>`, leaking the comment
+    // body (nav boilerplate, conditional-IE markup) into the corpus —
+    // real crawls hit this on page one
+    val noMeta = regexp_replace(
+      regexp_replace(noBlocks, lit("(?s)<!--.*?-->"), lit("")),
+      lit("(?is)<!\\[CDATA\\[.*?\\]\\]>"), lit(""))
+    val noTags = regexp_replace(noMeta, lit("<[^>]+>"), lit(" "))
     val unesc = regexp_replace(
       regexp_replace(
         regexp_replace(noTags, lit("&lt;"), lit("<")),
@@ -127,9 +134,11 @@ object CleanOps {
     "q_html_strip",
     (s, d) => {
       val synth = concat(
-        lit("<html><head><style>p{color:red}</style></head><body><h1>Doc "),
+        lit("<html><head><style>p{color:red}</style><!-- nav: home | about | doc "),
         col("doc_id"),
-        lit("</h1><p>"), col("text"),
+        lit(" --></head><body><h1>Doc "),
+        col("doc_id"),
+        lit("</h1><![CDATA[raw <markup> & bytes]]><p>"), col("text"),
         lit(" &amp; more &lt;tags&gt;</p><script>var x=1;</script></body></html>"))
       documents(s, d).select(
         col("doc_id"),
@@ -144,8 +153,12 @@ object CleanOps {
                          regexp_replace(
                            regexp_replace(
                              regexp_replace(
-                               regexp_replace(synth, '(?is)<script[^>]*>.*?</script>', '', 'g'),
-                               '(?is)<style[^>]*>.*?</style>', '', 'g'),
+                               regexp_replace(
+                                 regexp_replace(
+                                   regexp_replace(synth, '(?is)<script[^>]*>.*?</script>', '', 'g'),
+                                   '(?is)<style[^>]*>.*?</style>', '', 'g'),
+                                 '(?s)<!--.*?-->', '', 'g'),
+                               '(?is)<!\[CDATA\[.*?\]\]>', '', 'g'),
                              '<[^>]+>', ' ', 'g'),
                            '&lt;', '<', 'g'),
                          '&gt;', '>', 'g'),
@@ -153,8 +166,9 @@ object CleanOps {
                      '\s+', ' ', 'g')) AS stripped,
                    CAST(len(regexp_extract_all(synth, '<[^>]+>')) AS BIGINT) AS n_tags
             FROM (SELECT doc_id,
-                         '<html><head><style>p{color:red}</style></head><body><h1>Doc ' ||
-                         doc_id || '</h1><p>' || text ||
+                         '<html><head><style>p{color:red}</style><!-- nav: home | about | doc ' ||
+                         doc_id || ' --></head><body><h1>Doc ' ||
+                         doc_id || '</h1><![CDATA[raw <markup> & bytes]]><p>' || text ||
                          ' &amp; more &lt;tags&gt;</p><script>var x=1;</script></body></html>'
                            AS synth
                   FROM documents)"""))
@@ -348,7 +362,8 @@ object CleanOps {
   private val qSpanDedup = GQuery(
     "q_span_dedup",
     (s, d) => spanDedup(documents(s, d), spanK),
-    Some(spanDedupSql("docs AS (SELECT doc_id, text FROM documents)")))
+    Some(spanDedupSql("docs AS (SELECT doc_id, text FROM documents)")),
+    headline = true)
 
   // ---- composed cleaning pipeline -----------------------------------------
   // The full ingestion pass as ONE plan: HTML strip → NFC canonicalize →
@@ -366,7 +381,7 @@ object CleanOps {
     "q_clean_pipeline",
     (s, d) => {
       val synth = concat(
-        lit("<html><body><p>"), col("text"),
+        lit("<html><body><!-- boiler: nav/footer --><![CDATA[c&d]]><p>"), col("text"),
         lit(" café contact user"), col("doc_id"),
         lit("@mail.example.com or https://ex.org/d/"), col("doc_id"),
         lit(" &amp; id "), (col("doc_id") * 9000077L + 5000000L).cast("long"),
@@ -388,8 +403,12 @@ object CleanOps {
                                      regexp_replace(
                                        regexp_replace(
                                          regexp_replace(
-                                           regexp_replace(synth, '(?is)<script[^>]*>.*?</script>', '', 'g'),
-                                           '(?is)<style[^>]*>.*?</style>', '', 'g'),
+                                           regexp_replace(
+                                             regexp_replace(
+                                               regexp_replace(synth, '(?is)<script[^>]*>.*?</script>', '', 'g'),
+                                               '(?is)<style[^>]*>.*?</style>', '', 'g'),
+                                             '(?s)<!--.*?-->', '', 'g'),
+                                           '(?is)<!\\[CDATA\\[.*?\\]\\]>', '', 'g'),
                                          '<[^>]+>', ' ', 'g'),
                                        '&lt;', '<', 'g'),
                                      '&gt;', '>', 'g'),
@@ -400,13 +419,14 @@ object CleanOps {
                          '\\b\\d{6,}\\b', '<NUM>', 'g'),
                        '\\s+', ' ', 'g'))) AS text
               FROM (SELECT doc_id,
-                           '<html><body><p>' || text ||
+                           '<html><body><!-- boiler: nav/footer --><![CDATA[c&d]]><p>' || text ||
                            ' cafe' || chr(769) || ' contact user' || doc_id ||
                            '@mail.example.com or https://ex.org/d/' || doc_id ||
                            ' &amp; id ' || CAST(doc_id * 9000077 + 5000000 AS BIGINT) ||
                            '</p><script>x()</script></body></html>' AS synth
                     FROM documents)),
-            docs AS (SELECT doc_id, text FROM cleaned)""")))
+            docs AS (SELECT doc_id, text FROM cleaned)""")),
+    headline = true)
 
   val queries: Seq[GQuery] =
     Seq(qLineDedup, qHtmlStrip, qUrlDomain, qUnicodeNorm, qSpanDedup,

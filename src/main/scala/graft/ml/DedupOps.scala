@@ -392,7 +392,12 @@ object DedupOps {
       // per-filter 2^31-bit (256 MB) cap the sizing SHARDS the filter by
       // hash range (`shardedBloomFilter`) instead of growing one monolith;
       // at every tested sf shards == 1 and the plan is the old monolith.
-      val histUpper = math.max(1000000L, documents(s, d).count())
+      // row count from parquet footers when available (driver metadata
+      // read, no Spark job); the count() fallback covers non-fixture
+      // sources
+      val histUpper = math.max(1000000L,
+        graft.sources.Tables.footerRowCount(s, s"$d/documents.parquet")
+          .getOrElse(documents(s, d).count()))
       val (itemsPerShard, bitsPerShard, shards) = bloomSizing(s, histUpper)
       val probe = shardedBloomFilter(
         docs.filter(isHist), xxhash64(col("fp")), itemsPerShard, bitsPerShard, shards)

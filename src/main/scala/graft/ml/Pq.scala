@@ -58,8 +58,13 @@ object Pq {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
           p => p.getField("c")).as("cent"))
     }
-    val out = cents.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
+    // land the trained codebook in a LOCAL frame: M×K rows is metadata
+    // scale, consumers stop re-deriving the Lloyd's lineage, and nothing
+    // stays persisted after the call (the old persist leaked one cached
+    // codebook per invocation; its eager count() job is gone too)
+    val spark = corpus.sparkSession
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(cents.collect(): _*), cents.schema)
     sub.unpersist()
     out
   }
@@ -192,14 +197,19 @@ object Pq {
 
   def searchTopK(codes: DataFrame, cents: DataFrame, queries: DataFrame,
       topK: Int): DataFrame = {
+    import graft.functions.topkPairs
+    // bounded per-partition heaps on negate(d2) — the (d2 asc, n_id asc)
+    // ranking without a per-query global-sort window (the
+    // searchTopKDistributed shape, broadcast-query variant)
     val qDf = queryTables(cents, queries)
-    val w = Window.partitionBy("q_id").orderBy(col("d2").asc, col("n_id").asc)
     codes.select(col("vec_id").as("n_id"), col("codes"))
       .join(broadcast(qDf), col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), adcDist.as("d2"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= topK)
-      .select("q_id", "n_id", "d2", "rk")
+      .groupBy("q_id")
+      .agg(topkPairs(negate(col("d2")), col("n_id"), topK).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("rk0", "t")))
+      .select(col("q_id"), col("t.n_id").as("n_id"),
+        negate(col("t.sim")).as("d2"), (col("rk0") + 1).cast("int").as("rk"))
   }
 
   /** The production two-stage search: ADC shortlists `shortlist`
@@ -210,17 +220,48 @@ object Pq {
     * `shortlist × queries` exact distances.
     */
   def searchWithRerank(codes: DataFrame, cents: DataFrame, corpus: DataFrame,
-      queries: DataFrame, topK: Int, shortlist: Int = 50): DataFrame = {
-    import graft.functions.{cosine, stableRound}
-    val cand = searchTopK(codes, cents, queries, shortlist).select("q_id", "n_id")
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+      queries: DataFrame, topK: Int, shortlist: Int = 50): DataFrame =
+    rerank(searchTopK(codes, cents, queries, shortlist).select("q_id", "n_id"),
+      corpus, queries, topK)
+
+  /** [[searchWithRerank]] with the shortlist sized as a CORPUS FRACTION
+    * (|C| / denom, floor 50) computed inside the plan — a 1-row count
+    * aggregate feeding topk_pairs' dynamic bound — so callers need no
+    * driver-side `count()` job to apply the "shortlist scales with the
+    * corpus" rule (see the q_ann_pq rationale).
+    */
+  def searchWithRerankFrac(codes: DataFrame, cents: DataFrame, corpus: DataFrame,
+      queries: DataFrame, topK: Int, denom: Int = 10): DataFrame = {
+    import graft.functions.topkPairsDyn
+    val qDf = queryTables(cents, queries)
+    val cstats = codes.groupBy().agg(count(lit(1)).as("cnt"))
+    val sl = greatest(lit(50L), floor(col("cnt") / denom)).cast("int")
+    val cand = codes.select(col("vec_id").as("n_id"), col("codes"))
+      .crossJoin(broadcast(cstats))
+      .join(broadcast(qDf), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), adcDist.as("d2"), sl.as("sl"))
+      .groupBy("q_id")
+      .agg(topkPairsDyn(negate(col("d2")), col("n_id"), col("sl")).as("top"))
+      .select(col("q_id"), explode(col("top.n_id")).as("n_id"))
+    rerank(cand, corpus, queries, topK)
+  }
+
+  /** Exact-cosine re-rank of a (q_id, n_id) candidate set — the shared
+    * bounded-heap tail (rounded sim, (sim desc, n_id asc) ties), not a
+    * rank window.
+    */
+  private def rerank(cand: DataFrame, corpus: DataFrame, queries: DataFrame,
+      topK: Int): DataFrame = {
+    import graft.functions.{cosine, stableRound, topkPairs}
     cand
       .join(broadcast(queries.select(col("vec_id").as("q_id"), col("v").as("qv"))), Seq("q_id"))
       .join(corpus.select(col("vec_id").as("n_id"), col("v").as("nv")), Seq("n_id"))
       .select(col("q_id"), col("n_id"),
         stableRound(cosine(col("qv"), col("nv")), 4).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= topK)
-      .select(col("q_id"), col("n_id"), col("sim"), col("rk").cast("long").as("rk"))
+      .groupBy("q_id")
+      .agg(topkPairs(col("sim"), col("n_id"), topK).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("rk0", "t")))
+      .select(col("q_id"), col("t.n_id").as("n_id"), col("t.sim").as("sim"),
+        (col("rk0") + 1).cast("long").as("rk"))
   }
 }

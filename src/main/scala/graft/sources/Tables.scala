@@ -13,8 +13,20 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * filters/projections land in the scan via Catalyst pushdown.
   */
 object Tables {
+  // Per-(session, path) cache of the BASE relation. `spark.read.parquet`
+  // re-lists the path and re-reads footers on every call; a gate touching
+  // a table 2-3 times (and a bench run touching it 5×) pays ~100 ms of
+  // driver time per touch at sync scale, which DOMINATES small-batch
+  // plans (EtlBuildProfile: input 0.13 s + done 0.13 s + span 0.30 s of a
+  // ~0.9 s gate). The fixture dirs are immutable for a session's
+  // lifetime, so the cached plan can never go stale; mutable LAKE reads
+  // (Pool) never come through here. The cache holds lazy plans, not data.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      { case (s, p) => s.read.parquet(p) })
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
@@ -66,4 +78,63 @@ object Tables {
     case dt => throw new IllegalArgumentException(
       s"unsupported event-time type for $c: $dt")
   }
+
+  /** Total row count straight from the parquet footers — driver-side
+    * metadata, no Spark job. None on anything unexpected.
+    */
+  def footerRowCount(spark: SparkSession, path: String): Option[Long] =
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val files = if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+      else Seq(p)
+      if (files.isEmpty) None
+      else Some(files.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Global (min, max) of an integer column straight from the parquet
+    * FOOTERS — a pure driver-side metadata read, no Spark job (a
+    * `min/max` aggregate, even footer-pushed, still pays job submission +
+    * an AQE sync, ~150 ms that dominates sync-sized plans). Walks the
+    * file or directory-of-parts layout the fixtures use. Returns None on
+    * anything unexpected (missing stats, filtered/nullable weirdness) so
+    * callers fall back to a plan that does not need the bound.
+    */
+  def footerLongStats(spark: SparkSession, path: String,
+      column: String): Option[(Long, Long)] =
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val files = if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+      else Seq(p)
+      if (files.isEmpty) return None
+      val perFile = files.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = r.getFooter.getBlocks
+          import scala.jdk.CollectionConverters._
+          val stats = blocks.asScala.toSeq.flatMap { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == column).map(_.getStatistics)
+          }
+          if (stats.isEmpty || stats.exists(s => s == null || !s.hasNonNullValue))
+            None
+          else Some((
+            stats.map(_.genericGetMin.asInstanceOf[Number].longValue).min,
+            stats.map(_.genericGetMax.asInstanceOf[Number].longValue).max))
+        } finally r.close()
+      }
+      if (perFile.exists(_.isEmpty)) None
+      else Some((perFile.flatten.map(_._1).min, perFile.flatten.map(_._2).max))
+    } catch { case scala.util.control.NonFatal(_) => None }
 }

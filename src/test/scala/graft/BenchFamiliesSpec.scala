@@ -23,10 +23,11 @@ class BenchFamiliesSpec extends AnyFunSuite {
     assert(dups.isEmpty, s"duplicated in Bench.families: $dups")
   }
 
-  test("partition plus catch-all covers the headline set exactly") {
-    val missing = headline.diff(listed.toSet)
-    // runFamilies appends ("other" -> missing); the covered union must be
-    // exactly the headline set either way
-    assert(listed.toSet.union(missing) == headline)
+  test("the PRODUCTION family plan covers the headline set exactly, no dups") {
+    // familyPlan is the plan runFamilies executes (not re-derived here):
+    // its flattened gate list must be a permutation of the headline set
+    val planned = Bench.familyPlan(headline.toSeq.sorted).flatMap(_._2)
+    assert(planned.sorted == headline.toSeq.sorted)
+    assert(planned.distinct.size == planned.size)
   }
 }

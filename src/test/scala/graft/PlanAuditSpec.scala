@@ -279,6 +279,45 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(rows(base) == rows(0L))
   }
 
+  test("ANN shortlists run on bounded heaps: no rank window anywhere in the plans") {
+    // r12 verdict #2: sqTopK/ivfPqTopK shortlisted through a per-query
+    // global-sort window — one task sorting the corpus per query. The
+    // shortlist, probe, argmax-assign and re-rank all moved to the
+    // bounded-heap aggregate; NO WindowExec of any kind may reappear in
+    // any ANN gate's executed plan.
+    Seq("q_ann_sq", "q_ann_ivfpq", "q_ann_ivf", "q_ann_pq", "q_ann_topk",
+      "q_ann_batch", "q_ann_lsh").foreach { g =>
+      val wins = execPlan(g).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.isEmpty, s"$g plans ${wins.size} rank window(s); " +
+        "the bounded k-heap (topk_pairs) must carry every ANN ranking")
+    }
+  }
+
+  test("SQ8 search builds with ZERO driver-side jobs (shortlist sized in-plan)") {
+    // r12 verdict #3: sqTopK ran corpus.count() before the plan existed.
+    // The bound now rides the stats row into topk_pairs' dynamic k, so
+    // CONSTRUCTING the search plan must launch no Spark job at all.
+    val corpus = graft.sources.Tables.embeddings(spark, dir)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding").cast("array<double>").as("v"))
+    val queries = corpus.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    @volatile var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val df = graft.ml.AnnOps.sqTopK(corpus, queries, 5)
+      df.queryExecution.logical // force construction end-to-end
+      Thread.sleep(500) // async listener bus; let any job event land
+      assert(jobs == 0, s"sqTopK plan construction launched $jobs Spark job(s)")
+      assert(df.count() > 0) // and the plan still runs
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("native per-row expressions run inside whole-stage codegen") {
     // CosineExpr has doGenCode: the projection evaluating it must carry a
     // codegen span marker (`*(n)`), not fall back to interpreted eval.

@@ -62,6 +62,16 @@ class CleanOpsSpec extends AnyFunSuite {
     assert(out == "body")
   }
 
+  test("stripHtml strips comment and CDATA BLOCKS, bodies included") {
+    import spark.implicits._
+    // the tag pass alone eats '<!--' only up to the first '>', leaking
+    // the comment body; comments may span lines and contain tags
+    val out = Seq(
+      "<p>a</p><!-- nav: <a href=x>home</a>\nboiler --><![CDATA[raw <b> & bytes]]><p>b</p>")
+      .toDF("s").select(CleanOps.stripHtml(col("s"))).head().getString(0)
+    assert(out == "a b")
+  }
+
   test("stripHtml entity order: &amp;lt; must not double-unescape") {
     import spark.implicits._
     val out = Seq("x &amp;lt; y").toDF("s")
