@@ -626,16 +626,19 @@ object AnnOps {
         .groupBy("label").agg(array_sort(collect_list(col("sv"))).as("svs"))
         .select(col("label").as("c_label"),
           meanPool(transform(col("svs"), sv => sv.getField("v"))).as("cent"))
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("sim").desc, col("c_label").asc)
+      // per-vector argmax through the bounded heap (k=1): (sim desc,
+      // c_label asc) ranking, identical rows to the old rank window but
+      // one shuffled row per VECTOR instead of one per vector × centroid
       e.join(broadcast(cents))
         .select(col("vec_id"), col("label"), col("c_label"),
           stableRound(cosine(col("v"), col("cent")), 4).as("sim"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("label").as("true_label"),
-          col("c_label").as("assigned_label"), col("sim"),
-          (col("label") === col("c_label")).as("is_match"))
+        .groupBy("vec_id")
+        .agg(first("label").as("true_label"),
+          topkPairs(col("sim"), col("c_label"), 1).as("pc"))
+        .select(col("vec_id"), col("true_label"),
+          element_at(col("pc.n_id"), 1).as("assigned_label"),
+          element_at(col("pc.sim"), 1).as("sim"),
+          (col("true_label") === element_at(col("pc.n_id"), 1)).as("is_match"))
     },
     Some("""WITH e AS (
               SELECT vec_id, CAST(label AS BIGINT) AS label,
