@@ -59,8 +59,12 @@ DOCS_SQL = {
                                regexp_replace(
                                  regexp_replace(
                                    regexp_replace(
-                                     regexp_replace(synth, '(?is)<script[^>]*>.*?</script>', '', 'g'),
-                                     '(?is)<style[^>]*>.*?</style>', '', 'g'),
+                                     regexp_replace(
+                                       regexp_replace(
+                                         regexp_replace(synth, '(?is)<script[^>]*>.*?</script>', '', 'g'),
+                                         '(?is)<style[^>]*>.*?</style>', '', 'g'),
+                                       '(?s)<!--.*?-->', '', 'g'),
+                                     '(?is)<!\[CDATA\[.*?\]\]>', '', 'g'),
                                    '<[^>]+>', ' ', 'g'),
                                  '&lt;', '<', 'g'),
                                '&gt;', '>', 'g'),
@@ -71,7 +75,7 @@ DOCS_SQL = {
                    '\b\d{6,}\b', '<NUM>', 'g'),
                  '\s+', ' ', 'g'))) AS text
         FROM (SELECT doc_id,
-                     '<html><body><p>' || text ||
+                     '<html><body><!-- boiler: nav/footer --><![CDATA[c&d]]><p>' || text ||
                      ' cafe' || chr(769) || ' contact user' || doc_id ||
                      '@mail.example.com or https://ex.org/d/' || doc_id ||
                      ' &amp; id ' || CAST(doc_id * 9000077 + 5000000 AS BIGINT) ||
