@@ -53,6 +53,12 @@ object Bench {
       catch { case _: Throwable => () })
     val failed = scala.collection.mutable.Set[String]()
     val samples: Seq[Seq[(String, Double)]] = (1 to runs).map { _ =>
+      // drop cache blocks accumulated by gate-internal persists (minhash/
+      // simhash signature bases etc.) between passes: without this, later
+      // queries in a pass measure the marathon JVM's eviction/GC state
+      // rather than their plans, and a pass could silently reuse the
+      // previous pass's persisted intermediates
+      spark.sharedState.cacheManager.clearCache()
       headline.flatMap { q =>
         val t0 = System.nanoTime()
         try {

@@ -117,7 +117,11 @@ object CleanOps {
     // comments and CDATA are BLOCK strips too (r12 verdict): the tag pass
     // alone eats `<!--` only up to its first `>`, leaking the comment
     // body (nav boilerplate, conditional-IE markup) into the corpus —
-    // real crawls hit this on page one
+    // real crawls hit this on page one. Known residual: a QUOTED
+    // attribute value containing '>' still truncates its tag match (the
+    // fix is a quote-aware tag regex, which both engines' regex dialects
+    // support — take it together with an oracle/synth update if crawl
+    // data ever makes it matter).
     val noMeta = regexp_replace(
       regexp_replace(noBlocks, lit("(?s)<!--.*?-->"), lit("")),
       lit("(?is)<!\\[CDATA\\[.*?\\]\\]>"), lit(""))

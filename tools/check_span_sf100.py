@@ -125,7 +125,14 @@ def dropped(sf, work, gate, big_m, m):
                 FROM mine mi JOIN agg USING (span)
                 WHERE agg.occ > 1
                   AND mi.doc_id * 4294967296 + mi.pos <> agg.mink)
-        ) TO '{work}/dropped_{gate}_{m}.parquet' (FORMAT PARQUET)""")
+        ) TO '{work}/dropped_{gate}_{m}.parquet.tmp' (FORMAT PARQUET)""")
+    # write-then-rename: DuckDB COPY creates its target eagerly, so a
+    # crashed chunk (the box's documented transient SIGSEGV/mmap flakes)
+    # would otherwise leave a 0-byte/partial file that the campaign
+    # script's resume check mistakes for a finished bucket
+    import os as _os
+    _os.replace(f"{work}/dropped_{gate}_{m}.parquet.tmp",
+                f"{work}/dropped_{gate}_{m}.parquet")
     n = con.execute(
         f"SELECT count(*) FROM read_parquet('{work}/dropped_{gate}_{m}.parquet')"
     ).fetchone()[0]

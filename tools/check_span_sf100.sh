@@ -25,7 +25,7 @@ for gate in $GATES; do
     continue
   fi
   for ((m=0; m<M; m++)); do
-    if [ -f "$WORK/dropped_${gate}_${m}.parquet" ]; then
+    if [ -s "$WORK/dropped_${gate}_${m}.parquet" ]; then
       echo "== $gate dropped $m/$M cached" | tee -a "$LOG"; continue
     fi
     echo "== $gate dropped $m/$M ($(date +%H:%M:%S))" | tee -a "$LOG"
