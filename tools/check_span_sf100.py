@@ -31,6 +31,7 @@ usage:
 gate ∈ {q_span_dedup, q_clean_pipeline} — selects the docs derivation
 (identity, or the full cleaning chain mirroring CleanOps.cleanChain).
 """
+import os
 import sys
 
 import duckdb
@@ -99,11 +100,16 @@ SPAN_CTES = f"""
 def connect(sf, doc_where=""):
     con = duckdb.connect()
     con.execute("SET threads TO 8")
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
-    # explicit budget: two campaign processes share the box — without a
+    # PER-PROCESS spill dir: two concurrent DuckDBs sharing one
+    # temp_directory clobber each other's duckdb_temp_storage-*.tmp files
+    # (observed: IOException 'could not read enough bytes from temp
+    # storage' in one process, SIGSEGV in the other — very plausibly the
+    # true cause of the 'box mmap flake' episodes whenever two campaign
+    # checkers were co-resident)
+    con.execute(f"SET temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
+    # explicit budget: campaign processes share the box — without a
     # limit DuckDB asks the OS for more than is free and dies with
     # 'bad allocation' instead of spilling (GRAFT_DUCK_MEM to override)
-    import os
     con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCK_MEM', '20GB')}'")
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{sf}/documents.parquet'){doc_where}")
@@ -125,13 +131,12 @@ def dropped(sf, work, gate, big_m, m):
                 FROM mine mi JOIN agg USING (span)
                 WHERE agg.occ > 1
                   AND mi.doc_id * 4294967296 + mi.pos <> agg.mink)
-        ) TO '{work}/dropped_{gate}_{m}.parquet.tmp' (FORMAT PARQUET)""")
+        ) TO '{work}/dropped_{gate}_{m}.parquet.tmp{os.getpid()}' (FORMAT PARQUET)""")
     # write-then-rename: DuckDB COPY creates its target eagerly, so a
     # crashed chunk (the box's documented transient SIGSEGV/mmap flakes)
     # would otherwise leave a 0-byte/partial file that the campaign
     # script's resume check mistakes for a finished bucket
-    import os as _os
-    _os.replace(f"{work}/dropped_{gate}_{m}.parquet.tmp",
+    os.replace(f"{work}/dropped_{gate}_{m}.parquet.tmp{os.getpid()}",
                 f"{work}/dropped_{gate}_{m}.parquet")
     n = con.execute(
         f"SELECT count(*) FROM read_parquet('{work}/dropped_{gate}_{m}.parquet')"
