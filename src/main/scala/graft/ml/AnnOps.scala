@@ -5,7 +5,6 @@ import graft.functions._
 import graft.functions.stableRound
 import graft.sources.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over the embedding column.
@@ -51,7 +50,7 @@ object AnnOps {
   /** Shared tail of every exact-search variant: codegen'd cosine, rounded
     * BEFORE the aggregate, bounded per-partition heaps, tiny final merge.
     */
-  private def scoredTopK(pairs: DataFrame, k: Int): DataFrame =
+  private[ml] def scoredTopK(pairs: DataFrame, k: Int): DataFrame =
     pairs
       .select(col("q_id"), col("n_id"),
         stableRound(cosine(col("qv"), col("nv")), 4).as("sim"))

@@ -2,7 +2,6 @@ package graft.ml
 
 import graft.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Disk-backed IVF index: the 100 TB path for ANN search.
@@ -30,17 +29,25 @@ final case class IvfIndex(spark: SparkSession, path: String) {
     */
   def stats: DataFrame = spark.read.parquet(s"$path/stats")
 
-  /** The probed-cell scan for a query set; exposed for plan inspection. */
+  /** The probed-cell scan for a query set; exposed for plan inspection.
+    *
+    * The per-query nprobe-nearest-cell pick rides the bounded k-heap
+    * ([[graft.functions.topkPairs]], same (csim desc, cell asc) ranking the
+    * old rank window used) — the exchange carries |Q| × nprobe entries, not
+    * the |Q| × cells pair stream a per-query sort window would shuffle into
+    * one task per query.
+    */
   def probedScan(queries: DataFrame, nprobe: Int): (DataFrame, DataFrame) = {
     val cents = centroids
-    val probe = Window.partitionBy("q_id").orderBy(col("csim").desc, col("cell").asc)
     val probed = queries.select(col("vec_id").as("q_id"), col("v").as("qv"))
       .join(broadcast(cents))
       .select(col("q_id"), col("qv"), col("cell"),
         cosine(col("qv"), col("cent")).as("csim"))
-      .withColumn("pr", row_number().over(probe))
-      .filter(col("pr") <= nprobe)
-      .select(col("q_id"), col("qv"), col("cell"))
+      .groupBy("q_id")
+      .agg(first("qv").as("qv"),
+        topkPairs(col("csim"), col("cell").cast("long"), nprobe).as("pc"))
+      .select(col("q_id"), col("qv"), explode(col("pc.n_id")).as("_cl"))
+      .select(col("q_id"), col("qv"), col("_cl").cast("int").as("cell"))
     // literal cell list -> partition pruning in the parquet scan
     val cellIds = probed.select("cell").distinct().collect().map(_.getInt(0)).sorted
     val scan = spark.read.parquet(s"$path/cells")
@@ -48,17 +55,17 @@ final case class IvfIndex(spark: SparkSession, path: String) {
     (probed, scan)
   }
 
+  /** Probed-cell scan → shared bounded-heap top-k tail ([[AnnOps.scoredTopK]],
+    * no rank window): per-partition k-entry heaps partial-merge, so the agg
+    * exchange carries partitions × |Q| × k entries regardless of cell size.
+    */
   def search(queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val (probed, scan) = probedScan(queries, nprobe)
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
-    scan.select(col("vec_id").as("n_id"), col("cell"), col("v").as("nv"))
-      .join(broadcast(probed), Seq("cell"))
-      .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"),
-        stableRound(cosine(col("qv"), col("nv")), 4).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("n_id"), col("sim"), col("rk").cast("long").as("rk"))
+    AnnOps.scoredTopK(
+      scan.select(col("vec_id").as("n_id"), col("cell"), col("v").as("nv"))
+        .join(broadcast(probed), Seq("cell"))
+        .filter(col("q_id") =!= col("n_id")),
+      k)
   }
 }
 

@@ -1,8 +1,7 @@
 package graft.ml
 
-import graft.functions.{cosine, stableRound}
+import graft.functions.{cosine, topkPairs}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF+PQ: the standard big-ANN index layout (FAISS-style) from the two
@@ -24,18 +23,27 @@ final case class IvfPqIndex(spark: SparkSession, path: String) {
   /** Two-stage search: ADC shortlist over the probed cells' codes, exact
     * cosine re-rank of the shortlist against `corpus` (the source table —
     * re-rank I/O is shortlist-sized, keyed by vec_id).
+    *
+    * Every per-query rank rides the bounded k-heap
+    * ([[graft.functions.topkPairs]]): the probe keeps nprobe cells, the
+    * shortlist keeps `shortlist` ids per query (keyed on −d2 so "best" =
+    * lowest distance, ties on n_id asc like the old window), and the final
+    * re-rank is the shared [[AnnOps.scoredTopK]] tail — no per-query sort
+    * window anywhere, so no stage collapses a query's candidates into one
+    * task at scale.
     */
   def search(corpus: DataFrame, queries: DataFrame, topK: Int,
       nprobe: Int = 3, shortlist: Int = 50): DataFrame = {
     // probe: nprobe nearest cells per query against the broadcast centroids
-    val probeW = Window.partitionBy("q_id").orderBy(col("csim").desc, col("cell").asc)
     val probed = queries.select(col("vec_id").as("q_id"), col("v"))
       .join(broadcast(cellCentroids))
       .select(col("q_id"), col("v"), col("cell"),
         cosine(col("v"), col("cent")).as("csim"))
-      .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= nprobe)
-      .groupBy("q_id").agg(first("v").as("v"), collect_list("cell").as("cells"))
+      .groupBy("q_id")
+      .agg(first("v").as("v"),
+        topkPairs(col("csim"), col("cell").cast("long"), nprobe).as("pc"))
+      .select(col("q_id"), col("v"),
+        transform(col("pc.n_id"), c => c.cast("int")).as("cells"))
     // literal cell list → partition pruning on the codes scan
     val cellIds = probed.select(explode(col("cells")).as("c")).distinct()
       .collect().map(_.getInt(0)).sorted
@@ -46,25 +54,20 @@ final case class IvfPqIndex(spark: SparkSession, path: String) {
     // its cell is in that query's probe set
     val qDf = Pq.queryTables(codebook, probed.select(col("q_id").as("vec_id"), col("v")))
       .join(probed.select(col("q_id"), col("cells")), Seq("q_id"))
-    val shortW = Window.partitionBy("q_id").orderBy(col("d2").asc, col("n_id").asc)
     val cand = scan.select(col("vec_id").as("n_id"), col("codes"), col("cell"))
       .join(broadcast(qDf), array_contains(col("cells"), col("cell")) &&
         col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), Pq.adcDist.as("d2"))
-      .withColumn("rk", row_number().over(shortW))
-      .filter(col("rk") <= shortlist)
-      .select("q_id", "n_id")
+      .groupBy("q_id")
+      .agg(topkPairs(negate(col("d2")), col("n_id"), shortlist).as("top"))
+      .select(col("q_id"), explode(col("top.n_id")).as("n_id"))
 
     // exact re-rank of the shortlist against the source vectors
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
-    cand
-      .join(broadcast(queries.select(col("vec_id").as("q_id"), col("v").as("qv"))), Seq("q_id"))
-      .join(corpus.select(col("vec_id").as("n_id"), col("v").as("nv")), Seq("n_id"))
-      .select(col("q_id"), col("n_id"),
-        stableRound(cosine(col("qv"), col("nv")), 4).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= topK)
-      .select(col("q_id"), col("n_id"), col("sim"), col("rk").cast("long").as("rk"))
+    AnnOps.scoredTopK(
+      cand
+        .join(broadcast(queries.select(col("vec_id").as("q_id"), col("v").as("qv"))), Seq("q_id"))
+        .join(corpus.select(col("vec_id").as("n_id"), col("v").as("nv")), Seq("n_id")),
+      topK)
   }
 }
 

@@ -286,9 +286,13 @@ object Relational {
 
   // ---- dense offset assignment -------------------------------------------
   // ref: etl/pipeline.go:127-164 — the reference rewrites ZSON text and
-  // re-runs a query; in Spark it is one window function. The window shuffles
-  // once on the partition key (topic), which is exactly the co-location a
-  // 100 TB run needs.
+  // re-runs a query; this gate shows the SEMANTICS as the minimal window
+  // form. Note the scale caveat: a per-topic rank window sorts each topic's
+  // rows in ONE task, so this shape is demo-sized only. The production path
+  // is etl/Compiler.scala's octave-bucketed renumber (broadcast per-bucket
+  // bases, rank within bucket — parallel within a topic) with the
+  // driver-known-span small-batch fast path layered on top; the gate's
+  // hash-equality to that path is pinned by EtlFastPathSpec.
   private val qOffsetAssign = GQuery(
     "q_offset_assign",
     (s, d) => {

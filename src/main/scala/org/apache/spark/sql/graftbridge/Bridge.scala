@@ -40,6 +40,15 @@ object Bridge {
       builder)
   }
 
+  /** Drain the async Spark listener bus (`private[spark]`): tests that
+    * assert on listener-observed state (e.g. "plan construction launched
+    * zero jobs") must wait for in-flight events instead of sleeping a
+    * fixed interval — a loaded box can deliver a late job-start event
+    * after a sleep-based assert and false-pass.
+    */
+  def waitListenerBusEmpty(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** A one-row-one-column DataFrame as a catalyst scalar subquery — the
     * form expressions like `might_contain` require their Bloom-filter
     * argument in ("a constant value or a scalar subquery expression");

@@ -295,6 +295,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted-index searches (IvfIndex, IvfPq) run on bounded heaps too") {
+    // r13 verdict #1: the disk-backed index APIs — the search paths a
+    // 100 TB deployment actually calls — still shortlisted through
+    // per-query rank windows after the gate plans moved to the k-heap.
+    // Probe, ADC shortlist, and re-rank must all ride topk_pairs; no
+    // WindowExec may appear anywhere in either executed search plan.
+    import org.apache.spark.sql.functions.col
+    val corpus = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = corpus.filter(col("vec_id") < 3)
+    def windows(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+    val ivfPath = java.nio.file.Files.createTempDirectory("audit-ivf").toString
+    val ivf = graft.ml.IvfIndex.build(corpus, ivfPath, cells = 5, trainIters = 1)
+    assert(windows(ivf.search(queries, 5, nprobe = 2)).isEmpty,
+      "IvfIndex.search plans a rank window")
+    val pqPath = java.nio.file.Files.createTempDirectory("audit-ivfpq").toString
+    val ivfpq = graft.ml.IvfPq.build(corpus, pqPath, cells = 5, m = 8, k = 16, iters = 1)
+    assert(windows(ivfpq.search(corpus, queries, 5, nprobe = 2, shortlist = 20)).isEmpty,
+      "IvfPqIndex.search plans a rank window")
+  }
+
   test("SQ8 search builds with ZERO driver-side jobs (shortlist sized in-plan)") {
     // r12 verdict #3: sqTopK ran corpus.count() before the plan existed.
     // The bound now rides the stats row into topk_pairs' dynamic k, so
@@ -312,7 +336,9 @@ class PlanAuditSpec extends AnyFunSuite {
     try {
       val df = graft.ml.AnnOps.sqTopK(corpus, queries, 5)
       df.queryExecution.logical // force construction end-to-end
-      Thread.sleep(500) // async listener bus; let any job event land
+      // drain the async listener bus (not a fixed sleep — a loaded box can
+      // deliver a late job-start event after the assert and false-pass)
+      org.apache.spark.sql.graftbridge.Bridge.waitListenerBusEmpty(spark)
       assert(jobs == 0, s"sqTopK plan construction launched $jobs Spark job(s)")
       assert(df.count() > 0) // and the plan still runs
     } finally spark.sparkContext.removeSparkListener(l)
