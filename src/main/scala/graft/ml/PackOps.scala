@@ -108,8 +108,15 @@ object PackOps {
   // and stable across runs — a rerun selects the SAME sample (unlike
   // rand()), which is what reproducible corpus construction needs.
   //  - uniform: hex-threshold filter, no shuffle at all (scan-speed gate)
-  //  - stratified: fixed fraction per language via row_number over the
-  //    md5 order within each stratum
+  //  - stratified: fixed fraction per language. A rank window partitioned
+  //    on lang alone funnels each language through ONE task — at 100 TB a
+  //    dominant language is most of the corpus. Instead the md5 key's
+  //    first two hex digits bucket each stratum 256 ways (a prefix of the
+  //    sort key, so bucket-major order IS key order); per-(lang,bucket)
+  //    counts are metadata scale (langs × 256 rows → driver exclusive
+  //    scan, same two-phase shape as [[prefixSum]]), the exclusive bases
+  //    broadcast back, and the rank window partitions on (lang, bucket) —
+  //    parallel WITHIN each language.
   private val qSample = GQuery(
     "q_sample",
     (s, d) => {
@@ -117,10 +124,23 @@ object PackOps {
       val key = md5(col("doc_id").cast("string"))
       val uniform = docs.filter(key < "1a")
         .select(col("doc_id"), col("lang"), lit("uniform").as("method"))
-      val w = Window.partitionBy("lang").orderBy("_k")
-      val stratified = docs.select(col("doc_id"), col("lang"), key.as("_k"))
-        .withColumn("_rn", row_number().over(w))
-        .withColumn("_n", count(lit(1)).over(Window.partitionBy("lang")))
+      val keyed = docs.select(col("doc_id"), col("lang"), key.as("_k"))
+        .withColumn("_bkt", substring(col("_k"), 1, 2))
+      val counts = keyed.groupBy("lang", "_bkt").count()
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val bases = counts.groupBy(_._1).iterator.flatMap { case (lang, rs) =>
+        val sorted = rs.sortBy(_._2)
+        val total = sorted.iterator.map(_._3).sum
+        sorted.scanLeft(0L)(_ + _._3).zip(sorted).map {
+          case (base, (_, bkt, _)) => (lang, bkt, base, total)
+        }
+      }.toSeq
+      import s.implicits._
+      val baseDf = broadcast(bases.toDF("_b_lang", "_b_bkt", "_base", "_n"))
+      val w = Window.partitionBy("lang", "_bkt").orderBy("_k")
+      val stratified = keyed
+        .join(baseDf, col("lang") === col("_b_lang") && col("_bkt") === col("_b_bkt"))
+        .withColumn("_rn", row_number().over(w).cast("long") + col("_base"))
         .filter(col("_rn") <= ceil(col("_n") * 0.2))
         .select(col("doc_id"), col("lang"), lit("stratified").as("method"))
       uniform.unionByName(stratified)

@@ -19,6 +19,28 @@ class PlanAuditSpec extends AnyFunSuite {
 
   private def planOf(name: String): String = execPlan(name).toString
 
+  /** Every node of a physical plan, DESCENDING THROUGH the AQE wrapper:
+    * `AdaptiveSparkPlanExec` is a leaf to TreeNode traversal (children =
+    * Nil), so a plain `plan.collect` on an adaptive plan inspects exactly
+    * one node and vacuously passes any shape assertion. (toString-based
+    * checks are unaffected — rendering descends.)
+    */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+      Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    p +: kids.flatMap(allNodes)
+  }
+
+  private def windowsIn(p: org.apache.spark.sql.execution.SparkPlan) =
+    allNodes(p).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+
   test("no gate query plans a cartesian product or single-partition window") {
     Registry.all.foreach { q =>
       val exec = execPlan(q.name)
@@ -32,10 +54,7 @@ class PlanAuditSpec extends AnyFunSuite {
       // folding (the ETL renumber's partitionBy(_outtopic) was exactly
       // this for single-output programs: _outtopic is lit(out) per rule),
       // so constants don't count as partitioning either.
-      val globalWindows = exec.collect {
-        case w: org.apache.spark.sql.execution.window.WindowExec
-            if w.partitionSpec.forall(_.foldable) => w
-      }
+      val globalWindows = windowsIn(exec).filter(_.partitionSpec.forall(_.foldable))
       assert(globalWindows.isEmpty,
         s"${q.name}: global (unpartitioned or constant-partitioned) window" +
           " — single-task bottleneck")
@@ -287,11 +306,22 @@ class PlanAuditSpec extends AnyFunSuite {
     // any ANN gate's executed plan.
     Seq("q_ann_sq", "q_ann_ivfpq", "q_ann_ivf", "q_ann_pq", "q_ann_topk",
       "q_ann_batch", "q_ann_lsh").foreach { g =>
-      val wins = execPlan(g).collect {
-        case w: org.apache.spark.sql.execution.window.WindowExec => w
-      }
+      val wins = windowsIn(execPlan(g))
       assert(wins.isEmpty, s"$g plans ${wins.size} rank window(s); " +
         "the bounded k-heap (topk_pairs) must carry every ANN ranking")
+    }
+  }
+
+  test("q_sample's stratified rank parallelizes WITHIN a language") {
+    // r13 verdict #2: a rank window partitioned on lang alone funnels each
+    // language through one task — a dominant language is most of a 100 TB
+    // corpus. The two-phase bucketed rank partitions every window on
+    // (lang, bucket); no single-column partition spec may reappear.
+    val wins = windowsIn(execPlan("q_sample"))
+    assert(wins.nonEmpty, "q_sample should rank through a (lang,bucket) window")
+    wins.foreach { w =>
+      assert(w.partitionSpec.length >= 2,
+        s"q_sample window partitions on ${w.partitionSpec} — one task per language")
     }
   }
 
@@ -306,9 +336,7 @@ class PlanAuditSpec extends AnyFunSuite {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val queries = corpus.filter(col("vec_id") < 3)
     def windows(df: org.apache.spark.sql.DataFrame) =
-      df.queryExecution.executedPlan.collect {
-        case w: org.apache.spark.sql.execution.window.WindowExec => w
-      }
+      windowsIn(df.queryExecution.executedPlan)
     val ivfPath = java.nio.file.Files.createTempDirectory("audit-ivf").toString
     val ivf = graft.ml.IvfIndex.build(corpus, ivfPath, cells = 5, trainIters = 1)
     assert(windows(ivf.search(queries, 5, nprobe = 2)).isEmpty,
