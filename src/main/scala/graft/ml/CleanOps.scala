@@ -106,26 +106,43 @@ object CleanOps {
   // (lt/gt first, amp LAST so '&amp;lt;' can't double-unescape), then
   // collapse whitespace. Pure regexp_replace chain — scan-speed inside
   // WholeStageCodegen at 100 TB, no shuffle.
+
+  // Quote-aware tag body (r13 verdict #4): an attribute value may contain
+  // '>' inside single or double quotes (onclick handlers, data-attrs,
+  // query-string hrefs — real crawls hit this constantly); a bare [^>]+
+  // truncates the tag match at that '>' and leaks the tag tail into the
+  // cleaned corpus. Inside a tag, consume quoted runs whole. Both regex
+  // dialects (Java here, RE2 in the DuckDB oracle) support the form.
+  // Residual: an UNCLOSED quote inside a tag now fails the tag match and
+  // leaves the '<...' text in place (the old regex ate to the first '>') —
+  // the conservative direction for malformed markup.
+  private val tagBody = """(?:[^>"']|"[^"]*"|'[^']*')"""
+  private[ml] val tagRe = s"<$tagBody+>"
+  private val scriptRe = s"(?is)<script$tagBody*>.*?</script>"
+  private val styleRe = s"(?is)<style$tagBody*>.*?</style>"
+  // the same patterns as DuckDB string literals (quotes doubled) — the
+  // oracles interpolate THESE, so the two engines cannot drift
+  private def sqlLit(re: String): String = re.replace("'", "''")
+  private val sqlTagRe = sqlLit(tagRe)
+  private val sqlScriptRe = sqlLit(scriptRe)
+  private val sqlStyleRe = sqlLit(styleRe)
+
   def stripHtml(c: Column): Column = {
     // (?is): real HTML has uppercase tags and multi-line script bodies;
     // without DOTALL the block patterns never match across newlines and
     // the later tag pass would strip only the tags, LEAKING the JS/CSS
     // body text into the cleaned corpus
     val noBlocks = regexp_replace(
-      regexp_replace(c, lit("(?is)<script[^>]*>.*?</script>"), lit("")),
-      lit("(?is)<style[^>]*>.*?</style>"), lit(""))
+      regexp_replace(c, lit(scriptRe), lit("")),
+      lit(styleRe), lit(""))
     // comments and CDATA are BLOCK strips too (r12 verdict): the tag pass
     // alone eats `<!--` only up to its first `>`, leaking the comment
     // body (nav boilerplate, conditional-IE markup) into the corpus —
-    // real crawls hit this on page one. Known residual: a QUOTED
-    // attribute value containing '>' still truncates its tag match (the
-    // fix is a quote-aware tag regex, which both engines' regex dialects
-    // support — take it together with an oracle/synth update if crawl
-    // data ever makes it matter).
+    // real crawls hit this on page one.
     val noMeta = regexp_replace(
       regexp_replace(noBlocks, lit("(?s)<!--.*?-->"), lit("")),
       lit("(?is)<!\\[CDATA\\[.*?\\]\\]>"), lit(""))
-    val noTags = regexp_replace(noMeta, lit("<[^>]+>"), lit(" "))
+    val noTags = regexp_replace(noMeta, lit(tagRe), lit(" "))
     val unesc = regexp_replace(
       regexp_replace(
         regexp_replace(noTags, lit("&lt;"), lit("<")),
@@ -137,20 +154,24 @@ object CleanOps {
   private val qHtmlStrip = GQuery(
     "q_html_strip",
     (s, d) => {
+      // the <a> plants the quoted-attr dirt: '>' inside a double-quoted
+      // title AND a single-quoted href — the tag must strip whole, keeping
+      // only its "ref" text
       val synth = concat(
         lit("<html><head><style>p{color:red}</style><!-- nav: home | about | doc "),
         col("doc_id"),
         lit(" --></head><body><h1>Doc "),
         col("doc_id"),
-        lit("</h1><![CDATA[raw <markup> & bytes]]><p>"), col("text"),
+        lit("</h1><a title=\"notes > ok\" href='/p?a=1&b=2'>ref</a>" +
+          "<![CDATA[raw <markup> & bytes]]><p>"), col("text"),
         lit(" &amp; more &lt;tags&gt;</p><script>var x=1;</script></body></html>"))
       documents(s, d).select(
         col("doc_id"),
         stripHtml(synth).as("stripped"),
-        size(regexp_extract_all(synth, lit("<[^>]+>"), lit(0))).cast("long")
+        size(regexp_extract_all(synth, lit(tagRe), lit(0))).cast("long")
           .as("n_tags"))
     },
-    Some("""SELECT doc_id,
+    Some(s"""SELECT doc_id,
                    trim(regexp_replace(
                      regexp_replace(
                        regexp_replace(
@@ -159,20 +180,21 @@ object CleanOps {
                              regexp_replace(
                                regexp_replace(
                                  regexp_replace(
-                                   regexp_replace(synth, '(?is)<script[^>]*>.*?</script>', '', 'g'),
-                                   '(?is)<style[^>]*>.*?</style>', '', 'g'),
+                                   regexp_replace(synth, '$sqlScriptRe', '', 'g'),
+                                   '$sqlStyleRe', '', 'g'),
                                  '(?s)<!--.*?-->', '', 'g'),
-                               '(?is)<!\[CDATA\[.*?\]\]>', '', 'g'),
-                             '<[^>]+>', ' ', 'g'),
+                               '(?is)<!\\[CDATA\\[.*?\\]\\]>', '', 'g'),
+                             '$sqlTagRe', ' ', 'g'),
                            '&lt;', '<', 'g'),
                          '&gt;', '>', 'g'),
                        '&amp;', '&', 'g'),
-                     '\s+', ' ', 'g')) AS stripped,
-                   CAST(len(regexp_extract_all(synth, '<[^>]+>')) AS BIGINT) AS n_tags
+                     '\\s+', ' ', 'g')) AS stripped,
+                   CAST(len(regexp_extract_all(synth, '$sqlTagRe')) AS BIGINT) AS n_tags
             FROM (SELECT doc_id,
                          '<html><head><style>p{color:red}</style><!-- nav: home | about | doc ' ||
                          doc_id || ' --></head><body><h1>Doc ' ||
-                         doc_id || '</h1><![CDATA[raw <markup> & bytes]]><p>' || text ||
+                         doc_id || '</h1><a title="notes > ok" href=''/p?a=1&b=2''>ref</a>' ||
+                         '<![CDATA[raw <markup> & bytes]]><p>' || text ||
                          ' &amp; more &lt;tags&gt;</p><script>var x=1;</script></body></html>'
                            AS synth
                   FROM documents)"""))
@@ -385,7 +407,8 @@ object CleanOps {
     "q_clean_pipeline",
     (s, d) => {
       val synth = concat(
-        lit("<html><body><!-- boiler: nav/footer --><![CDATA[c&d]]><p>"), col("text"),
+        lit("<html><body><!-- boiler: nav/footer --><![CDATA[c&d]]>" +
+          "<div data-x='1 > 2' class=\"big\">hdr</div><p>"), col("text"),
         lit(" café contact user"), col("doc_id"),
         lit("@mail.example.com or https://ex.org/d/"), col("doc_id"),
         lit(" &amp; id "), (col("doc_id") * 9000077L + 5000000L).cast("long"),
@@ -409,11 +432,11 @@ object CleanOps {
                                          regexp_replace(
                                            regexp_replace(
                                              regexp_replace(
-                                               regexp_replace(synth, '(?is)<script[^>]*>.*?</script>', '', 'g'),
-                                               '(?is)<style[^>]*>.*?</style>', '', 'g'),
+                                               regexp_replace(synth, '$sqlScriptRe', '', 'g'),
+                                               '$sqlStyleRe', '', 'g'),
                                              '(?s)<!--.*?-->', '', 'g'),
                                            '(?is)<!\\[CDATA\\[.*?\\]\\]>', '', 'g'),
-                                         '<[^>]+>', ' ', 'g'),
+                                         '$sqlTagRe', ' ', 'g'),
                                        '&lt;', '<', 'g'),
                                      '&gt;', '>', 'g'),
                                    '&amp;', '&', 'g'),
@@ -423,7 +446,8 @@ object CleanOps {
                          '\\b\\d{6,}\\b', '<NUM>', 'g'),
                        '\\s+', ' ', 'g'))) AS text
               FROM (SELECT doc_id,
-                           '<html><body><!-- boiler: nav/footer --><![CDATA[c&d]]><p>' || text ||
+                           '<html><body><!-- boiler: nav/footer --><![CDATA[c&d]]>' ||
+                           '<div data-x=''1 > 2'' class="big">hdr</div><p>' || text ||
                            ' cafe' || chr(769) || ' contact user' || doc_id ||
                            '@mail.example.com or https://ex.org/d/' || doc_id ||
                            ' &amp; id ' || CAST(doc_id * 9000077 + 5000000 AS BIGINT) ||

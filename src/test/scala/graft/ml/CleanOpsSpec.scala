@@ -72,6 +72,19 @@ class CleanOpsSpec extends AnyFunSuite {
     assert(out == "a b")
   }
 
+  test("stripHtml: quoted attribute values containing '>' strip with their tag") {
+    import spark.implicits._
+    // a bare [^>]+ tag regex truncates at the '>' inside the quoted title/
+    // href and leaks the tag tail (ok" href=...) into the corpus; script
+    // openers have the same hazard (src="a>b"). Unclosed quotes are the
+    // documented residual: the tag match fails conservatively, leaving the
+    // literal '<' text rather than eating to an arbitrary later '>'.
+    val out = Seq(
+      """<p>a</p><a title="notes > ok" href='/p?x=1>2'>ref</a><script src="s>t">var q=1;</script><p>b</p>""")
+      .toDF("s").select(CleanOps.stripHtml(col("s"))).head().getString(0)
+    assert(out == "a ref b")
+  }
+
   test("stripHtml entity order: &amp;lt; must not double-unescape") {
     import spark.implicits._
     val out = Seq("x &amp;lt; y").toDF("s")
