@@ -209,10 +209,7 @@ object Compiler {
       val nb = allData.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
       // ≥ 2·partitions sub-ranges per octave → the biggest bucket of a
       // uniform offset range holds ≈ 1/(2·partitions) of the batch.
-      // Capped at 25: OffsetBucketExpr's Int bucket id overflows past that
-      // (needs > 2^24 shuffle partitions to matter — see its require).
-      val m = math.min(25,
-        math.max(6, 32 - java.lang.Integer.numberOfLeadingZeros(math.max(nb - 1, 1)) + 1))
+      val m = OctaveScan.octaveBits(nb)
       val renumbered = if (smallBatch) {
         // small-batch single-bucket fast path (see batchSpanHint scaladoc):
         // the whole topic renumbers in one window partition — identical
@@ -253,38 +250,13 @@ object Compiler {
       // topic-partitioned window: for a single-output program `_outtopic`
       // is a literal, so partitionBy(_outtopic) constant-folds into an
       // unpartitioned window — one task scanning every bucket row (up to
-      // (64−m+1)·2^m of them at cluster-scale m). Instead split the bucket
-      // id back into its octave (bucket >> m, non-foldable) and scan in
-      // two bounded levels:
-      //   1. within-octave prefix — window partitioned on (topic, octave),
-      //      ≤ 2^m rows per partition by construction;
-      //   2. octave bases — ≤ 64−m+1 octave totals per topic, exclusive-
-      //      summed by a triangular self-join (≤ 64² tiny pairs, no window
-      //      at all, still zero driver sync points).
+      // (64−m+1)·2^m of them at cluster-scale m). OctaveScan splits the
+      // bucket id back into its octave and scans in two bounded levels.
       val counts = withB.groupBy("_outtopic", "_bkt").count()
-        .withColumn("_oct", shiftright(col("_bkt"), m))
-      val withinOct = counts.withColumn("_in_base",
-        coalesce(
-          sum(col("count")).over(
-            Window.partitionBy(col("_outtopic"), col("_oct"))
-              .orderBy(col("_bkt").asc)
-              .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      val octTotals = counts
-        .groupBy(col("_outtopic").as("_ot_topic"), col("_oct").as("_ot_oct"))
-        .agg(sum(col("count")).as("_ot_n"))
-      val octBases = octTotals
-        .select(col("_ot_topic").as("_ob_topic"), col("_ot_oct").as("_ob_oct"))
-        .join(octTotals,
-          col("_ob_topic") === col("_ot_topic") && col("_ot_oct") < col("_ob_oct"),
-          "left")
-        .groupBy(col("_ob_topic"), col("_ob_oct"))
-        .agg(coalesce(sum(col("_ot_n")), lit(0L)).as("_ob_base"))
-      val bases = withinOct
-        .join(octBases, col("_outtopic") === col("_ob_topic") &&
-          col("_oct") === col("_ob_oct"))
+      val bases = OctaveScan
+        .exclusiveBases(counts, "_outtopic", "_bkt", "count", m, "_bb_base")
         .select(col("_outtopic").as("_bb_topic"), col("_bkt").as("_bb_bkt"),
-          (col("_ob_base") + col("_in_base")).as("_bb_base"))
+          col("_bb_base"))
       val w = Window.partitionBy(col("_outtopic"), col("_bkt"))
         .orderBy(col("_inkafka.offset").asc, col("_inkafka.topic").asc)
       // `_outtopic` survives into the result so a multi-pool pipeline can

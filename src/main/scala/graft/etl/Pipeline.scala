@@ -74,18 +74,49 @@ final class Pipeline(spark: SparkSession, transform: Transform, root: String,
       .select(col("kafka.topic").as("topic"), col("kafka.offset").as("offset"))
   }
 
-  /** Max contiguous done prefix per topic, anchored at `base(topic)`. */
-  private def contiguousPrefix(done: DataFrame, bases: Map[String, Long]): Map[String, Long] = {
-    if (bases.isEmpty) return Map.empty
+  /** Max contiguous done prefix per topic, anchored at `base(topic)`.
+    *
+    * An offset is in the prefix iff its 1-based rank among the topic's
+    * distinct done offsets equals `offset − base + 1`. Steady state the
+    * input is cursor-pruned and tiny, but a LEGACY pool's first
+    * incremental run sees its entire done history — so the rank is the
+    * two-phase octave-bucketed form ([[OctaveScan]]), not a per-topic
+    * window that would sort millions of done rows in one task per topic:
+    * rank within (topic, bucket) in parallel, plus the bucket's exclusive
+    * count of earlier offsets. Out-of-contract offsets below the base all
+    * land in bucket −1, which sorts first — same rank (and the same
+    * prefix-breaking effect) as the old global order.
+    */
+  private def contiguousPrefix(done: DataFrame, bases: Map[String, Long]): Map[String, Long] =
+    if (bases.isEmpty) Map.empty
+    else contiguousPrefixFrame(done, bases)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** The lazy (topic, cursor) frame behind [[contiguousPrefix]]; exposed
+    * for tests to assert the PLAN (no per-topic window) as well as values.
+    */
+  private[etl] def contiguousPrefixFrame(done: DataFrame,
+      bases: Map[String, Long]): DataFrame = {
     import spark.implicits._
     val baseDf = bases.toSeq.toDF("topic", "base")
-    val w = Window.partitionBy("topic").orderBy("offset")
-    done.select("topic", "offset").distinct()
+    val m = OctaveScan.octaveBits(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val keyed = done.select("topic", "offset").distinct()
       .join(broadcast(baseDf), Seq("topic"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("_bkt", graft.functions.OffsetBucketExpr
+        .offsetBucketNative(col("offset") - col("base"), m))
+    val counts = keyed.groupBy("topic", "_bkt").count()
+    val bucketBases = OctaveScan
+      .exclusiveBases(counts, "topic", "_bkt", "count", m, "_bb_base")
+      .select(col("topic").as("_bb_topic"), col("_bkt").as("_bb_bkt"),
+        col("_bb_base"))
+    val w = Window.partitionBy("topic", "_bkt").orderBy("offset")
+    keyed
+      .join(broadcast(bucketBases), col("topic") === col("_bb_topic") &&
+        col("_bkt") === col("_bb_bkt"))
+      .withColumn("rn", row_number().over(w).cast("long") + col("_bb_base"))
       .filter(col("offset") === col("base") + col("rn") - 1)
       .groupBy("topic").agg(max("offset").as("cursor"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
   /** Everything `run` computes before executing the program — exposed for
@@ -209,7 +240,13 @@ final class Pipeline(spark: SparkSession, transform: Transform, root: String,
     // input pool's #offsets METADATA only (manifestOffsets — no scan; the
     // nextProducerOffsets scan fallback would defeat the point of a
     // driver-known bound). Falls back to None (scale path) when any topic
-    // lacks metadata.
+    // lacks metadata. The span is an upper bound on batch ROWS only
+    // because kafka offsets are unique per topic (the broker's contract,
+    // and what Pool.append's renumbered output preserves); a pool holding
+    // duplicated (topic, offset) pairs would understate the bound and send
+    // an oversized batch down the single-window fast path — results stay
+    // identical (EtlFastPathSpec pins fast == octave), but the one-task-
+    // per-topic window is the parallelism hazard the octave path avoids.
     val batchSpanHint = inputPool.manifestOffsets().collect {
       case high if contBases.nonEmpty && contBases.keySet.subsetOf(high.keySet) =>
         contBases.map { case (t, b) => math.max(0L, high(t) + 1L - b) }.sum

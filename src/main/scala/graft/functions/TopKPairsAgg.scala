@@ -107,7 +107,7 @@ object TopKHeap {
   * bound carried on every row from a 1-row broadcast stats frame) — which
   * removes the driver-side `count()` job the fraction would otherwise
   * need. All rows of one group must carry the same k; the buffer adopts
-  * the first one it sees.
+  * the first one it sees and rejects a conflicting k on any later row.
   *
   * Rank ties resolve exactly like `row_number() OVER (ORDER BY sim DESC,
   * id ASC)`: callers that need oracle-stable output should pass an
@@ -147,6 +147,14 @@ final case class TopKPairsAgg(
       val kv = kExpr.eval(input)
       require(kv != null, "topk_pairs: k must not be null")
       h.ensureSized(kv.asInstanceOf[Int])
+    } else if (staticK.isEmpty) {
+      // dynamic k adopts the first row's value; a caller bug feeding a
+      // non-constant k within one group would otherwise silently bound
+      // the shortlist by whichever row arrived first. The extra eval is
+      // a field read off the joined stats column, dynamic-k paths only.
+      val kv = kExpr.eval(input)
+      require(kv != null && kv.asInstanceOf[Int] == h.capacity,
+        s"topk_pairs: k must be constant per group — heap sized ${h.capacity}, row has $kv")
     }
     val s = sim.eval(input)
     val i = id.eval(input)

@@ -296,6 +296,11 @@ object AnnOps {
     // probe through the bounded heap (label ids as pair ids — the same
     // (csim desc, label asc) ranking the old probe window used)
     val labelType = cents.schema("label").dataType
+    // fail fast: the probe routes labels through topk_pairs as longs; a
+    // non-numeric label would CAST to null, update() skips null ids, and
+    // the search would silently return empty results
+    require(labelType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"ivfSearch cell labels must be numeric, got $labelType")
     val cells = queries.select(col("vec_id").as("q_id"), col("v").as("qv"))
       .join(broadcast(cents))
       .select(col("q_id"), col("qv"), col("label"), cosine(col("qv"), col("cent")).as("csim"))

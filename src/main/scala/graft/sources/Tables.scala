@@ -24,9 +24,19 @@ object Tables {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // sweep dead sessions' entries before the lookup (bounded walk:
+    // live-sessions × tables entries): a stopped session's analyzed plans
+    // would otherwise be retained for the JVM lifetime, and a FRESH
+    // session reading the same path gets its own entry — so a rewritten
+    // fixture dir is re-listed by any new session, keeping the documented
+    // immutability assumption scoped to one session's lifetime. (Sweep
+    // OUTSIDE computeIfAbsent: its mapping function must not mutate the
+    // map.)
+    cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
       { case (s, p) => s.read.parquet(p) })
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")

@@ -19,27 +19,10 @@ class PlanAuditSpec extends AnyFunSuite {
 
   private def planOf(name: String): String = execPlan(name).toString
 
-  /** Every node of a physical plan, DESCENDING THROUGH the AQE wrapper:
-    * `AdaptiveSparkPlanExec` is a leaf to TreeNode traversal (children =
-    * Nil), so a plain `plan.collect` on an adaptive plan inspects exactly
-    * one node and vacuously passes any shape assertion. (toString-based
-    * checks are unaffected — rendering descends.)
-    */
-  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
-      Seq[org.apache.spark.sql.execution.SparkPlan] = {
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    val kids = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec => Seq(q.plan)
-      case other => other.children
-    }
-    p +: kids.flatMap(allNodes)
-  }
-
+  // AQE-descending traversal (see PlanTestUtil: a plain plan.collect on an
+  // adaptive plan is vacuous)
   private def windowsIn(p: org.apache.spark.sql.execution.SparkPlan) =
-    allNodes(p).collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec => w
-    }
+    PlanTestUtil.windowsIn(p)
 
   test("no gate query plans a cartesian product or single-partition window") {
     Registry.all.foreach { q =>

@@ -103,6 +103,47 @@ class CursorSpec extends AnyFunSuite {
       (0L to 7L).map(_ * 10).toSeq)
   }
 
+  test("legacy-pool cold start: the done-prefix scan parallelizes within a topic") {
+    // A pool migrated from another writer has a large done history and NO
+    // persisted cursor: the first incremental run computes the contiguous
+    // prefix over the ENTIRE done set. A per-topic rank window would sort
+    // each topic's history in one task; the octave-bucketed form must rank
+    // in parallel WITHIN a topic and still find the exact prefix.
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val root = Files.createTempDirectory("cursor-cold").toString
+    Pool.create(spark, root, "Raw")
+    val p = new Pipeline(spark, Transform.fromYaml(yaml), root)
+
+    // topic T: done 0..59999 with a gap at 43210 → cursor 43209
+    // topic U: done 100..4099 contiguous (base 100) → cursor 4099
+    val done = spark.range(0, 60000).select(lit("T").as("topic"), col("id").as("offset"))
+      .filter(col("offset") =!= 43210L)
+      .unionByName(spark.range(100, 4100)
+        .select(lit("U").as("topic"), col("id").as("offset")))
+    val frame = p.contiguousPrefixFrame(done, Map("T" -> 0L, "U" -> 100L))
+    val got = frame.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("T" -> 43209L, "U" -> 4099L))
+
+    // the plan ranks within (topic, bucket): no window partitioned on the
+    // topic alone anywhere in the executed plan
+    val wins = graft.PlanTestUtil.windowsIn(frame.queryExecution.executedPlan)
+    assert(wins.nonEmpty, "the prefix rank should run through a window")
+    wins.foreach { w =>
+      assert(w.partitionSpec.length >= 2,
+        s"done-prefix window partitions on ${w.partitionSpec} — one task per topic")
+    }
+
+    // and >1 task genuinely touches topic T's rank: the 60k offsets spread
+    // over many octave buckets (the window partition key)
+    val m = OctaveScan.octaveBits(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val buckets = done.filter(col("topic") === "T")
+      .select(graft.functions.OffsetBucketExpr
+        .offsetBucketNative(col("offset"), m).as("b"))
+      .distinct().count()
+    assert(buckets > 8, s"cold-start done set should spread buckets, got $buckets")
+  }
+
   val multiYaml: String =
     """inputs:
       |  - topic: T
