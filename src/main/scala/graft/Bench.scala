@@ -5,11 +5,17 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times the headline queries on SPARK_GRAFT_SF_DIR and
   * prints one JSON line (driver contract).
   *
-  * The suite is run `GRAFT_BENCH_RUNS` times (default 5) after one untimed
-  * warm-up pass (JIT + parquet footer cache); the reported per-query number
-  * is the MEDIAN across runs and `value` is the sum of medians, so a single
-  * noisy run (GC pause, co-tenant load) can no longer ship as the round's
-  * number. `spread` records min/max of the per-run totals for the record.
+  * The DEFAULT (driver-run, no args) protocol is family isolation: a
+  * fresh JVM per query family, so each family measures its plans instead
+  * of the marathon JVM's accumulated heap/spill/JIT state (r13: a dedup
+  * gate inflated 2× on identical code purely from suite ordering).
+  * Within each family the suite is run `GRAFT_BENCH_RUNS` times (default
+  * 5) after one untimed warm-up pass (JIT + parquet footer cache); the
+  * reported per-query number is the MEDIAN across runs and `value` is
+  * the sum of medians, so a single noisy run (GC pause, co-tenant load)
+  * can no longer ship as the round's number. `spread` records min/max of
+  * the per-run totals (summed per-family for the default mode).
+  * `-marathon` keeps the old single-JVM suite for cross-validation.
   *
   * `-ladder` mode sweeps every scale rung present on this box (the
   * driver's /root/testdata/sf* plus locally generated testdata-sf*) with
@@ -196,7 +202,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("GRAFT_BENCH_RUNS", "5").toInt.max(1)
 
-    if (args.contains("-families")) {
+    // Family isolation IS the official protocol (r13 verdict #3): one
+    // marathon JVM measures its own accumulated heap/spill/JIT state, not
+    // the plans — q_dedup_minhash moved 0.712 → 1.425 s on identical code
+    // purely from suite ordering. Default (what the driver runs) forks a
+    // fresh JVM per family; `-marathon` keeps the old single-JVM suite
+    // for ladder ratio work and cross-validation (BenchFamiliesSpec).
+    if (args.contains("-families") || args.isEmpty) {
       runFamilies(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"), runs)
       return
     }
@@ -234,10 +246,13 @@ object Bench {
         val err = if (failed.isEmpty) "" else failed.toSeq.sorted.mkString("FAILED: ", ", ", "")
         println(f"| $d | $t%.1f | $mn%.1f | $mx%.1f | $err |")
       }
-    } else {
+    } else if (args.contains("-marathon")) {
       val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
       val (perQuery, totals, failed) = runSuite(spark, sfDir, runs)
       println(jsonLine(perQuery, Some((totals.min, totals.max)), sfDir, runs, failed))
+    } else {
+      System.err.println(s"[bench] unknown args: ${args.mkString(" ")}")
+      sys.exit(2)
     }
     spark.stop()
   }

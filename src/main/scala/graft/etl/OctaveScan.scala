@@ -28,13 +28,49 @@ import org.apache.spark.sql.functions._
   */
 object OctaveScan {
 
+  /** Above this octave-bits setting the per-key bucket-id space,
+    * (64−m+1)·2^m, can exceed what one collect_list row should hold
+    * (m=14 → ≤ 835k structs ≈ 10 MB; m=16 would allow 38 MB), so the
+    * array fast path yields to the two-level window form. m ≤ 14 covers
+    * every realistic cluster (m tracks log2(shuffle partitions) + 1, so
+    * the threshold is ~8k partitions).
+    */
+  private[etl] val arrayPathMaxM = 14
+
   /** For each (key, bucket) row of `counts`, the exclusive running total of
     * `cntCol` over all smaller buckets of the same key, as `baseCol`.
     * `counts` must hold one row per (key, bucket); bucket ids must come
     * from [[graft.functions.OffsetBucketExpr]] with the same `m`.
     * Output columns: keyCol, bktCol, baseCol.
+    *
+    * Two plan shapes, value-identical (OctaveScanSpec pins equality):
+    *  - m ≤ [[arrayPathMaxM]] (any realistic cluster): ONE tiny
+    *    aggregation collects each key's sorted (bucket, count) array and
+    *    a native O(n) scan ([[graft.functions.PrefixBasesExpr]]) emits the
+    *    bases — two metadata-scale shuffles total, no window. This is the
+    *    production path; the r14 two-level window form cost ~3 extra AQE
+    *    stage syncs per run, a 1.5× regression on q_etl_denorm.
+    *  - larger m: the bounded two-level window form (within-octave prefix
+    *    + triangular octave join), which never materializes a per-key
+    *    array.
     */
   def exclusiveBases(counts0: DataFrame, keyCol: String, bktCol: String,
+      cntCol: String, m: Int, baseCol: String): DataFrame =
+    if (m <= arrayPathMaxM) arrayBases(counts0, keyCol, bktCol, cntCol, baseCol)
+    else windowBases(counts0, keyCol, bktCol, cntCol, m, baseCol)
+
+  /** One aggregation + native prefix scan; see [[exclusiveBases]]. */
+  private[etl] def arrayBases(counts0: DataFrame, keyCol: String,
+      bktCol: String, cntCol: String, baseCol: String): DataFrame =
+    counts0.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(
+        col(bktCol).as("b"), col(cntCol).cast("long").as("c")))).as("_bc"))
+      .select(col(keyCol),
+        explode(graft.functions.PrefixBasesExpr.prefixBases(col("_bc"))).as("_pb"))
+      .select(col(keyCol), col("_pb.bkt").as(bktCol), col("_pb.base").as(baseCol))
+
+  /** Two bounded window levels; see [[exclusiveBases]]. */
+  private[etl] def windowBases(counts0: DataFrame, keyCol: String, bktCol: String,
       cntCol: String, m: Int, baseCol: String): DataFrame = {
     val counts = counts0.withColumn("_oct", shiftright(col(bktCol), m))
     val withinOct = counts.withColumn("_in_base",
