@@ -10,6 +10,9 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkLi
   * gate's cost to its scan / shuffle / window stages.
   *
   * usage: QueryProfile <gateName> [sfDir] [runs]
+  *   env GRAFT_PROFILE_COLD=1 — clearCache before each timed run (bench-
+  *   comparable cold numbers; default keeps gate-internal persists warm)
+  *   env GRAFT_PROFILE_AQE=off — disable adaptive execution for the runs
   */
 object QueryProfile {
   def main(args: Array[String]): Unit = {
@@ -40,8 +43,15 @@ object QueryProfile {
       }
     })
 
+    // GRAFT_PROFILE_COLD=1 clears the cache before each timed run, matching
+    // the bench's cold-per-pass discipline. WITHOUT it, runs 2+ of a gate
+    // with an internal persist re-hit run 1's cached intermediate
+    // (CacheManager matches by canonicalized plan) — warm-cache numbers
+    // that are NOT comparable to BENCH readings (the r14 minhash lesson).
+    val cold = sys.env.get("GRAFT_PROFILE_COLD").contains("1")
     q.run(spark, sfDir).count() // warm-up: JIT, codegen, parquet footers
     for (r <- 1 to runs) {
+      if (cold) spark.sharedState.cacheManager.clearCache()
       stages.clear(); jobs = 0
       val t0 = System.nanoTime()
       val df = q.run(spark, sfDir)

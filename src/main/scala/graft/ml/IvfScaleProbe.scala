@@ -1,0 +1,71 @@
+package graft.ml
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Dev tool: scale evidence for the PERSISTED-index search paths
+  * (`IvfIndex.search`, `IvfPqIndex.search`) — the APIs a production
+  * deployment calls, rewritten in r14 onto the bounded k-heap. Builds
+  * both indexes over an sf dir's embeddings in a temp dir, then prints:
+  *
+  *  - probe recall@5 vs exact brute force over a deterministic query
+  *    sample (the same bar DedupSpec pins at sf0.001);
+  *  - the window count in each executed search plan (must be 0 — the
+  *    per-query rank-window shape this rewrite removed);
+  *  - whether the probed scan carries parquet PartitionFilters (cell
+  *    pruning reaches the file listing).
+  *
+  * usage: run_main.sh graft.ml.IvfScaleProbe [sfDir] [cells] [nprobe]
+  */
+object IvfScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/repo/testdata-sf1")
+    val cells = if (args.length > 1) args(1).toInt else 64
+    val nprobe = if (args.length > 2) args(2).toInt else 8
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val corpus = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val n = corpus.count()
+    val queries = corpus.filter(col("vec_id") < 20)
+    def windows(df: org.apache.spark.sql.DataFrame): Int = {
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val kids = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case o => o.children
+        }
+        p +: kids.flatMap(walk)
+      }
+      walk(df.queryExecution.executedPlan).count(
+        _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec])
+    }
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(AnnOps.bruteForceTopK(corpus, queries, 5))
+
+    val base = java.nio.file.Files.createTempDirectory("ivfscale").toString
+    val t0 = System.nanoTime()
+    val ivf = IvfIndex.build(corpus, s"$base/ivf", cells = cells, trainIters = 2)
+    val tBuild = (System.nanoTime() - t0) / 1e9
+    val (probed, scan) = ivf.probedScan(queries, nprobe)
+    val pruned = scan.queryExecution.executedPlan.toString.contains("PartitionFilters")
+    val sr = ivf.search(queries, 5, nprobe)
+    val got = pairs(sr)
+    val recall = (brute & got).size.toDouble / brute.size
+    println(f"IVF_SCALE dir=$sfDir n=$n cells=$cells nprobe=$nprobe " +
+      f"build=${tBuild}%.1fs recall=$recall%.3f windows=${windows(sr)} " +
+      s"partition_pruned=$pruned probe_rows=${probed.count()}")
+
+    val t1 = System.nanoTime()
+    val ivfpq = IvfPq.build(corpus, s"$base/ivfpq", cells = cells, m = 8, k = 64, iters = 2)
+    val tBuild2 = (System.nanoTime() - t1) / 1e9
+    val sr2 = ivfpq.search(corpus, queries, 5, nprobe = nprobe, shortlist = 200)
+    val got2 = pairs(sr2)
+    val recall2 = (brute & got2).size.toDouble / brute.size
+    println(f"IVFPQ_SCALE dir=$sfDir n=$n cells=$cells nprobe=$nprobe " +
+      f"build=${tBuild2}%.1fs recall=$recall2%.3f windows=${windows(sr2)}")
+    spark.stop()
+  }
+}
