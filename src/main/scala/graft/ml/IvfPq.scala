@@ -32,6 +32,47 @@ final case class IvfPqIndex(spark: SparkSession, path: String) {
     * window anywhere, so no stage collapses a query's candidates into one
     * task at scale.
     */
+  /** [[search]] with a CORPUS-FRACTION shortlist — the scale-correct
+    * default (the q_ann_pq lesson: ADC ranking error at a fixed
+    * compression budget pushes true neighbors past any FIXED cutoff as
+    * the corpus grows, so recall at a constant `shortlist` decays with
+    * scale; IvfScaleProbe shows the decay at 10× — 0.94 → 0.67 at a
+    * constant 200). The bound is `frac` of the PROBED population, sized
+    * from the probed cells' parquet FOOTERS — driver-side metadata, zero
+    * Spark jobs — then delegated to [[search]].
+    */
+  def searchFrac(corpus: DataFrame, queries: DataFrame, topK: Int,
+      nprobe: Int = 3, frac: Double = 0.01): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac out of range: $frac")
+    // the probe set is query-dependent; the footer bound uses ALL cells'
+    // counts scaled by nprobe/cells — a uniform-occupancy estimate that
+    // is exact in aggregate and errs toward a LARGER shortlist when the
+    // probed cells are the fuller ones (the safe direction for recall).
+    // Cell dirs and footers are walked DRIVER-side (the cells/ layout is
+    // partitioned by cell, so row counts come from each cell=N dir's
+    // parquet footers; the cell count is the dir listing) — zero Spark
+    // jobs before the plan is built. Any metadata surprise falls back to
+    // the default absolute shortlist rather than failing the search.
+    val probedRows: Option[Double] =
+      try {
+        val cellsDir = new org.apache.hadoop.fs.Path(s"$path/cells")
+        val fsys = cellsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val subdirs = fsys.listStatus(cellsDir).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+        val counts = subdirs.map(s =>
+          graft.sources.Tables.footerRowCount(spark, s.getPath.toString))
+        if (counts.isEmpty || counts.exists(_.isEmpty)) None
+        else Some(counts.flatten.sum *
+          math.min(nprobe, subdirs.size).toDouble / subdirs.size)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    probedRows match {
+      case Some(rows) =>
+        search(corpus, queries, topK, nprobe,
+          math.max(topK, math.ceil(rows * frac).toInt))
+      case None => search(corpus, queries, topK, nprobe)
+    }
+  }
+
   def search(corpus: DataFrame, queries: DataFrame, topK: Int,
       nprobe: Int = 3, shortlist: Int = 50): DataFrame = {
     // probe: nprobe nearest cells per query against the broadcast centroids

@@ -64,8 +64,14 @@ object IvfScaleProbe {
     val sr2 = ivfpq.search(corpus, queries, 5, nprobe = nprobe, shortlist = 200)
     val got2 = pairs(sr2)
     val recall2 = (brute & got2).size.toDouble / brute.size
+    // the corpus-fraction shortlist (footer-sized, zero pre-plan jobs) —
+    // the scale-correct call; the fixed-200 number above shows the decay
+    // it exists to avoid
+    val sr3 = ivfpq.searchFrac(corpus, queries, 5, nprobe = nprobe, frac = 0.05)
+    val recall3 = (brute & pairs(sr3)).size.toDouble / brute.size
     println(f"IVFPQ_SCALE dir=$sfDir n=$n cells=$cells nprobe=$nprobe " +
-      f"build=${tBuild2}%.1fs recall=$recall2%.3f windows=${windows(sr2)}")
+      f"build=${tBuild2}%.1fs recall_fixed200=$recall2%.3f " +
+      f"recall_frac5pct=$recall3%.3f windows=${windows(sr2)}")
     spark.stop()
   }
 }

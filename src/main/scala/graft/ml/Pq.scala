@@ -1,7 +1,6 @@
 package graft.ml
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -40,10 +39,21 @@ object Pq {
     val dsub = dim / m
     val sub = subvectors(corpus, m, dsub)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wInit = Window.partitionBy("m").orderBy("vec_id")
-    var cents = sub.withColumn("k", row_number().over(wInit) - 1)
-      .filter(col("k") < k)
-      .select(col("m"), col("k"), col("sv").as("cent"))
+    // deterministic init WITHOUT a per-subspace sort window (a
+    // Window.partitionBy("m") funnels each subspace's ENTIRE corpus
+    // through one task just to pick k seed rows): the K lowest vec_ids
+    // come from a bounded TakeOrdered (orderBy + limit), and each id's
+    // rank becomes its centroid index via a literal map — k is
+    // codebook-sized, so the collect is driver-safe. Same seeds, same
+    // indexes as the old window form.
+    val initIds = corpus.select("vec_id").orderBy("vec_id").limit(k)
+      .collect().map(_.getLong(0))
+    val idIdx = map(initIds.zipWithIndex.flatMap { case (id, i) =>
+      Seq(lit(id), lit(i)) }: _*)
+    var cents = sub
+      .filter(col("vec_id").isin(initIds.map(_.asInstanceOf[Any]): _*))
+      .select(col("m"), element_at(idIdx, col("vec_id")).as("k"),
+        col("sv").as("cent"))
     for (_ <- 0 until iters) {
       val assigned = sub.join(broadcast(cents), Seq("m"))
         .select(col("vec_id"), col("m"), col("sv"),

@@ -57,6 +57,12 @@ object Connector {
     "q_offset_guard",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // scale caveat (same as q_offset_assign's): a per-topic lag window
+      // sorts each topic's history in ONE task — right for this batch
+      // AUDIT gate, whose set-query form the oracle mirrors; production
+      // gap detection is the streaming path (Sync consumes per-partition
+      // in offset order, so a gap is a per-batch monotonicity check, not
+      // a corpus sort)
       val w = Window.partitionBy("event_type").orderBy("event_id")
       events(s, d)
         .withColumn("prev", lag("event_id", 1).over(w))

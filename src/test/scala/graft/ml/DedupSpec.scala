@@ -203,6 +203,19 @@ class DedupSpec extends AnyFunSuite {
     // compounded approximation (cell pruning × code quantization) — the
     // bar is the IVF probe recall floor, the binding constraint here
     assert(recall >= 0.55, s"IVF+PQ recall too low: $recall")
+
+    // corpus-fraction shortlist (footer-sized, zero pre-plan Spark jobs)
+    // must produce exactly what the absolute call with the same computed
+    // bound produces — recompute the bound the way searchFrac does
+    val cellDirs = new java.io.File(s"$path/cells").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    val total = stored.count()
+    val sl = math.max(5, math.ceil(
+      total * math.min(5, cellDirs).toDouble / cellDirs * 0.16).toInt)
+    val gotFrac = pairs(idx.searchFrac(corpus, queries, 5, nprobe = 5, frac = 0.16))
+    val gotAbs = pairs(idx.search(corpus, queries, 5, nprobe = 5, shortlist = sl))
+    assert(gotFrac == gotAbs,
+      s"searchFrac(0.16) != search(shortlist=$sl): ${gotFrac.size} vs ${gotAbs.size}")
   }
 
   test("exact dedup keeps one representative per content hash") {
