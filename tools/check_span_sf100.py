@@ -62,11 +62,11 @@ DOCS_SQL = {
                                    regexp_replace(
                                      regexp_replace(
                                        regexp_replace(
-                                         regexp_replace(synth, '(?is)<script[^>]*>.*?</script>', '', 'g'),
-                                         '(?is)<style[^>]*>.*?</style>', '', 'g'),
+                                         regexp_replace(synth, '(?is)<script(?:[^>"'']|"[^"]*"|''[^'']*'')*>.*?</script>', '', 'g'),
+                                         '(?is)<style(?:[^>"'']|"[^"]*"|''[^'']*'')*>.*?</style>', '', 'g'),
                                        '(?s)<!--.*?-->', '', 'g'),
                                      '(?is)<!\[CDATA\[.*?\]\]>', '', 'g'),
-                                   '<[^>]+>', ' ', 'g'),
+                                   '<(?:[^>"'']|"[^"]*"|''[^'']*'')+>', ' ', 'g'),
                                  '&lt;', '<', 'g'),
                                '&gt;', '>', 'g'),
                              '&amp;', '&', 'g'),
@@ -76,7 +76,8 @@ DOCS_SQL = {
                    '\b\d{6,}\b', '<NUM>', 'g'),
                  '\s+', ' ', 'g'))) AS text
         FROM (SELECT doc_id,
-                     '<html><body><!-- boiler: nav/footer --><![CDATA[c&d]]><p>' || text ||
+                     '<html><body><!-- boiler: nav/footer --><![CDATA[c&d]]>' ||
+                     '<div data-x=''1 > 2'' class="big">hdr</div><p>' || text ||
                      ' cafe' || chr(769) || ' contact user' || doc_id ||
                      '@mail.example.com or https://ex.org/d/' || doc_id ||
                      ' &amp; id ' || CAST(doc_id * 9000077 + 5000000 AS BIGINT) ||
