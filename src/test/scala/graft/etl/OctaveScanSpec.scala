@@ -49,6 +49,38 @@ class OctaveScanSpec extends AnyFunSuite {
     assert(viaDefault == viaFallback)
   }
 
+  test("randomized fixtures: array path == window path == reference scan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(14)
+    for (round <- 1 to 5) {
+      val m = Seq(6, 8, 12)(rnd.nextInt(3))
+      val keys = (1 to (1 + rnd.nextInt(3))).map(i => s"k$i")
+      val rows = keys.flatMap { k =>
+        val nb = 1 + rnd.nextInt(40)
+        // bucket ids drawn across several octaves of the id space, with
+        // occasional -1 (out-of-contract negatives)
+        val bkts = scala.collection.mutable.Set[Int]()
+        while (bkts.size < nb) {
+          bkts += (if (rnd.nextInt(10) == 0) -1
+            else rnd.nextInt(1 << math.min(m + rnd.nextInt(4), 20)))
+        }
+        bkts.toSeq.map(b => (k, b, 1L + rnd.nextInt(1000)))
+      }
+      val counts = rows.toDF("k", "bkt", "cnt")
+      val a = collect(OctaveScan.arrayBases(counts, "k", "bkt", "cnt", "base"))
+      val w = collect(OctaveScan.windowBases(counts, "k", "bkt", "cnt", m, "base"))
+      // reference: plain scala exclusive scan per key over sorted buckets
+      val ref = rows.groupBy(_._1).flatMap { case (k, rs) =>
+        val sorted = rs.sortBy(_._2)
+        sorted.scanLeft(0L)(_ + _._3).zip(sorted).map {
+          case (base, (_, b, _)) => (k, b, base)
+        }
+      }.toSet
+      assert(a == ref, s"round $round (m=$m): array != reference")
+      assert(w == ref, s"round $round (m=$m): window != reference")
+    }
+  }
+
   test("prefix_bases expression: exclusive scan over a sorted struct array") {
     import spark.implicits._
     val out = Seq(Seq((1, 10L), (3, 5L), (9, 7L)), Seq.empty[(Int, Long)])
