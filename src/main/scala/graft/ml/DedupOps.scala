@@ -63,6 +63,15 @@ object DedupOps {
       maxBucket: Int = 1000): DataFrame = {
     val base = minhashed(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Prime the cache with ONE pass before the plan fans out: AQE runs the
+    // downstream branches (band explode + two verification joins) as
+    // concurrent jobs, and when the persisted base is not yet materialized
+    // they RACE — every branch schedules a full set of scan tasks that
+    // then serialize on the per-block cache locks, a convoy that occupies
+    // slots×branches task slots to do one branch's work (QueryProfile: 4
+    // near-identical materialization stages per cold run). One eager pass
+    // is strictly cheaper at any scale than branches racing for it.
+    base.count()
     val allBands = base
       .select(col("doc_id"), explode(lshBands(col("sig"), 8, 4)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
@@ -128,8 +137,9 @@ object DedupOps {
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     // persist: the 64-bit-sum signature expression is expensive and feeds
     // both sides of the block self-join
-    val sigs = docs.select(col("doc_id"),
-      graft.functions.SimHash64Expr.simhash64Native(tokens(col("text"))).as("sig"))
+    val sigs = docs
+      .select(col("doc_id"),
+        graft.functions.SimHash64Expr.simhash64Native(tokens(col("text"))).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Block on 4 x 16-bit chunks: two sigs within hamming 3 of each other
     // share at least one exact chunk (pigeonhole over 4 blocks); for

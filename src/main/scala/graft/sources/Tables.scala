@@ -53,7 +53,12 @@ object Tables {
   // test-DATA artifact, not an engine concern: a blanket repartition here
   // would put a full-text shuffle into plans that are correctly shuffle-free
   // at 100 TB (PlanAuditSpec pins those shapes). tools/gen_sf1.py writes
-  // scale-run fixtures with small row groups instead.
+  // scale-run fixtures with small row groups instead. (An adaptive
+  // "repartition when scan partitions < cores" variant was measured in
+  // round 14 and REJECTED: once the tokenizer went regex-free the
+  // remaining serial cost of a 1-row-group scan is the parquet decode
+  // itself, which a post-scan exchange cannot parallelize — the added
+  // shuffle only bought job-sync latency.)
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

@@ -371,4 +371,5 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(cosineLines.exists(_.contains("*(")),
       s"cosine_sim left whole-stage codegen:\n${cosineLines.mkString("\n")}")
   }
+
 }
