@@ -21,8 +21,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Value parity is exact and pinned by TextExprsSpec: lowercasing IS
   * Spark's own `Lower` expression (placed under these as the child — not
-  * re-implemented), the split is `UTF8String.split` (identical to
-  * `split()`), empty tokens drop; shingle hashes join n-token windows with
+  * re-implemented), the split is a byte-run scan equivalent to
+  * `split(TokenSep)` under UTF8_BINARY (see [[tokenize]]; the regex class
+  * is pure ASCII on lowercased input, so byte runs and regex runs
+  * coincide), empty tokens drop; shingle hashes join n-token windows with
   * a single space and hash bytes with XXH64 seed 42 — bit-identical to
   * `xxhash64(array_join(slice(…), " "))` — preserving the Column version's
   * edges: ≤n tokens collapse to ONE shingle of all tokens, zero tokens
@@ -43,7 +45,7 @@ object TextExprs {
     * `UTF8String.toLowerCase` on exotic case-mapping characters) is
     * identical to the `lower()` Column formulation by construction.
     *
-    * Collation contract: the split itself is raw `UTF8String.split`, i.e.
+    * Collation contract: the split matches raw `UTF8String.split`, i.e.
     * the UTF8_BINARY (default-collation) behavior of Spark's `StringSplit`.
     * Under a non-default session collation Spark 4 rewrites `split()`
     * through `CollationSupport.collationAwareRegex` (case-/accent-
