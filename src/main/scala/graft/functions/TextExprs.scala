@@ -166,7 +166,22 @@ case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression 
     val count = if (m <= n) 1 else m - n + 1
     val width = if (m <= n) m else n
     var buf = new Array[Byte](64)
-    val seen = new java.util.HashSet[java.lang.Long](count * 2)
+    // open-addressed primitive dedup table (0 = empty slot, the zero hash
+    // tracked by a flag): the boxed java.util.HashSet here cost one Long
+    // allocation per SHINGLE — hundreds of millions of boxes per sf100
+    // pass on the hottest expression in the dedup family
+    var tcap = java.lang.Integer.highestOneBit(math.max(4, count) * 2 - 1) << 1
+    if (tcap <= 0) tcap = 1 << 30
+    val tmask = tcap - 1
+    val table = new Array[Long](tcap)
+    var seenZero = false
+    @inline def seenAdd(h: Long): Boolean =
+      if (h == 0L) { if (seenZero) false else { seenZero = true; true } }
+      else {
+        var idx = (h ^ (h >>> 32)).toInt & tmask
+        while (table(idx) != 0L && table(idx) != h) idx = (idx + 1) & tmask
+        if (table(idx) == h) false else { table(idx) = h; true }
+      }
     val out = new Array[Long](count)
     var nOut = 0
     var i = 0
@@ -186,7 +201,7 @@ case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression 
       }
       val h = XxHash64Function.hash(
         UTF8String.fromBytes(buf, 0, len), StringType, 42L)
-      if (seen.add(h)) { out(nOut) = h; nOut += 1 }
+      if (seenAdd(h)) { out(nOut) = h; nOut += 1 }
       i += 1
     }
     new GenericArrayData(if (nOut == count) out else java.util.Arrays.copyOf(out, nOut))
