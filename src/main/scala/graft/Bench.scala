@@ -84,6 +84,35 @@ object Bench {
     (perQuery, samples.map(_.map(_._2).sum), failed.toSet)
   }
 
+  /** The per-gate best-ever SAME-PROTOCOL ledger (r14 verdict #1): reads
+    * `BENCH_BEST.json` (or `GRAFT_BENCH_BEST`) — maintained by
+    * `tools/update_bench_best.py` from official families-mode artifacts —
+    * and returns its per-gate best seconds, but ONLY when the ledger's sf
+    * tag matches the run's sf dir (a sf0.01 smoke run compared against
+    * sf0.1 bests would flag everything). The file is this repo's own
+    * trivially regular format; the extraction is a line regex, not a JSON
+    * parser dependency.
+    */
+  private def loadBest(sfDir: String): Map[String, Double] =
+    try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_BENCH_BEST", "BENCH_BEST.json"))
+      if (!java.nio.file.Files.isReadable(p)) Map.empty
+      else {
+        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val sfTag = """"sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
+        val sfBase = new java.io.File(sfDir).getName
+        if (!sfTag.exists(t => new java.io.File(t).getName == sfBase)) Map.empty
+        else {
+          val best = s.indexOf("\"best\"")
+          if (best < 0) Map.empty
+          else """"(q_[A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r
+            .findAllMatchIn(s.substring(best))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
   private def jsonLine(perQuery: Seq[(String, Option[Double])],
       spreadOpt: Option[(Double, Double)], sfDir: String, runs: Int,
       failed: Set[String]): String = {
@@ -99,7 +128,22 @@ object Bench {
       .map { case (mn, mx) => s"""{"min":${fmt3(mn)},"max":${fmt3(mx)}}""" }
       .getOrElse("null")
     val errs = failed.toSeq.sorted.map(jstr).mkString("[", ",", "]")
-    s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"spread":$spread,"errors":$errs}"""
+    // the regression ledger: per-gate ratio to the best same-protocol
+    // reading on record, and an explicit watch list past 1.2× — "probably
+    // environmental" hid a 12× scan cost for two rounds (the r14
+    // tokenizer episode); an in-artifact flag can't be skipped over
+    val best = loadBest(sfDir)
+    val vsBest =
+      if (best.isEmpty) "null"
+      else perQuery.collect { case (k, Some(v)) if best.contains(k) =>
+        jstr(k) + ":" + fmt3(v / best(k))
+      }.mkString("{", ",", "}")
+    val regressions =
+      if (best.isEmpty) "null"
+      else perQuery.collect { case (k, Some(v))
+        if best.contains(k) && v / best(k) > 1.2 => jstr(k)
+      }.mkString("[", ",", "]")
+    s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"spread":$spread,"errors":$errs,"vs_best":$vsBest,"regressions":$regressions}"""
   }
 
   /** Family partition for `-families` mode — the run_sf100.sh lesson

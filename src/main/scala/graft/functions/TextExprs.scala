@@ -170,8 +170,12 @@ case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression 
     // tracked by a flag): the boxed java.util.HashSet here cost one Long
     // allocation per SHINGLE — hundreds of millions of boxes per sf100
     // pass on the hottest expression in the dedup family
-    var tcap = java.lang.Integer.highestOneBit(math.max(4, count) * 2 - 1) << 1
-    if (tcap <= 0) tcap = 1 << 30
+    // capacity must strictly exceed the insert count (load ≤ 0.5) or a
+    // full-table probe would spin; enforce the invariant explicitly
+    // rather than ride UTF8String's 2GB byte cap keeping count below it
+    require(count < (1 << 29),
+      s"shingle count $count exceeds the open-addressed table bound (2^29)")
+    val tcap = java.lang.Integer.highestOneBit(math.max(4, count) * 2 - 1) << 1
     val tmask = tcap - 1
     val table = new Array[Long](tcap)
     var seenZero = false

@@ -59,8 +59,16 @@ object DedupOps {
     *  - verification re-joins the (doc_id, shingles) base once per side on
     *    the deduped candidate pairs only.
     */
+  /** NOTE: with `prime = true` (the execution default) this is
+    * SIDE-EFFECTING — it runs one Spark job to materialize the persisted
+    * signature base before returning the plan, and the base stays cached
+    * (MEMORY_AND_DISK) for the returned DataFrame's lifetime; Spark's LRU
+    * eviction reclaims the blocks under pressure. Plan-only consumers
+    * (explain, plan audits, composing callers that may never execute)
+    * should pass `prime = false` to get a pure lazy plan.
+    */
   def minhashPairs(docs: DataFrame, threshold: Double,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000, prime: Boolean = true): DataFrame = {
     val base = minhashed(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Prime the cache with ONE pass before the plan fans out: AQE runs the
@@ -71,7 +79,7 @@ object DedupOps {
     // slots×branches task slots to do one branch's work (QueryProfile: 4
     // near-identical materialization stages per cold run). One eager pass
     // is strictly cheaper at any scale than branches racing for it.
-    base.count()
+    if (prime) base.count()
     val allBands = base
       .select(col("doc_id"), explode(lshBands(col("sig"), 8, 4)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))

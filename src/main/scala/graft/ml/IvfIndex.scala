@@ -22,12 +22,12 @@ import org.apache.spark.sql.functions._
   */
 final case class IvfIndex(spark: SparkSession, path: String) {
 
-  def centroids: DataFrame = spark.read.parquet(s"$path/centroids")
+  def centroids: DataFrame = IvfIndex.readOwn(spark, s"$path/centroids")
 
   /** Build-time per-cell snapshot (cell, n, mean_sim) written by [[IvfIndex.build]];
     * the frozen reference [[IvfIndex.health]] measures drift against.
     */
-  def stats: DataFrame = spark.read.parquet(s"$path/stats")
+  def stats: DataFrame = IvfIndex.readOwn(spark, s"$path/stats")
 
   /** The probed-cell scan for a query set; exposed for plan inspection.
     *
@@ -36,9 +36,22 @@ final case class IvfIndex(spark: SparkSession, path: String) {
     * old rank window used) — the exchange carries |Q| × nprobe entries, not
     * the |Q| × cells pair stream a per-query sort window would shuffle into
     * one task per query.
+    *
+    * CONSTRUCTION IS JOB-FREE: the old implementation ran a
+    * `distinct().collect()` Spark job here to turn the probed cells into a
+    * literal `IN` for static partition pruning. Now the probe side carries
+    * a literal `IN` over the STORED cell universe instead — a driver-side
+    * dir listing of `cells/` (metadata scale, zero jobs), semantically a
+    * no-op since probed cells are centroid cells — which is exactly the
+    * selective-predicate signal Spark's dynamic-partition-pruning rule
+    * needs on the build side of the cell join: the partitioned `cells/`
+    * scan gets a runtime DynamicPruning filter equal to the probed cell
+    * set, reusing the probe broadcast. Same file pruning the collect()
+    * bought, no job before the plan exists (PlanAuditSpec pins both).
     */
   def probedScan(queries: DataFrame, nprobe: Int): (DataFrame, DataFrame) = {
     val cents = centroids
+    val universe = IvfIndex.listedCells(spark, path)
     val probed = queries.select(col("vec_id").as("q_id"), col("v").as("qv"))
       .join(broadcast(cents))
       .select(col("q_id"), col("qv"), col("cell"),
@@ -48,16 +61,20 @@ final case class IvfIndex(spark: SparkSession, path: String) {
         topkPairs(col("csim"), col("cell").cast("long"), nprobe).as("pc"))
       .select(col("q_id"), col("qv"), explode(col("pc.n_id")).as("_cl"))
       .select(col("q_id"), col("qv"), col("_cl").cast("int").as("cell"))
-    // literal cell list -> partition pruning in the parquet scan
-    val cellIds = probed.select("cell").distinct().collect().map(_.getInt(0)).sorted
-    val scan = spark.read.parquet(s"$path/cells")
-      .filter(col("cell").isin(cellIds.toSeq.map(_.asInstanceOf[Any]): _*))
+      .filter(col("cell").isin(universe: _*))
+    val scan = IvfIndex.readOwn(spark, s"$path/cells", Some("cell"))
     (probed, scan)
   }
 
   /** Probed-cell scan → shared bounded-heap top-k tail ([[AnnOps.scoredTopK]],
     * no rank window): per-partition k-entry heaps partial-merge, so the agg
     * exchange carries partitions × |Q| × k entries regardless of cell size.
+    *
+    * BOUNDED-QUERY CONTRACT: `broadcast(probed)` ships |Q| × nprobe rows
+    * (each carrying its query vector) through the driver — right for
+    * interactive / dashboard-sized query sets, and the broadcast is what
+    * lets dynamic partition pruning drop every non-probed cell directory
+    * before file I/O. Bulk query batches go through [[searchDistributed]].
     */
   def search(queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val (probed, scan) = probedScan(queries, nprobe)
@@ -67,9 +84,72 @@ final case class IvfIndex(spark: SparkSession, path: String) {
         .filter(col("q_id") =!= col("n_id")),
       k)
   }
+
+  /** [[search]] for BULK query batches: the query set stays a DataFrame
+    * end to end — never collected to or broadcast from the driver, so
+    * driver memory is flat in |Q| (the million-query contract,
+    * [[AnnOps.bruteForceTopKDistributed]]'s sibling for the disk index).
+    *
+    * Shape: probe as in [[probedScan]] (centroids are index METADATA and
+    * always broadcast — the "no broadcast" contract is about the
+    * query-derived side), then a shuffled-hash join on `cell` co-locates
+    * each cell's stored vectors with every query probing that cell; the
+    * pair stream folds into bounded per-partition k-heaps, so the agg
+    * exchange carries partitions × |Q| × k entries. Parallelism is the
+    * probed-cell count — at 100 TB that is ~√N directories, far above any
+    * cluster's core count, and k-means keeps cell occupancy balanced.
+    *
+    * No dynamic partition pruning here by design: DPP only reuses
+    * broadcasts, and a bulk batch probes essentially the whole cell
+    * universe anyway — the scan reading all cells is the workload, not a
+    * missed prune. For query sets small enough that pruning matters, use
+    * [[search]].
+    */
+  def searchDistributed(queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val (probed, scan) = probedScan(queries, nprobe)
+    AnnOps.scoredTopK(
+      scan.select(col("vec_id").as("n_id"), col("cell"), col("v").as("nv"))
+        .join(probed.hint("shuffle_hash"), Seq("cell"))
+        .filter(col("q_id") =!= col("n_id")),
+      k)
+  }
 }
 
 object IvfIndex {
+
+  /** Read one of the index's OWN persisted parquet layouts with its
+    * footer schema supplied explicitly ([[graft.sources.Tables
+    * .footerSparkSchema]] — driver-side metadata): `spark.read.parquet`
+    * alone runs a schema-inference Spark job per read, which is what
+    * kept search-plan construction from being job-free. `partCol`
+    * appends the dir-partition column (not present in footers). Falls
+    * back to the inferring read if the footer key is missing.
+    */
+  private[ml] def readOwn(spark: SparkSession, p: String,
+      partCol: Option[String] = None): DataFrame =
+    graft.sources.Tables.footerSparkSchema(spark, p) match {
+      case Some(s0) =>
+        val s = partCol.filterNot(s0.fieldNames.contains)
+          .map(c => s0.add(c, org.apache.spark.sql.types.IntegerType))
+          .getOrElse(s0)
+        spark.read.schema(s).parquet(p)
+      case None => spark.read.parquet(p)
+    }
+
+  /** Driver-side listing of a disk index's stored cell universe: one FS
+    * listing of `cells/` (metadata scale — bounded by the cell count, not
+    * the corpus), ZERO Spark jobs. The partition layout (`cell=N` dirs) is
+    * this library's own write contract ([[build]] partitionBy("cell")).
+    * Sorted so literal `IN` lists built from it are deterministic.
+    */
+  private[ml] def listedCells(spark: SparkSession, path: String): Seq[Int] = {
+    val cellsDir = new org.apache.hadoop.fs.Path(s"$path/cells")
+    val fsys = cellsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.listStatus(cellsDir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .map(_.getPath.getName.stripPrefix("cell=").toInt)
+      .sorted
+  }
 
   /** Per-cell (cell, n, mean_sim) over stored cells: scan + broadcast
     * centroid join + per-cell aggregate — output is cell-count rows

@@ -17,8 +17,8 @@ import org.apache.spark.sql.functions._
   */
 final case class IvfPqIndex(spark: SparkSession, path: String) {
 
-  def cellCentroids: DataFrame = spark.read.parquet(s"$path/cell_centroids")
-  def codebook: DataFrame = spark.read.parquet(s"$path/codebook")
+  def cellCentroids: DataFrame = IvfIndex.readOwn(spark, s"$path/cell_centroids")
+  def codebook: DataFrame = IvfIndex.readOwn(spark, s"$path/codebook")
 
   /** Two-stage search: ADC shortlist over the probed cells' codes, exact
     * cosine re-rank of the shortlist against `corpus` (the source table —
@@ -73,42 +73,92 @@ final case class IvfPqIndex(spark: SparkSession, path: String) {
     }
   }
 
+  /** Interactive / bounded-query search: the per-(query, probed-cell) ADC
+    * build side broadcasts (|Q| × nprobe rows, each carrying its M×K
+    * table), which is what lets dynamic partition pruning drop every
+    * non-probed cell directory before file I/O. Bulk query batches go
+    * through [[searchDistributed]].
+    *
+    * CONSTRUCTION IS JOB-FREE (PlanAuditSpec pin): the probed-cell `IN`
+    * literal comes from a driver-side dir listing of `cells/`
+    * ([[IvfIndex.listedCells]] — the stored universe, zero Spark jobs),
+    * not a `distinct().collect()` of the probe frame; exactness to the
+    * per-query probe set is the cell equi-join itself, and the universe
+    * `IN` is the selective-predicate signal the DPP rule wants on the
+    * build side. The ADC tables build in-plan
+    * ([[Pq.queryTablesDistributed]] — no driver collect of the queries),
+    * and the codebook density check rides a 1-row stats frame to
+    * execution time.
+    */
   def search(corpus: DataFrame, queries: DataFrame, topK: Int,
-      nprobe: Int = 3, shortlist: Int = 50): DataFrame = {
-    // probe: nprobe nearest cells per query against the broadcast centroids
-    val probed = queries.select(col("vec_id").as("q_id"), col("v"))
-      .join(broadcast(cellCentroids))
-      .select(col("q_id"), col("v"), col("cell"),
-        cosine(col("v"), col("cent")).as("csim"))
-      .groupBy("q_id")
-      .agg(first("v").as("v"),
-        topkPairs(col("csim"), col("cell").cast("long"), nprobe).as("pc"))
-      .select(col("q_id"), col("v"),
-        transform(col("pc.n_id"), c => c.cast("int")).as("cells"))
-    // literal cell list → partition pruning on the codes scan
-    val cellIds = probed.select(explode(col("cells")).as("c")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    val scan = spark.read.parquet(s"$path/cells")
-      .filter(col("cell").isin(cellIds.toSeq.map(_.asInstanceOf[Any]): _*))
+      nprobe: Int = 3, shortlist: Int = 50): DataFrame =
+    searchImpl(corpus, queries, topK, nprobe, shortlist, bulk = false)
 
-    // ADC over probed cells only: a code row scores against a query iff
-    // its cell is in that query's probe set
-    val qDf = Pq.queryTables(codebook, probed.select(col("q_id").as("vec_id"), col("v")))
-      .join(probed.select(col("q_id"), col("cells")), Seq("q_id"))
-    val cand = scan.select(col("vec_id").as("n_id"), col("codes"), col("cell"))
-      .join(broadcast(qDf), array_contains(col("cells"), col("cell")) &&
-        col("q_id") =!= col("n_id"))
+  /** [[search]] for BULK query batches: the query set stays a DataFrame
+    * end to end — never collected to or broadcast from the driver
+    * (driver memory flat in |Q|, the million-query contract;
+    * [[graft.ml.Pq.searchTopKDistributed]]'s sibling for the disk
+    * index). The codes scan and the per-(query, probed-cell) ADC tables
+    * meet in a shuffled-hash join on `cell`; the shortlist and the exact
+    * re-rank keep every per-query rank on bounded k-heaps, and the
+    * re-rank joins stay shuffles too. The centroid/codebook broadcasts
+    * remain — those are index METADATA, not query data. No dynamic
+    * partition pruning by design: DPP only reuses broadcasts, and a bulk
+    * batch probes essentially the whole cell universe anyway.
+    */
+  def searchDistributed(corpus: DataFrame, queries: DataFrame, topK: Int,
+      nprobe: Int = 3, shortlist: Int = 50): DataFrame =
+    searchImpl(corpus, queries, topK, nprobe, shortlist, bulk = true)
+
+  private def searchImpl(corpus: DataFrame, queries: DataFrame, topK: Int,
+      nprobe: Int, shortlist: Int, bulk: Boolean): DataFrame = {
+    // probe: nprobe nearest cells per query against the broadcast
+    // centroids (index metadata), through the bounded k-heap
+    val universe = IvfIndex.listedCells(spark, path)
+    val probedCells = queries.select(col("vec_id").as("q_id"), col("v"))
+      .join(broadcast(cellCentroids))
+      .select(col("q_id"), col("cell"), cosine(col("v"), col("cent")).as("csim"))
+      .groupBy("q_id")
+      .agg(topkPairs(col("csim"), col("cell").cast("long"), nprobe).as("pc"))
+      .select(col("q_id"), explode(col("pc.n_id")).as("_cl"))
+      .select(col("q_id"), col("_cl").cast("int").as("cell"))
+      .filter(col("cell").isin(universe: _*))
+    val scan = IvfIndex.readOwn(spark, s"$path/cells", Some("cell"))
+
+    // ADC over probed cells only: each stored code row lives in exactly
+    // one cell, so the (cell, q_id)-keyed equi-join yields each
+    // (query, candidate) pair once — same pair stream the old
+    // array_contains join produced, but equi-keyed (DPP-able, and the
+    // bulk path can shuffle on it)
+    // bulk: every query-scale join is hinted shuffle_hash — without the
+    // hints AQE happily BROADCASTS whichever query-derived frame looks
+    // small (probe rows, the ADC tables, the shortlist), which is exactly
+    // the driver-memory dependence on |Q| this path exists to avoid; a
+    // shuffled-hash build is per-partition executor memory instead
+    val qT = Pq.queryTablesDistributed(codebook, queries)
+    val build = probedCells
+      .join(if (bulk) qT.hint("shuffle_hash") else qT, Seq("q_id"))
+    val codes = scan.select(col("vec_id").as("n_id"), col("codes"), col("cell"))
+    val paired =
+      if (bulk) codes.join(build.hint("shuffle_hash"), Seq("cell"))
+      else codes.join(broadcast(build), Seq("cell"))
+    val cand = paired
+      .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), Pq.adcDist.as("d2"))
       .groupBy("q_id")
       .agg(topkPairs(negate(col("d2")), col("n_id"), shortlist).as("top"))
       .select(col("q_id"), explode(col("top.n_id")).as("n_id"))
 
-    // exact re-rank of the shortlist against the source vectors
-    AnnOps.scoredTopK(
-      cand
-        .join(broadcast(queries.select(col("vec_id").as("q_id"), col("v").as("qv"))), Seq("q_id"))
-        .join(corpus.select(col("vec_id").as("n_id"), col("v").as("nv")), Seq("n_id")),
-      topK)
+    // exact re-rank of the shortlist against the source vectors —
+    // shortlist-scale I/O keyed by vec_id
+    val qv = queries.select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val nv = corpus.select(col("vec_id").as("n_id"), col("v").as("nv"))
+    val withQ = cand
+      .join(if (bulk) qv.hint("shuffle_hash") else broadcast(qv), Seq("q_id"))
+    val rerank =
+      if (bulk) withQ.hint("shuffle_hash").join(nv, Seq("n_id"))
+      else withQ.join(nv, Seq("n_id"))
+    AnnOps.scoredTopK(rerank, topK)
   }
 }
 

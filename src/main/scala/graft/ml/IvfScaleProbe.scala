@@ -12,8 +12,13 @@ import org.apache.spark.sql.functions._
   *    sample (the same bar DedupSpec pins at sf0.001);
   *  - the window count in each executed search plan (must be 0 — the
   *    per-query rank-window shape this rewrite removed);
-  *  - whether the probed scan carries parquet PartitionFilters (cell
-  *    pruning reaches the file listing).
+  *  - the EXECUTED pruning ratio: cell partitions / files actually read
+  *    by the DynamicPruning cells scan vs the stored totals (r15: the
+  *    static IN-literal prune became a runtime DPP filter so plan
+  *    construction is job-free; the evidence moved from plan text to
+  *    scan metrics — expected ratio ≈ union-of-probed-cells / cells);
+  *  - broadcast-vs-distributed search parity (searchDistributed is the
+  *    bulk-batch path; its rows must equal the broadcast path's).
   *
   * usage: run_main.sh graft.ml.IvfScaleProbe [sfDir] [cells] [nprobe]
   */
@@ -45,18 +50,45 @@ object IvfScaleProbe {
       df.select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = pairs(AnnOps.bruteForceTopK(corpus, queries, 5))
 
+    // executed pruning evidence: partitions/files the DPP cells scan read
+    def walkPlan(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      p +: kids.flatMap(walkPlan)
+    }
+    def dppScanMetrics(df: org.apache.spark.sql.DataFrame): Option[(Long, Long)] =
+      walkPlan(df.queryExecution.executedPlan).collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.partitionFilters.exists(_.exists(
+              _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning])) =>
+          (s.metrics("numPartitions").value, s.metrics("numFiles").value)
+      }
+    def countFiles(p: String): Long = {
+      val d = new java.io.File(p)
+      if (!d.isDirectory) 0L
+      else d.listFiles.map(f =>
+        if (f.isDirectory) f.listFiles.count(_.getName.endsWith(".parquet")).toLong
+        else if (f.getName.endsWith(".parquet")) 1L else 0L).sum
+    }
+
     val base = java.nio.file.Files.createTempDirectory("ivfscale").toString
     val t0 = System.nanoTime()
     val ivf = IvfIndex.build(corpus, s"$base/ivf", cells = cells, trainIters = 2)
     val tBuild = (System.nanoTime() - t0) / 1e9
-    val (probed, scan) = ivf.probedScan(queries, nprobe)
-    val pruned = scan.queryExecution.executedPlan.toString.contains("PartitionFilters")
+    val (probed, _) = ivf.probedScan(queries, nprobe)
     val sr = ivf.search(queries, 5, nprobe)
     val got = pairs(sr)
     val recall = (brute & got).size.toDouble / brute.size
+    val (cellsRead, filesRead) = dppScanMetrics(sr).getOrElse((-1L, -1L))
+    val filesTotal = countFiles(s"$base/ivf/cells")
+    val distRows = pairs(ivf.searchDistributed(queries, 5, nprobe))
     println(f"IVF_SCALE dir=$sfDir n=$n cells=$cells nprobe=$nprobe " +
       f"build=${tBuild}%.1fs recall=$recall%.3f windows=${windows(sr)} " +
-      s"partition_pruned=$pruned probe_rows=${probed.count()}")
+      s"cells_read=$cellsRead/$cells files_read=$filesRead/$filesTotal " +
+      s"dist_equal=${distRows == got} probe_rows=${probed.count()}")
 
     val t1 = System.nanoTime()
     val ivfpq = IvfPq.build(corpus, s"$base/ivfpq", cells = cells, m = 8, k = 64, iters = 2)
@@ -69,9 +101,15 @@ object IvfScaleProbe {
     // it exists to avoid
     val sr3 = ivfpq.searchFrac(corpus, queries, 5, nprobe = nprobe, frac = 0.05)
     val recall3 = (brute & pairs(sr3)).size.toDouble / brute.size
+    val (cellsRead2, filesRead2) = dppScanMetrics(sr2).getOrElse((-1L, -1L))
+    val filesTotal2 = countFiles(s"$base/ivfpq/cells")
+    val distEq2 = pairs(ivfpq.searchDistributed(corpus, queries, 5,
+      nprobe = nprobe, shortlist = 200)) == got2
     println(f"IVFPQ_SCALE dir=$sfDir n=$n cells=$cells nprobe=$nprobe " +
       f"build=${tBuild2}%.1fs recall_fixed200=$recall2%.3f " +
-      f"recall_frac5pct=$recall3%.3f windows=${windows(sr2)}")
+      f"recall_frac5pct=$recall3%.3f windows=${windows(sr2)} " +
+      s"cells_read=$cellsRead2/$cells files_read=$filesRead2/$filesTotal2 " +
+      s"dist_equal=$distEq2")
     spark.stop()
   }
 }

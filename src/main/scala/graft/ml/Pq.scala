@@ -158,19 +158,26 @@ object Pq {
     // groupBy dropping a cluster that attracted no points — would shift
     // every later entry and make element_at return silently wrong
     // distances. Fail loudly instead: every (m, k) in [0,M)×[0,K) must be
-    // present exactly once. Metadata-scale action (M×K rows).
-    val d = cents.agg(max(col("m")), max(col("k")), count(lit(1)),
-      countDistinct(col("m"), col("k"))).head()
-    val expect = (d.getInt(0) + 1).toLong * (d.getInt(1) + 1)
-    require(d.getLong(2) == expect && d.getLong(3) == expect,
-      s"PQ codebook not dense: ${d.getLong(2)} rows " +
-        s"(${d.getLong(3)} distinct (m,k)) for M=${d.getInt(0) + 1} " +
-        s"K=${d.getInt(1) + 1}; retrain with more data or smaller k")
-    val dsub = cents.select(size(col("cent"))).head().getInt(0) // metadata
+    // present exactly once. The check (and the dsub the slice needs) rides
+    // the plan as a 1-row broadcast stats frame — the sqTopK pattern — so
+    // CONSTRUCTING the tables launches zero Spark jobs; a sparse codebook
+    // raises at execution instead (metadata-scale frame, evaluated once).
+    val mk = (max(col("m")) + 1).cast("long") * (max(col("k")) + 1)
+    val stats = cents.agg(mk.as("mk"), count(lit(1)).as("cnt"),
+      countDistinct(col("m"), col("k")).as("dcnt"),
+      first(size(col("cent"))).as("dsub0"))
+    val checked = stats.select(
+      when(col("cnt") === col("mk") && col("dcnt") === col("mk"), col("dsub0"))
+        .otherwise(raise_error(format_string(
+          "PQ codebook not dense: %d rows (%d distinct (m,k)) for M*K=%d; " +
+            "retrain with more data or smaller k",
+          col("cnt"), col("dcnt"), col("mk")))).as("dsub"))
     queries.select(col("vec_id").as("q_id"), col("v"))
       .crossJoin(broadcast(cents)) // |Q| × (M×K tiny codebook)
+      .crossJoin(broadcast(checked)) // 1 row: density witness + dsub
       .select(col("q_id"), col("m"), col("k"),
-        l2sq(slice(col("v"), col("m") * dsub + 1, lit(dsub)), col("cent")).as("d2"))
+        l2sq(slice(col("v"), (col("m") * col("dsub") + 1).cast("int"),
+          col("dsub")), col("cent")).as("d2"))
       .groupBy("q_id", "m")
       .agg(transform(array_sort(collect_list(struct(col("k"), col("d2")))),
         p => p.getField("d2")).as("trow"))

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DataType, LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables.
   *
@@ -112,6 +112,44 @@ object Tables {
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try r.getRecordCount finally r.close()
       }.sum)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The Spark schema straight from ONE parquet FOOTER — the
+    * `org.apache.spark.sql.parquet.row.metadata` key Spark itself writes
+    * on every file — so readers of OUR OWN persisted layouts can pass
+    * `.schema(...)` and skip `spark.read.parquet`'s schema-inference
+    * Spark job (one job per read, which is what kept index plan
+    * construction from being job-free). Walks one level of
+    * subdirectories (the partitionBy("cell") dir layout); the partition
+    * column itself is not in the footer — callers append it. None on
+    * anything unexpected (foreign files without the key) so callers fall
+    * back to the inferring read.
+    */
+  def footerSparkSchema(spark: SparkSession, path: String): Option[StructType] =
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      def firstParquet(dir: org.apache.hadoop.fs.Path,
+          depth: Int): Option[org.apache.hadoop.fs.Path] = {
+        val entries = fs.listStatus(dir).toSeq.sortBy(_.getPath.getName)
+        entries.collectFirst {
+          case s if s.isFile && s.getPath.getName.endsWith(".parquet") => s.getPath
+        }.orElse(if (depth <= 0) None
+          else entries.filter(_.isDirectory).view
+            .flatMap(d => firstParquet(d.getPath, depth - 1)).headOption)
+      }
+      val file =
+        if (fs.getFileStatus(p).isDirectory) firstParquet(p, 1) else Some(p)
+      file.flatMap { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val kv = r.getFooter.getFileMetaData.getKeyValueMetaData
+          Option(kv.get("org.apache.spark.sql.parquet.row.metadata"))
+            .map(DataType.fromJson(_).asInstanceOf[StructType])
+        } finally r.close()
+      }
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Global (min, max) of an integer column straight from the parquet

@@ -206,11 +206,24 @@ final class FileBus(root: String) extends Bus with BusAdmin {
   override def write(df: DataFrame): Map[String, Long] = {
     val src = if (df.columns.contains("_off"))
       df.orderBy(col("topic"), col("_off")) else df
-    val rows = src.select(col("topic"),
-      col("key").cast("binary"), col("value").cast("binary")).collect()
-    rows.foreach(r => publish(r.getString(0),
-      r.getAs[Array[Byte]](1), r.getAs[Array[Byte]](2)))
-    rows.groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+    // Stream partition-by-partition through the driver (`toLocalIterator`,
+    // the same no-driver-buffering discipline the consume paths document):
+    // FileBus is the durable CLI transport, so a produce of N records must
+    // hold ONE partition, not N rows, in driver memory — the old collect()
+    // materialized the whole frame. In-order per topic is preserved: the
+    // `_off` sort (when present) orders the partitions themselves, and the
+    // iterator walks them in order. Records published before a mid-stream
+    // failure STAY published — Kafka produce semantics (a broker produce
+    // acked before an error is delivered); FileBusSpec pins both.
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    val it = src.select(col("topic"),
+      col("key").cast("binary"), col("value").cast("binary")).toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      publish(r.getString(0), r.getAs[Array[Byte]](1), r.getAs[Array[Byte]](2))
+      counts.updateWith(r.getString(0))(c => Some(c.getOrElse(0L) + 1))
+    }
+    counts.toMap
   }
 
   override def endOffsets(spark: SparkSession, topics: Seq[String]): Map[String, Long] =

@@ -330,6 +330,50 @@ class PlanAuditSpec extends AnyFunSuite {
       "IvfPqIndex.search plans a rank window")
   }
 
+  test("disk-index search plans construct with ZERO jobs and prune cells dynamically") {
+    // r14 verdict #3: probedScan ran a distinct().collect() cell-list job
+    // before the plan existed. The probed-cell universe now comes from a
+    // driver-side dir listing (zero jobs), and the file pruning moved to
+    // a DynamicPruning filter on the partitioned cells/ scan — reusing
+    // the probe broadcast — so CONSTRUCTING either search must launch no
+    // Spark job, and the EXECUTED plan must still show runtime cell
+    // pruning (not a full-universe scan).
+    import org.apache.spark.sql.functions.col
+    val corpus = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = corpus.filter(col("vec_id") < 3)
+    val ivf = graft.ml.IvfIndex.build(corpus,
+      java.nio.file.Files.createTempDirectory("audit-ivf-dpp").toString,
+      cells = 5, trainIters = 1)
+    val ivfpq = graft.ml.IvfPq.build(corpus,
+      java.nio.file.Files.createTempDirectory("audit-ivfpq-dpp").toString,
+      cells = 5, m = 8, k = 16, iters = 1)
+    @volatile var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val a = ivf.search(queries, 5, nprobe = 2)
+      val b = ivfpq.search(corpus, queries, 5, nprobe = 2, shortlist = 20)
+      a.queryExecution.logical
+      b.queryExecution.logical
+      org.apache.spark.sql.graftbridge.Bridge.waitListenerBusEmpty(spark)
+      assert(jobs == 0, s"disk-index search construction launched $jobs Spark job(s)")
+      for ((name, df) <- Seq("IvfIndex.search" -> a, "IvfPqIndex.search" -> b)) {
+        assert(df.count() > 0, s"$name returned no rows")
+        val dppScans = PlanTestUtil.allNodes(df.queryExecution.executedPlan).collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+              if s.partitionFilters.exists(_.exists(
+                _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning])) => s
+        }
+        assert(dppScans.nonEmpty,
+          s"$name: no DynamicPruning partition filter on the cells/ scan")
+      }
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("SQ8 search builds with ZERO driver-side jobs (shortlist sized in-plan)") {
     // r12 verdict #3: sqTopK ran corpus.count() before the plan existed.
     // The bound now rides the stats row into topk_pairs' dynamic k, so
@@ -371,5 +415,4 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(cosineLines.exists(_.contains("*(")),
       s"cosine_sim left whole-stage codegen:\n${cosineLines.mkString("\n")}")
   }
-
 }

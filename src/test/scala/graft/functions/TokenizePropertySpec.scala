@@ -32,7 +32,7 @@ class TokenizePropertySpec extends AnyFunSuite {
     Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, piece).map(_.mkString))
 
   private def reference(s: UTF8String): Seq[String] =
-    s.split(UTF8String.fromString("[^a-z0-9']+"), -1)
+    s.split(UTF8String.fromString(TextExprs.TokenSep), -1)
       .filter(_.numBytes() > 0).map(_.toString).toSeq
 
   test("byte-scan tokenize == regex split + drop-empties on adversarial strings") {

@@ -91,14 +91,23 @@ class DedupSpec extends AnyFunSuite {
     val path = java.nio.file.Files.createTempDirectory("ivf").toString
     val idx = IvfIndex.build(corpus, path, cells = 10, trainIters = 3)
 
-    // the probed scan reads only nprobe-worth of cell directories (a small
-    // query set — a broad one legitimately touches every cell)
-    val (_, scan) = idx.probedScan(corpus.filter(col("vec_id") < 3), nprobe = 2)
-    val plan = scan.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") &&
-      "cell#\\d+ IN".r.findFirstIn(plan).isDefined, plan)
+    // the probed search reads only nprobe-worth of cell directories (a
+    // small query set — a broad one legitimately touches every cell).
+    // Pruning is DYNAMIC now (plan construction is job-free, r14 verdict
+    // #3): the cells scan carries a DynamicPruning partition filter fed by
+    // the probe broadcast, so the evidence is the executed scan's
+    // partitions-read metric, not a static IN literal.
+    val narrow = idx.search(corpus.filter(col("vec_id") < 3), 5, nprobe = 2)
+    narrow.collect()
+    val scans = graft.PlanTestUtil.allNodes(narrow.queryExecution.executedPlan)
+      .collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.partitionFilters.exists(_.exists(
+              _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning])) => s
+      }
+    assert(scans.nonEmpty, "cells scan lost its DynamicPruning partition filter")
     val totalCells = idx.centroids.count()
-    val scannedCells = scan.select("cell").distinct().count()
+    val scannedCells = scans.map(_.metrics("numPartitions").value).max
     assert(scannedCells < totalCells,
       s"probe should not touch all $totalCells cells (touched $scannedCells)")
 

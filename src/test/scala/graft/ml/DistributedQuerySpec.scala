@@ -50,13 +50,18 @@ class DistributedQuerySpec extends AnyFunSuite {
   test("queryTablesDistributed rejects a sparse codebook (dropped cluster)") {
     // Lloyd's update loses a k that attracted no points → the positional
     // table build would silently shift ADC entries; it must fail loudly.
+    // The check rides the plan as a 1-row stats frame (construction stays
+    // job-free), so the failure surfaces at EXECUTION, wrapped in Spark's
+    // task-failure chain — walk the causes for the message.
     val qs = corpus.filter(col("vec_id") < 5)
     val cents = Pq.train(corpus, m = 8, k = 8, iters = 1)
     val sparse = cents.filter(!(col("m") === 3 && col("k") === 5))
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[Throwable] {
       Pq.queryTablesDistributed(sparse, qs).collect()
     }
-    assert(e.getMessage.contains("not dense"))
+    val messages = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(messages.contains("not dense"), messages)
   }
 
   test("searchTopKDistributed ranks exactly like searchTopK") {
@@ -77,5 +82,55 @@ class DistributedQuerySpec extends AnyFunSuite {
     val q = AnnOps.batchQueries(corpus)
     assert(q.select("vec_id").distinct().count() ==
       math.min(500, corpus.count()) * 20)
+  }
+
+  // ---- disk-index bulk-query variants (r14 verdict #2) -------------------
+  // The persisted indexes must serve million-row query batches without the
+  // query set ever reaching the driver: searchDistributed mirrors
+  // bruteForceTopKDistributed/searchTopKDistributed — a shuffled-hash join
+  // on `cell` replaces broadcast(probed/build), the bounded k-heap tail
+  // stays. Recall contract: identical rows to the broadcast path (the
+  // probe, scoring, and ranking are the same expressions — only join
+  // strategies differ).
+
+  private def queryBroadcasts(df: org.apache.spark.sql.DataFrame) = {
+    df.collect() // settle AQE so the final plan's join strategies are real
+    graft.PlanTestUtil.allNodes(df.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+          // index metadata (centroids/codebook/1-row stats) may broadcast;
+          // anything carrying query-derived columns must not
+          if b.output.exists(a => Set("q_id", "qv", "table").contains(a.name)) => b
+    }
+  }
+
+  test("IvfIndex.searchDistributed equals search row for row, no query broadcast") {
+    val qs = corpus.filter(col("vec_id") < 50)
+    val path = java.nio.file.Files.createTempDirectory("dist-ivf").toString
+    val ivf = IvfIndex.build(corpus.select(col("vec_id"), col("v")), path,
+      cells = 5, trainIters = 1)
+    val a = ivf.search(qs, 5, nprobe = 2).orderBy("q_id", "rk").collect().toSeq
+    val dist = ivf.searchDistributed(qs, 5, nprobe = 2)
+    val b = dist.orderBy("q_id", "rk").collect().toSeq
+    assert(a.nonEmpty && a == b)
+    assert(queryBroadcasts(dist).isEmpty,
+      "query-derived frame broadcast in IvfIndex.searchDistributed")
+    val plan = dist.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan.linesIterator.take(15).mkString("\n"))
+  }
+
+  test("IvfPqIndex.searchDistributed equals search row for row, no query broadcast") {
+    val qs = corpus.filter(col("vec_id") < 50)
+    val c = corpus.select(col("vec_id"), col("v"))
+    val path = java.nio.file.Files.createTempDirectory("dist-ivfpq").toString
+    val ivfpq = IvfPq.build(c, path, cells = 5, m = 8, k = 16, iters = 1)
+    val a = ivfpq.search(c, qs, 5, nprobe = 2, shortlist = 30)
+      .orderBy("q_id", "rk").collect().toSeq
+    val dist = ivfpq.searchDistributed(c, qs, 5, nprobe = 2, shortlist = 30)
+    val b = dist.orderBy("q_id", "rk").collect().toSeq
+    assert(a.nonEmpty && a == b)
+    assert(queryBroadcasts(dist).isEmpty,
+      "query-derived frame broadcast in IvfPqIndex.searchDistributed")
+    val plan = dist.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan.linesIterator.take(15).mkString("\n"))
   }
 }

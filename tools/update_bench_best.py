@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Merge a families-mode bench artifact into BENCH_BEST.json.
+
+Usage: tools/update_bench_best.py BENCH_rNN.json [more.json ...]
+
+Each input is either the driver's wrapper ({"tail": "...{one JSON
+line}..."}) or a raw one-line bench JSON. Per-gate minima are kept;
+the sources list records which artifacts contributed. Only artifacts
+whose sf matches the ledger's sf are merged (same-protocol, same-scale
+readings only — that is the point of the ledger).
+"""
+import json
+import re
+import sys
+
+LEDGER = "BENCH_BEST.json"
+
+
+def bench_line(path):
+    raw = open(path).read()
+    try:
+        doc = json.loads(raw)
+    except json.JSONDecodeError:
+        doc = None
+    if isinstance(doc, dict) and "queries" in doc:
+        return doc
+    hay = doc.get("tail", "") if isinstance(doc, dict) else raw
+    m = re.search(r'\{"metric":"total".*?"errors":\[[^\]]*\][^}]*\}', hay)
+    if not m:
+        raise SystemExit(f"{path}: no bench JSON line found")
+    return json.loads(m.group(0))
+
+
+def main():
+    ledger = json.load(open(LEDGER))
+    changed = []
+    for path in sys.argv[1:]:
+        line = bench_line(path)
+        if line.get("sf") != ledger["sf"]:
+            print(f"skip {path}: sf {line.get('sf')} != ledger {ledger['sf']}")
+            continue
+        for q, v in (line.get("queries") or {}).items():
+            if v is None:
+                continue
+            old = ledger["best"].get(q)
+            if old is None or v < old:
+                ledger["best"][q] = v
+                changed.append(f"{q}: {old} -> {v} ({path})")
+        if path not in ledger["sources"]:
+            ledger["sources"].append(path)
+    with open(LEDGER, "w") as f:
+        json.dump(ledger, f, indent=2)
+        f.write("\n")
+    print("\n".join(changed) if changed else "no improvements")
+
+
+if __name__ == "__main__":
+    main()
