@@ -69,6 +69,10 @@ object QueryProfile {
       stages.asScala.toSeq.sortBy(-_._3).foreach { case (id, nm, ms, tasks) =>
         println(f"   stage $id%4d $ms%6d ms $tasks%4d tasks  $nm")
       }
+      // GRAFT_PROFILE_PLAN=1 — dump the final executed plan once (last
+      // run), for attributing job counts to exchanges/subqueries
+      if (r == runs && sys.env.get("GRAFT_PROFILE_PLAN").contains("1"))
+        println(df.queryExecution.executedPlan.toString)
     }
     spark.stop()
   }
