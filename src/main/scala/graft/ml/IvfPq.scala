@@ -136,12 +136,25 @@ final case class IvfPqIndex(spark: SparkSession, path: String) {
     // the driver-memory dependence on |Q| this path exists to avoid; a
     // shuffled-hash build is per-partition executor memory instead
     val qT = Pq.queryTablesDistributed(codebook, queries)
-    val build = probedCells
-      .join(if (bulk) qT.hint("shuffle_hash") else qT, Seq("q_id"))
     val codes = scan.select(col("vec_id").as("n_id"), col("codes"), col("cell"))
     val paired =
-      if (bulk) codes.join(build.hint("shuffle_hash"), Seq("cell"))
-      else codes.join(broadcast(build), Seq("cell"))
+      if (bulk) {
+        // one composite build (probe rows ⋈ tables) — no DPP in bulk by
+        // design, and the pair stream shuffles once, on cell
+        val build = probedCells.join(qT.hint("shuffle_hash"), Seq("q_id"))
+        codes.join(build.hint("shuffle_hash"), Seq("cell"))
+      } else
+        // TWO slim broadcasts, cell join first: AQE's adaptive DPP rule
+        // only keeps the runtime partition filter when it can REUSE the
+        // cell join's broadcast for the pruning subquery, and a composite
+        // (probe ⋈ tables) build side defeats that match — the filter
+        // silently degrades to dynamicpruningexpression(true) and the
+        // scan reads every cell (caught by IvfScaleProbe's cells_read
+        // metric; DedupSpec pins the pruned count now). The second
+        // broadcast attaches each pair's ADC table by q_id in place — a
+        // hash lookup, no shuffle of the pair stream.
+        codes.join(broadcast(probedCells), Seq("cell"))
+          .join(broadcast(qT), Seq("q_id"))
     val cand = paired
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), Pq.adcDist.as("d2"))

@@ -59,6 +59,9 @@ object IvfScaleProbe {
       }
       p +: kids.flatMap(walkPlan)
     }
+    // NOTE: metrics populate on the EXECUTED query execution — the frame
+    // itself must be collected (a derived .select().collect() plans a new
+    // query and leaves these at zero)
     def dppScanMetrics(df: org.apache.spark.sql.DataFrame): Option[(Long, Long)] =
       walkPlan(df.queryExecution.executedPlan).collectFirst {
         case s: org.apache.spark.sql.execution.FileSourceScanExec
@@ -80,35 +83,45 @@ object IvfScaleProbe {
     val tBuild = (System.nanoTime() - t0) / 1e9
     val (probed, _) = ivf.probedScan(queries, nprobe)
     val sr = ivf.search(queries, 5, nprobe)
-    val got = pairs(sr)
+    val srRows = sr.collect()
+    val got = srRows.map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & got).size.toDouble / brute.size
-    val (cellsRead, filesRead) = dppScanMetrics(sr).getOrElse((-1L, -1L))
+    // the 20-query recall set probes most cells by union (1-(1-p)^20), so
+    // per-query pruning evidence comes from a 2-query search: cells read
+    // should be ≤ 2×nprobe of the universe
+    val narrow = ivf.search(corpus.filter(col("vec_id") < 2), 5, nprobe)
+    narrow.collect()
+    val (cellsRead, filesRead) = dppScanMetrics(narrow).getOrElse((-1L, -1L))
     val filesTotal = countFiles(s"$base/ivf/cells")
     val distRows = pairs(ivf.searchDistributed(queries, 5, nprobe))
     println(f"IVF_SCALE dir=$sfDir n=$n cells=$cells nprobe=$nprobe " +
       f"build=${tBuild}%.1fs recall=$recall%.3f windows=${windows(sr)} " +
-      s"cells_read=$cellsRead/$cells files_read=$filesRead/$filesTotal " +
+      s"cells_read_2q=$cellsRead/$cells files_read_2q=$filesRead/$filesTotal " +
       s"dist_equal=${distRows == got} probe_rows=${probed.count()}")
 
     val t1 = System.nanoTime()
     val ivfpq = IvfPq.build(corpus, s"$base/ivfpq", cells = cells, m = 8, k = 64, iters = 2)
     val tBuild2 = (System.nanoTime() - t1) / 1e9
     val sr2 = ivfpq.search(corpus, queries, 5, nprobe = nprobe, shortlist = 200)
-    val got2 = pairs(sr2)
+    val sr2Rows = sr2.collect()
+    val got2 = sr2Rows.map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall2 = (brute & got2).size.toDouble / brute.size
     // the corpus-fraction shortlist (footer-sized, zero pre-plan jobs) —
     // the scale-correct call; the fixed-200 number above shows the decay
     // it exists to avoid
     val sr3 = ivfpq.searchFrac(corpus, queries, 5, nprobe = nprobe, frac = 0.05)
     val recall3 = (brute & pairs(sr3)).size.toDouble / brute.size
-    val (cellsRead2, filesRead2) = dppScanMetrics(sr2).getOrElse((-1L, -1L))
+    val narrow2 = ivfpq.search(corpus, corpus.filter(col("vec_id") < 2), 5,
+      nprobe = nprobe, shortlist = 200)
+    narrow2.collect()
+    val (cellsRead2, filesRead2) = dppScanMetrics(narrow2).getOrElse((-1L, -1L))
     val filesTotal2 = countFiles(s"$base/ivfpq/cells")
     val distEq2 = pairs(ivfpq.searchDistributed(corpus, queries, 5,
       nprobe = nprobe, shortlist = 200)) == got2
     println(f"IVFPQ_SCALE dir=$sfDir n=$n cells=$cells nprobe=$nprobe " +
       f"build=${tBuild2}%.1fs recall_fixed200=$recall2%.3f " +
       f"recall_frac5pct=$recall3%.3f windows=${windows(sr2)} " +
-      s"cells_read=$cellsRead2/$cells files_read=$filesRead2/$filesTotal2 " +
+      s"cells_read_2q=$cellsRead2/$cells files_read_2q=$filesRead2/$filesTotal2 " +
       s"dist_equal=$distEq2")
     spark.stop()
   }

@@ -355,21 +355,34 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     spark.sparkContext.addSparkListener(l)
     try {
-      val a = ivf.search(queries, 5, nprobe = 2)
-      val b = ivfpq.search(corpus, queries, 5, nprobe = 2, shortlist = 20)
+      val one = queries.filter(col("vec_id") < 1) // 1 query × nprobe 2 < 5 cells
+      val a = ivf.search(one, 5, nprobe = 2)
+      val b = ivfpq.search(corpus, one, 5, nprobe = 2, shortlist = 20)
       a.queryExecution.logical
       b.queryExecution.logical
       org.apache.spark.sql.graftbridge.Bridge.waitListenerBusEmpty(spark)
       assert(jobs == 0, s"disk-index search construction launched $jobs Spark job(s)")
       for ((name, df) <- Seq("IvfIndex.search" -> a, "IvfPqIndex.search" -> b)) {
         assert(df.count() > 0, s"$name returned no rows")
+        // the filter must be a LIVE pruning subquery — when AQE cannot
+        // reuse the cell join's broadcast it silently degrades the filter
+        // to dynamicpruningexpression(true), which still pattern-matches
+        // DynamicPruning but prunes nothing (the r15 IvfPq composite-build
+        // lesson); so also require the executed partitions-read metric to
+        // be under the 5-cell universe (1 query × nprobe 2 → ≤ 2)
         val dppScans = PlanTestUtil.allNodes(df.queryExecution.executedPlan).collect {
           case s: org.apache.spark.sql.execution.FileSourceScanExec
-              if s.partitionFilters.exists(_.exists(
-                _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning])) => s
+              if s.partitionFilters.exists(_.exists {
+                case d: org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression =>
+                  !d.child.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+                case _ => false
+              }) => s
         }
         assert(dppScans.nonEmpty,
-          s"$name: no DynamicPruning partition filter on the cells/ scan")
+          s"$name: no live DynamicPruning subquery on the cells/ scan")
+        val partsRead = dppScans.map(_.metrics("numPartitions").value).max
+        assert(partsRead <= 2,
+          s"$name: DPP read $partsRead cell partitions for a 1-query nprobe=2 probe")
       }
     } finally spark.sparkContext.removeSparkListener(l)
   }
