@@ -121,6 +121,26 @@ object AnnOps {
                        FROM p)
             SELECT q_id, n_id, sim, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 3"""))
 
+  // The bulk-IVF gate (r14 verdict #2): the same 10k-query batch served
+  // by the DISTRIBUTED in-plan IVF search — probe frame shuffled on the
+  // cell label, exact reference side on the distributed brute-force plan,
+  // no query-derived broadcast anywhere — with a pinned recall floor
+  // (self-verifying-gate shape). DistributedQuerySpec pins the join
+  // strategy; this pins the CORRECTNESS row for the bulk path.
+  private val qAnnIvfBatch = GQuery(
+    "q_ann_ivf_batch",
+    (s, d) => {
+      val all = corpus(s, d)
+      val qs = batchQueries(all)
+      recallSummary(
+        recallVsExact(all, qs, 3, ivfTopKDistributed(all, qs, 3, nprobe = 3),
+          distributedExact = true),
+        0.65, None)
+    },
+    Some("""SELECT count(*) AS n_queries, true AS avg_recall_ge_065
+            FROM embeddings CROSS JOIN (SELECT unnest(range(0, 20)) AS j)
+            WHERE vec_id < 500"""))
+
   private val qAnnTopK = GQuery(
     "q_ann_topk",
     (s, d) => {
@@ -174,8 +194,11 @@ object AnnOps {
     * rows-only count. Queries with no approx hits get recall 0.
     */
   def recallVsExact(corpus: DataFrame, queries: DataFrame, k: Int,
-      approx: DataFrame): DataFrame = {
-    val exact = bruteForceTopK(corpus, queries, k).select(col("q_id"), col("n_id"))
+      approx: DataFrame, distributedExact: Boolean = false): DataFrame = {
+    // bulk query batches keep the exact side on the distributed plan too
+    // (a 10k-query broadcast defeats the point of auditing the bulk path)
+    val exact = (if (distributedExact) bruteForceTopKDistributed(corpus, queries, k)
+      else bruteForceTopK(corpus, queries, k)).select(col("q_id"), col("n_id"))
     val hits = exact
       .join(approx.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"), "left_semi")
       .groupBy("q_id").agg(count(lit(1)).as("hits"))
@@ -290,8 +313,27 @@ object AnnOps {
     ivfSearch(assigned, cents.withColumnRenamed("cell", "label"), queries, k, nprobe)
   }
 
+  /** [[ivfTopK]] for BULK query batches: the query set stays a DataFrame
+    * end to end — the |Q| × nprobe probe frame meets the assigned corpus
+    * in a shuffled-hash join on the cell label instead of a driver
+    * broadcast (the in-plan sibling of [[graft.ml.IvfIndex
+    * .searchDistributed]]; centroids still broadcast — index metadata).
+    * Driver memory flat in |Q|; the bounded k-heap tail is shared.
+    */
+  def ivfTopKDistributed(corpus: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int, cells: Int = 10, trainIters: Int = 3): DataFrame = {
+    val centsDf = kmeansCells(corpus, cells, trainIters)
+    val cents = corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(centsDf.collect(): _*), centsDf.schema)
+    val assigned = assignCells(corpus, cents)
+      .withColumnRenamed("cell", "label")
+    ivfSearch(assigned, cents.withColumnRenamed("cell", "label"), queries, k,
+      nprobe, distributed = true)
+  }
+
   private def ivfSearch(corpusWithCells: DataFrame, cents: DataFrame,
-      queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+      queries: DataFrame, k: Int, nprobe: Int,
+      distributed: Boolean = false): DataFrame = {
     val corpus = corpusWithCells
     // probe through the bounded heap (label ids as pair ids — the same
     // (csim desc, label asc) ranking the old probe window used)
@@ -310,10 +352,13 @@ object AnnOps {
       .select(col("q_id"), col("qv"),
         explode(col("pc.n_id")).as("_lbl"))
       .select(col("q_id"), col("qv"), col("_lbl").cast(labelType).as("label"))
-    // probed-cell scan → shared bounded-heap top-k tail (no rank window)
+    // probed-cell scan → shared bounded-heap top-k tail (no rank window).
+    // distributed = bulk contract: the probe frame is |Q|-scale, so it
+    // must never broadcast — shuffled-hash on the cell label instead
     scoredTopK(
       corpus.select(col("vec_id").as("n_id"), col("label"), col("v").as("nv"))
-        .join(broadcast(cells), Seq("label"))
+        .join(if (distributed) cells.hint("shuffle_hash") else broadcast(cells),
+          Seq("label"))
         .filter(col("q_id") =!= col("n_id")),
       k)
   }
@@ -669,6 +714,6 @@ object AnnOps {
             FROM r WHERE rk = 1"""))
 
   val queries: Seq[GQuery] =
-    Seq(qAnnTopK, qAnnBatch, qAnnLsh, qAnnIvf, qAnnPq, qAnnIvfPq, qAnnSq,
+    Seq(qAnnTopK, qAnnBatch, qAnnIvfBatch, qAnnLsh, qAnnIvf, qAnnPq, qAnnIvfPq, qAnnSq,
       qEmbedNorm, qMeanPool, qCentroidAssign)
 }

@@ -103,6 +103,22 @@ class DistributedQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfTopKDistributed equals ivfTopK row for row, no query broadcast") {
+    // the in-plan bulk-IVF path behind q_ann_ivf_batch: deterministic
+    // given the same trained cells, so parity with the broadcast variant
+    // is exact row equality; the probe frame must meet the assigned
+    // corpus in a shuffled-hash join
+    val qs = corpus.filter(col("vec_id") < 50)
+    val a = AnnOps.ivfTopK(corpus, qs, 5, nprobe = 3)
+      .orderBy("q_id", "rk").collect().toSeq
+    val dist = AnnOps.ivfTopKDistributed(corpus, qs, 5, nprobe = 3)
+    val b = dist.orderBy("q_id", "rk").collect().toSeq
+    assert(a.nonEmpty && a == b)
+    assert(queryBroadcasts(dist).isEmpty,
+      "query-derived frame broadcast in ivfTopKDistributed")
+    assert(dist.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"))
+  }
+
   test("IvfIndex.searchDistributed equals search row for row, no query broadcast") {
     val qs = corpus.filter(col("vec_id") < 50)
     val path = java.nio.file.Files.createTempDirectory("dist-ivf").toString
