@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   *  - broadcast-vs-distributed search parity (searchDistributed is the
   *    bulk-batch path; its rows must equal the broadcast path's).
   *
+  * env GRAFT_IVF_BULK=N — additionally time broadcast `search` vs
+  * `searchDistributed` on an N-query batch ([[AnnOps.batchQueries]]-style
+  * amplification of the corpus head) against the built IVF index: the
+  * wall-clock side of the bulk contract (the structural side — no
+  * query-derived broadcast — is DistributedQuerySpec-pinned).
+  *
   * usage: run_main.sh graft.ml.IvfScaleProbe [sfDir] [cells] [nprobe]
   */
 object IvfScaleProbe {
@@ -98,6 +104,26 @@ object IvfScaleProbe {
       f"build=${tBuild}%.1fs recall=$recall%.3f windows=${windows(sr)} " +
       s"cells_read_2q=$cellsRead/$cells files_read_2q=$filesRead/$filesTotal " +
       s"dist_equal=${distRows == got} probe_rows=${probed.count()}")
+
+    // bulk wall-clock A/B: same index, an amplified query batch, both
+    // join strategies timed twice (second reading is the JIT-warm one)
+    sys.env.get("GRAFT_IVF_BULK").map(_.toInt).foreach { bq =>
+      val baseQ = math.max(1, bq / 20)
+      val bulk = corpus.filter(col("vec_id") < baseQ)
+        .withColumn("j", explode(sequence(lit(0L), lit(19L))))
+        .select((col("vec_id") * 20 + col("j") + 1000000000L).as("vec_id"),
+          transform(col("v"), (x, i) =>
+            x + (((col("j") * 7 + i * 3) % 11) - 5) * lit(0.05)).as("v"))
+      def time(label: String, f: => Long): Unit = {
+        for (r <- 1 to 2) {
+          val t = System.nanoTime(); val rows = f
+          println(f"IVF_BULK $label run$r dir=$sfDir queries=${baseQ * 20} " +
+            f"rows=$rows wall=${(System.nanoTime() - t) / 1e9}%.1fs")
+        }
+      }
+      time("broadcast", ivf.search(bulk, 5, nprobe).count())
+      time("distributed", ivf.searchDistributed(bulk, 5, nprobe).count())
+    }
 
     val t1 = System.nanoTime()
     val ivfpq = IvfPq.build(corpus, s"$base/ivfpq", cells = cells, m = 8, k = 64, iters = 2)
