@@ -166,17 +166,33 @@ final class FileBus(root: String) extends Bus with BusAdmin {
 
   def publish(topic: String, key: Array[Byte], value: Array[Byte]): Long = {
     Files.createDirectories(dir(topic))
+    publishFrom(topic, key, value, endOffset(topic))
+  }
+
+  /** The CAS publish loop with a caller-supplied starting offset: offsets
+    * only grow, so a batch writer ([[write]]) can carry its own cursor and
+    * skip the per-record directory listing `endOffset` costs — one listing
+    * per topic plus one per LOST RACE instead of one per record (a produce
+    * of N records used to pay N listings of an N-file dir, quadratic in
+    * the durable CLI transport's hot path). A stale (too-low) hint only
+    * costs collisions: each failed link re-lists and resumes from the true
+    * end, preserving the multi-producer CAS semantics exactly.
+    */
+  private def publishFrom(topic: String, key: Array[Byte], value: Array[Byte],
+      start: Long): Long = {
     val tmp = dir(topic).resolve(s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     Files.write(tmp, encodeRec(key, value))
     try {
+      var off = start
       var attempt = 0
       while (attempt < 1000) {
-        val off = endOffset(topic)
         try {
           Files.createLink(dir(topic).resolve(f"$off%012d.rec"), tmp)
           return off
         } catch {
-          case _: java.nio.file.FileAlreadyExistsException => attempt += 1
+          case _: java.nio.file.FileAlreadyExistsException =>
+            attempt += 1
+            off = math.max(off + 1, endOffset(topic))
         }
       }
       throw new IllegalStateException(s"FileBus: lost 1000 publish races on $topic")
@@ -216,12 +232,20 @@ final class FileBus(root: String) extends Bus with BusAdmin {
     // failure STAY published — Kafka produce semantics (a broker produce
     // acked before an error is delivered); FileBusSpec pins both.
     val counts = scala.collection.mutable.Map.empty[String, Long]
+    // per-topic offset cursor: endOffset lists the topic dir, so the batch
+    // pays ONE listing per topic (plus one per lost multi-producer race
+    // inside publishFrom) instead of one per record
+    val next = scala.collection.mutable.Map.empty[String, Long]
     val it = src.select(col("topic"),
       col("key").cast("binary"), col("value").cast("binary")).toLocalIterator()
     while (it.hasNext) {
       val r = it.next()
-      publish(r.getString(0), r.getAs[Array[Byte]](1), r.getAs[Array[Byte]](2))
-      counts.updateWith(r.getString(0))(c => Some(c.getOrElse(0L) + 1))
+      val t = r.getString(0)
+      Files.createDirectories(dir(t))
+      val off = publishFrom(t, r.getAs[Array[Byte]](1), r.getAs[Array[Byte]](2),
+        next.getOrElse(t, endOffset(t)))
+      next(t) = off + 1
+      counts.updateWith(t)(c => Some(c.getOrElse(0L) + 1))
     }
     counts.toMap
   }
