@@ -32,6 +32,31 @@ class FileBusSpec extends AnyFunSuite {
     assert(back == (0 until n).map(i => f"v$i%05d"))
   }
 
+  test("concurrent multi-producer publishes land every record exactly once") {
+    // the CAS loop changed in r15 (batch writers carry an offset cursor;
+    // collisions re-list and resume): racing producers must still get
+    // dense, exclusive offsets with no record lost or doubled
+    val root = java.nio.file.Files.createTempDirectory("filebus-race").toString
+    val bus = new FileBus(root)
+    val threads = 4
+    val per = 50
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      val futures = (0 until threads).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Seq[Long]] {
+          def call(): Seq[Long] = (0 until per).map(i =>
+            bus.publish("race", s"$t".getBytes, s"$t-$i".getBytes))
+        })
+      }
+      val offs = futures.flatMap(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+      assert(offs.toSet.size == threads * per, "duplicate offsets handed out")
+      assert(offs.toSet == (0L until (threads * per).toLong).toSet, "offsets not dense")
+      val back = bus.readBatch(spark, Seq("race"), Map("race" -> 0L))
+        .select(col("value").cast("string")).collect().map(_.getString(0)).toSet
+      assert(back == (for (t <- 0 until threads; i <- 0 until per) yield s"$t-$i").toSet)
+    } finally pool.shutdownNow()
+  }
+
   test("write streams partitions: rows published before a failure persist") {
     // With the old collect(), a failure ANYWHERE in the frame meant zero
     // records hit disk (the whole frame materialized before the publish
