@@ -172,9 +172,14 @@ case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression 
     // pass on the hottest expression in the dedup family
     // capacity must strictly exceed the insert count (load ≤ 0.5) or a
     // full-table probe would spin; enforce the invariant explicitly
-    // rather than ride UTF8String's 2GB byte cap keeping count below it
+    // rather than ride UTF8String's 2GB byte cap keeping count below it.
+    // Counts past 2^29 are rejected BY DESIGN, not just for Int safety:
+    // they only arise from a single document of ~1 GB+ of one-character
+    // tokens, whose table alone would be a 4-16 GB single-row allocation
+    // — failing loudly with a split hint beats an executor OOM mid-scan
     require(count < (1 << 29),
-      s"shingle count $count exceeds the open-addressed table bound (2^29)")
+      s"shingle count $count exceeds the open-addressed table bound (2^29); " +
+        "split documents this large before shingle dedup")
     val tcap = java.lang.Integer.highestOneBit(math.max(4, count) * 2 - 1) << 1
     val tmask = tcap - 1
     val table = new Array[Long](tcap)

@@ -302,16 +302,8 @@ object AnnOps {
     * partitioned by cell, so a probe reads only those partitions.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
-      cells: Int = 10, trainIters: Int = 3): DataFrame = {
-    // local centroid frame (metadata scale) instead of a persist that
-    // outlives the call — see ivfPqTopK
-    val centsDf = kmeansCells(corpus, cells, trainIters)
-    val cents = corpus.sparkSession.createDataFrame(
-      java.util.Arrays.asList(centsDf.collect(): _*), centsDf.schema)
-    val assigned = assignCells(corpus, cents)
-      .withColumnRenamed("cell", "label")
-    ivfSearch(assigned, cents.withColumnRenamed("cell", "label"), queries, k, nprobe)
-  }
+      cells: Int = 10, trainIters: Int = 3): DataFrame =
+    ivfTopKImpl(corpus, queries, k, nprobe, cells, trainIters, distributed = false)
 
   /** [[ivfTopK]] for BULK query batches: the query set stays a DataFrame
     * end to end — the |Q| × nprobe probe frame meets the assigned corpus
@@ -321,14 +313,20 @@ object AnnOps {
     * Driver memory flat in |Q|; the bounded k-heap tail is shared.
     */
   def ivfTopKDistributed(corpus: DataFrame, queries: DataFrame, k: Int,
-      nprobe: Int, cells: Int = 10, trainIters: Int = 3): DataFrame = {
+      nprobe: Int, cells: Int = 10, trainIters: Int = 3): DataFrame =
+    ivfTopKImpl(corpus, queries, k, nprobe, cells, trainIters, distributed = true)
+
+  private def ivfTopKImpl(corpus: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int, cells: Int, trainIters: Int, distributed: Boolean): DataFrame = {
+    // local centroid frame (metadata scale) instead of a persist that
+    // outlives the call — see ivfPqTopK
     val centsDf = kmeansCells(corpus, cells, trainIters)
     val cents = corpus.sparkSession.createDataFrame(
       java.util.Arrays.asList(centsDf.collect(): _*), centsDf.schema)
     val assigned = assignCells(corpus, cents)
       .withColumnRenamed("cell", "label")
     ivfSearch(assigned, cents.withColumnRenamed("cell", "label"), queries, k,
-      nprobe, distributed = true)
+      nprobe, distributed)
   }
 
   private def ivfSearch(corpusWithCells: DataFrame, cents: DataFrame,

@@ -58,8 +58,8 @@ object DedupOps {
     *    never enter the exploded self-join shuffle;
     *  - verification re-joins the (doc_id, shingles) base once per side on
     *    the deduped candidate pairs only.
-    */
-  /** NOTE: with `prime = true` (the execution default) this is
+    *
+    * NOTE: with `prime = true` (the execution default) this is
     * SIDE-EFFECTING — it runs one Spark job to materialize the persisted
     * signature base before returning the plan, and the base stays cached
     * (MEMORY_AND_DISK) for the returned DataFrame's lifetime; Spark's LRU

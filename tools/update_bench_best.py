@@ -7,9 +7,12 @@ Each input is either the driver's wrapper ({"tail": "...{one JSON
 line}..."}) or a raw one-line bench JSON. Per-gate minima are kept;
 the sources list records which artifacts contributed. Only artifacts
 whose sf matches the ledger's sf are merged (same-protocol, same-scale
-readings only — that is the point of the ledger).
+readings only — that is the point of the ledger). sf is compared by
+BASENAME, matching the Scala consumer (Bench.loadBest): the prefix is
+machine-/checkout-specific.
 """
 import json
+import os
 import re
 import sys
 
@@ -25,10 +28,14 @@ def bench_line(path):
     if isinstance(doc, dict) and "queries" in doc:
         return doc
     hay = doc.get("tail", "") if isinstance(doc, dict) else raw
-    m = re.search(r'\{"metric":"total".*?"errors":\[[^\]]*\][^}]*\}', hay)
+    # the line is a full JSON object (since r15 it contains nested objects
+    # after "errors" — vs_best — so a brace-counting regex can't bound it);
+    # raw_decode from the anchor parses exactly one balanced value
+    m = re.search(r'\{"metric":"total"', hay)
     if not m:
         raise SystemExit(f"{path}: no bench JSON line found")
-    return json.loads(m.group(0))
+    line, _ = json.JSONDecoder().raw_decode(hay, m.start())
+    return line
 
 
 def main():
@@ -36,7 +43,9 @@ def main():
     changed = []
     for path in sys.argv[1:]:
         line = bench_line(path)
-        if line.get("sf") != ledger["sf"]:
+        sf = os.path.basename((line.get("sf") or "").rstrip("/"))
+        want = os.path.basename(ledger["sf"].rstrip("/"))
+        if sf != want:
             print(f"skip {path}: sf {line.get('sf')} != ledger {ledger['sf']}")
             continue
         for q, v in (line.get("queries") or {}).items():
