@@ -141,6 +141,44 @@ object DedupOps {
             FROM p WHERE rawsim >= 0.5"""),
     headline = true)
 
+  // ---- incremental NEAR-dup: new batch vs persisted signature store -----
+  // The steady-state pipeline shape: history's signatures/band rows live
+  // in a MinHashStore (parquet, partitioned by band); a probe signatures
+  // only the new batch, streams ONE scan of the store, and re-shingles
+  // history text for the candidate hit set alone. Same shingle/signature/
+  // banding parameters and exact-jaccard semantics as q_dedup_minhash, so
+  // the DuckDB oracle is the same gram algebra restricted to cross-batch
+  // pairs (and the LSH-recall-=1 argument above carries over unchanged —
+  // every real near-dup in the corpus sits at sim ≥ 0.9).
+  private val qDedupMinhashIncr = GQuery(
+    "q_dedup_minhash_incr",
+    (s, d) => {
+      val docs = documents(s, d)
+      val hist = docs.filter(col("doc_id") % 3 =!= 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+      val store = MinHashStore.build(hist,
+        java.nio.file.Files.createTempDirectory("mhstore").toString)
+      store.probe(batch, hist, 0.5)
+        .select(col("new_id"), col("hist_id"), stableRound(col("sim"), 4).as("sim"))
+    },
+    Some("""WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0) AS w
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+                       ELSE list_transform(generate_series(1, len(w) - 2),
+                              i -> array_to_string(w[i:i+2], ' ')) END) AS grams
+              FROM d),
+            p AS (
+              SELECT n.doc_id AS new_id, h.doc_id AS hist_id,
+                     CAST(len(list_intersect(n.grams, h.grams)) AS DOUBLE) /
+                     len(list_distinct(n.grams || h.grams)) AS rawsim
+              FROM g n JOIN g h ON n.doc_id % 3 = 0 AND h.doc_id % 3 <> 0)
+            SELECT new_id, hist_id, floor(rawsim * 10000 + 0.5) / 10000 AS sim
+            FROM p WHERE rawsim >= 0.5"""))
+
   // ---- SimHash near-dup: 64-bit signature, hamming ≤ 6 -------------------
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     // persist: the 64-bit-sum signature expression is expensive and feeds
@@ -485,6 +523,7 @@ object DedupOps {
             JOIN firsts fi USING (fp)"""))
 
   val queries: Seq[GQuery] =
-    Seq(qDedupExact, qDedupMinhash, qDedupSimhash, qNgramJaccard, qDedupEmbed,
-      qContamination, qDedupIncremental, qDedupBloom)
+    Seq(qDedupExact, qDedupMinhash, qDedupMinhashIncr, qDedupSimhash,
+      qNgramJaccard, qDedupEmbed, qContamination, qDedupIncremental,
+      qDedupBloom)
 }

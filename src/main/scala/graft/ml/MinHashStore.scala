@@ -1,0 +1,153 @@
+package graft.ml
+
+import graft.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash-LSH signature store: the INCREMENTAL near-dup path.
+  *
+  * [[DedupOps.minhashPairs]] answers "which documents in THIS corpus are
+  * near-dups of each other" — one batch, signatures recomputed per run.
+  * A training-data pipeline's steady state is different: a bounded new
+  * batch arrives and must dedup against a 100 TB HISTORY whose text
+  * should be neither re-tokenized nor re-scanned per batch. The store
+  * persists exactly what that probe needs — per-document signatures and
+  * their exploded LSH band rows, parquet partitioned by `band` — so a
+  * probe is: signature the NEW batch (batch-scale compute), broadcast its
+  * band rows, stream ONE scan of the store's band rows through the
+  * bucket join, and verify only the candidate pairs. History text is
+  * touched only to re-shingle the candidate hit set (shortlist-scale,
+  * the IvfPq re-rank shape) — or not at all with [[MinHashStore.Store
+  * .probeEstimate]], which verifies on the stored signatures alone.
+  *
+  * Scale shape (1000 executors, 100 TB history):
+  *  - the store scan is a straight parquet stream of (band, bucket,
+  *    doc_id) — narrow rows, no text, no shuffle of the store;
+  *  - the new batch broadcasts (bounded by the batch contract — this is
+  *    the interactive side of the same trade [[graft.ml.IvfIndex]]
+  *    documents; a batch past broadcast size should be split);
+  *  - the per-bucket candidate cap rides the candidate stream itself
+  *    (a window over (band, bucket) on JOINED rows — candidate-scale,
+  *    never a shuffle of the store);
+  *  - `append` is an append-mode parquet write of the new batch's rows —
+  *    the store grows without rewriting history (same discipline as
+  *    [[IvfIndex.append]]).
+  *
+  * ID CONTRACT: history and probe batches must use disjoint `doc_id`
+  * spaces (the pipeline's natural state — ids are offsets/uuids); pairs
+  * are returned as (new_id, hist_id, sim).
+  */
+object MinHashStore {
+
+  private val Bands = 8
+  private val RowsPerBand = 4
+
+  /** Signature + exploded band rows for one frame: (doc_id, sig) and
+    * (band, bucket, doc_id).
+    */
+  private def sigAndBands(docs: DataFrame): (DataFrame, DataFrame) = {
+    val sigs = DedupOps.minhashed(docs).select(col("doc_id"), col("sig"))
+    val bands = sigs
+      .select(col("doc_id"), explode(lshBands(col("sig"), Bands, RowsPerBand)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"), col("doc_id"))
+    (sigs, bands)
+  }
+
+  /** Create a store at `path` from the initial history corpus
+    * ((doc_id, text) columns).
+    */
+  def build(docs: DataFrame, path: String): Store = {
+    val spark = docs.sparkSession
+    val (sigs, bands) = sigAndBands(docs)
+    bands.write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+    sigs.write.mode("overwrite").parquet(s"$path/sigs")
+    Store(spark, path)
+  }
+
+  final case class Store(spark: SparkSession, path: String) {
+
+    /** (band, bucket, doc_id) — footer-schema read (no inference job),
+      * `band` from the dir partitioning.
+      */
+    def bandRows: DataFrame = IvfIndex.readOwn(spark, s"$path/bands", Some("band"))
+
+    /** (doc_id, sig) for the whole history. */
+    def signatures: DataFrame = IvfIndex.readOwn(spark, s"$path/sigs")
+
+    /** Grow the store with a new batch (append-mode writes — history is
+      * never rewritten). Call AFTER probing the batch, so the batch does
+      * not match itself.
+      */
+    def append(docs: DataFrame): Unit = {
+      val (sigs, bands) = sigAndBands(docs)
+      bands.write.mode("append").partitionBy("band").parquet(s"$path/bands")
+      sigs.write.mode("append").parquet(s"$path/sigs")
+    }
+
+    /** Candidate (new_id, hist_id) pairs from the bucket join — shared by
+      * both verification variants. One store scan, broadcast new-batch
+      * band rows, per-bucket cap riding the candidate stream.
+      */
+    private def candidates(newBands: DataFrame, maxBucket: Int): DataFrame = {
+      val joined = bandRows
+        .join(broadcast(newBands
+          .select(col("band"), col("bucket"), col("doc_id").as("new_id"))),
+          Seq("band", "bucket"))
+      val w = Window.partitionBy("band", "bucket")
+      joined.withColumn("_n", count(lit(1)).over(w))
+        .filter(col("_n") <= maxBucket)
+        .select(col("new_id"), col("doc_id").as("hist_id"))
+        .distinct()
+    }
+
+    /** Near-dup pairs of `newDocs` against the stored history, verified
+      * EXACTLY: candidate hist ids re-shingle from `historyDocs`
+      * (shortlist-scale — a semi-join prunes the history scan to the hit
+      * set before any tokenization). Same trigram/k=32/8×4 parameters and
+      * the same exact-jaccard semantics as [[DedupOps.minhashPairs]], so
+      * the two compose: run minhashPairs WITHIN the batch, probe the
+      * store ACROSS batches, then [[append]].
+      */
+    def probe(newDocs: DataFrame, historyDocs: DataFrame, threshold: Double,
+        maxBucket: Int = 1000): DataFrame = {
+      val (_, newBands) = sigAndBands(newDocs)
+      val cand = candidates(newBands, maxBucket)
+      val histSh = DedupOps.minhashed(
+          historyDocs.join(cand.select(col("hist_id").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_semi"))
+        .select(col("doc_id").as("hist_id"), col("sh").as("sh_h"))
+      val newSh = DedupOps.minhashed(newDocs)
+        .select(col("doc_id").as("new_id"), col("sh").as("sh_n"))
+      cand
+        .join(newSh, Seq("new_id"))
+        .join(histSh, Seq("hist_id"))
+        .select(col("new_id"), col("hist_id"),
+          jaccard(col("sh_n"), col("sh_h")).as("sim"))
+        .filter(col("sim") >= threshold)
+    }
+
+    /** [[probe]] without touching history text: similarity is the
+      * MinHash ESTIMATE (matching signature components / k — an unbiased
+      * estimator of jaccard with stderr ≈ √(j(1−j)/k), ~0.09 at k=32
+      * around the 0.5 threshold). The store-only variant for pipelines
+      * whose history text is cold storage; thresholds should be set with
+      * the estimator noise in mind.
+      */
+    def probeEstimate(newDocs: DataFrame, threshold: Double,
+        maxBucket: Int = 1000): DataFrame = {
+      val (newSigs, newBands) = sigAndBands(newDocs)
+      val cand = candidates(newBands, maxBucket)
+      val k = size(col("sig_n"))
+      cand
+        .join(newSigs.select(col("doc_id").as("new_id"), col("sig").as("sig_n")),
+          Seq("new_id"))
+        .join(signatures.select(col("doc_id").as("hist_id"), col("sig").as("sig_h")),
+          Seq("hist_id"))
+        .select(col("new_id"), col("hist_id"),
+          (size(filter(zip_with(col("sig_n"), col("sig_h"), _ === _),
+            (x: org.apache.spark.sql.Column) => x)) / k.cast("double")).as("sim"))
+        .filter(col("sim") >= threshold)
+    }
+  }
+}
