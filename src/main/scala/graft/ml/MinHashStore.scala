@@ -94,31 +94,51 @@ object MinHashStore {
         .join(broadcast(newBands
           .select(col("band"), col("bucket"), col("doc_id").as("new_id"))),
           Seq("band", "bucket"))
-      val w = Window.partitionBy("band", "bucket")
-      joined.withColumn("_n", count(lit(1)).over(w))
-        .filter(col("_n") <= maxBucket)
-        .select(col("new_id"), col("doc_id").as("hist_id"))
+      val capped = if (maxBucket == Int.MaxValue) joined else {
+        val w = Window.partitionBy("band", "bucket")
+        joined.withColumn("_n", count(lit(1)).over(w))
+          .filter(col("_n") <= maxBucket)
+      }
+      capped.select(col("new_id"), col("doc_id").as("hist_id"))
         .distinct()
     }
 
     /** Near-dup pairs of `newDocs` against the stored history, verified
       * EXACTLY: candidate hist ids re-shingle from `historyDocs`
-      * (shortlist-scale — a semi-join prunes the history scan to the hit
-      * set before any tokenization). Same trigram/k=32/8×4 parameters and
-      * the same exact-jaccard semantics as [[DedupOps.minhashPairs]], so
-      * the two compose: run minhashPairs WITHIN the batch, probe the
-      * store ACROSS batches, then [[append]].
+      * (shortlist-scale COMPUTE — a semi-join prunes to the hit set
+      * before any tokenization; the scan still reads the history text
+      * column once, so the exact path is history-I/O-bound where
+      * [[probeEstimate]] is store-only — MinHashStoreProbe at sf10 with a
+      * 1% batch: union re-run 7.5 s, exact probe 4.3 s, estimate 2.3 s,
+      * identical pair sets). Same trigram/k=32/8×4 parameters and the
+      * same exact-jaccard semantics as [[DedupOps.minhashPairs]], so the
+      * two compose: run minhashPairs WITHIN the batch, probe the store
+      * ACROSS batches, then [[append]].
       */
     def probe(newDocs: DataFrame, historyDocs: DataFrame, threshold: Double,
         maxBucket: Int = 1000): DataFrame = {
-      val (_, newBands) = sigAndBands(newDocs)
+      // one persisted+primed batch base feeds band rows AND the verify
+      // shingles — the minhashPairs discipline (without it the batch
+      // tokenizes twice and the probe lost to the union re-run baseline
+      // at sf1; MinHashStoreProbe is the receipt), and the eager prime
+      // keeps AQE's concurrent branches from racing the cold cache
+      val nb = DedupOps.minhashed(newDocs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      nb.count()
+      val newBands = nb
+        .select(col("doc_id"), explode(lshBands(col("sig"), Bands, RowsPerBand)).as("bk"))
+        .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"), col("doc_id"))
+      // cand feeds BOTH the history semi-join and the final pair join —
+      // unpinned, the store scan + bucket window would run once per
+      // consumer; candidate-scale rows, so the pin is cheap
       val cand = candidates(newBands, maxBucket)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cand.count()
       val histSh = DedupOps.minhashed(
           historyDocs.join(cand.select(col("hist_id").as("doc_id")).distinct(),
             Seq("doc_id"), "left_semi"))
         .select(col("doc_id").as("hist_id"), col("sh").as("sh_h"))
-      val newSh = DedupOps.minhashed(newDocs)
-        .select(col("doc_id").as("new_id"), col("sh").as("sh_n"))
+      val newSh = nb.select(col("doc_id").as("new_id"), col("sh").as("sh_n"))
       cand
         .join(newSh, Seq("new_id"))
         .join(histSh, Seq("hist_id"))
