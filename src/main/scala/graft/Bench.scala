@@ -93,7 +93,7 @@ object Bench {
     * trivially regular format; the extraction is a line regex, not a JSON
     * parser dependency.
     */
-  private def loadBest(sfDir: String): Map[String, Double] =
+  private[graft] def loadBest(sfDir: String): Map[String, Double] =
     try {
       val p = java.nio.file.Paths.get(
         sys.env.getOrElse("GRAFT_BENCH_BEST", "BENCH_BEST.json"))
