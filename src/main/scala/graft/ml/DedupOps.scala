@@ -156,8 +156,13 @@ object DedupOps {
       val docs = documents(s, d)
       val hist = docs.filter(col("doc_id") % 3 =!= 0)
       val batch = docs.filter(col("doc_id") % 3 === 0)
-      val store = MinHashStore.build(hist,
-        java.nio.file.Files.createTempDirectory("mhstore").toString)
+      // deterministic per-sf path, overwrite-mode build: repeated gate
+      // invocations (Verify passes, plan-audit sweeps) REPLACE the store
+      // instead of leaking a fresh temp dir of sf-scale parquet each run
+      val storeDir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft-mhstore-gate",
+        new java.io.File(d).getName).toString
+      val store = MinHashStore.build(hist, storeDir)
       store.probe(batch, hist, 0.5)
         .select(col("new_id"), col("hist_id"), stableRound(col("sim"), 4).as("sim"))
     },

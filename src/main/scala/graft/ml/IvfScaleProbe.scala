@@ -108,7 +108,10 @@ object IvfScaleProbe {
     // bulk wall-clock A/B: same index, an amplified query batch, both
     // join strategies timed twice (second reading is the JIT-warm one)
     sys.env.get("GRAFT_IVF_BULK").map(_.toInt).foreach { bq =>
-      val baseQ = math.max(1, bq / 20)
+      // clamp to the corpus: vec_ids are dense from 0, so the filter
+      // yields min(requested, n) base rows — log the TRUE batch size or
+      // per-query numbers derived from these lines are off
+      val baseQ = math.min(math.max(1, bq / 20), n)
       val bulk = corpus.filter(col("vec_id") < baseQ)
         .withColumn("j", explode(sequence(lit(0L), lit(19L))))
         .select((col("vec_id") * 20 + col("j") + 1000000000L).as("vec_id"),

@@ -27,9 +27,10 @@ import org.apache.spark.sql.functions._
   *  - the new batch broadcasts (bounded by the batch contract — this is
   *    the interactive side of the same trade [[graft.ml.IvfIndex]]
   *    documents; a batch past broadcast size should be split);
-  *  - the per-bucket candidate cap rides the candidate stream itself
-  *    (a window over (band, bucket) on JOINED rows — candidate-scale,
-  *    never a shuffle of the store);
+  *  - the per-bucket cap is on TOTAL bucket membership (stored + batch
+  *    occupants, [[DedupOps.minhashPairs]]'s union semantics), counted
+  *    on the pre-pair store-hit stream — never a shuffle of the store,
+  *    and never a cap on the hist×new product;
   *  - `append` is an append-mode parquet write of the new batch's rows —
   *    the store grows without rewriting history (same discipline as
   *    [[IvfIndex.append]]).
@@ -43,25 +44,37 @@ object MinHashStore {
   private val Bands = 8
   private val RowsPerBand = 4
 
-  /** Signature + exploded band rows for one frame: (doc_id, sig) and
-    * (band, bucket, doc_id).
+  /** Persisted signature base + derived (doc_id, sig) and
+    * (band, bucket, doc_id) frames for one corpus. The base MUST be
+    * pinned: sigs and bands are two consumers, and unpinned each would
+    * tokenize/shingle/signature the whole frame independently — the
+    * dominant cost of this module doubled (the minhashPairs barrier
+    * lesson). Callers that materialize both eagerly (build/append)
+    * unpersist in a finally; plan-returning callers document the pin.
     */
-  private def sigAndBands(docs: DataFrame): (DataFrame, DataFrame) = {
-    val sigs = DedupOps.minhashed(docs).select(col("doc_id"), col("sig"))
-    val bands = sigs
+  private def sigAndBands(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val base = DedupOps.minhashed(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = base.select(col("doc_id"), col("sig"))
+    val bands = base
       .select(col("doc_id"), explode(lshBands(col("sig"), Bands, RowsPerBand)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"), col("doc_id"))
-    (sigs, bands)
+    (base, sigs, bands)
   }
 
   /** Create a store at `path` from the initial history corpus
-    * ((doc_id, text) columns).
+    * ((doc_id, text) columns). The corpus signatures ONCE (pinned base,
+    * eager prime) and feeds both writes; the pin is released before
+    * returning.
     */
   def build(docs: DataFrame, path: String): Store = {
     val spark = docs.sparkSession
-    val (sigs, bands) = sigAndBands(docs)
-    bands.write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
-    sigs.write.mode("overwrite").parquet(s"$path/sigs")
+    val (base, sigs, bands) = sigAndBands(docs)
+    try {
+      base.count()
+      bands.write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+      sigs.write.mode("overwrite").parquet(s"$path/sigs")
+    } finally { base.unpersist(); () }
     Store(spark, path)
   }
 
@@ -80,26 +93,39 @@ object MinHashStore {
       * not match itself.
       */
     def append(docs: DataFrame): Unit = {
-      val (sigs, bands) = sigAndBands(docs)
-      bands.write.mode("append").partitionBy("band").parquet(s"$path/bands")
-      sigs.write.mode("append").parquet(s"$path/sigs")
+      val (base, sigs, bands) = sigAndBands(docs)
+      try {
+        base.count()
+        bands.write.mode("append").partitionBy("band").parquet(s"$path/bands")
+        sigs.write.mode("append").parquet(s"$path/sigs")
+      } finally { base.unpersist(); () }
     }
 
     /** Candidate (new_id, hist_id) pairs from the bucket join — shared by
       * both verification variants. One store scan, broadcast new-batch
-      * band rows, per-bucket cap riding the candidate stream.
+      * band rows. The per-bucket cap applies to the bucket's TOTAL
+      * MEMBERSHIP (stored + batch occupants), exactly
+      * [[DedupOps.minhashPairs]]'s semantics on the union corpus — a cap
+      * on the joined hist×new product would silently drop buckets the
+      * union run keeps (e.g. 501 stored × 2 batch = 1002 pairs but only
+      * 503 members). Counted BEFORE pairing: store rows first meet just
+      * the distinct probed-bucket keys (with the batch occupancy riding
+      * along), the membership window runs on that pre-pair stream, and
+      * only surviving buckets expand against individual batch rows.
       */
     private def candidates(newBands: DataFrame, maxBucket: Int): DataFrame = {
-      val joined = bandRows
-        .join(broadcast(newBands
-          .select(col("band"), col("bucket"), col("doc_id").as("new_id"))),
-          Seq("band", "bucket"))
-      val capped = if (maxBucket == Int.MaxValue) joined else {
-        val w = Window.partitionBy("band", "bucket")
-        joined.withColumn("_n", count(lit(1)).over(w))
-          .filter(col("_n") <= maxBucket)
-      }
-      capped.select(col("new_id"), col("doc_id").as("hist_id"))
+      val nb = newBands.select(col("band"), col("bucket"), col("doc_id").as("new_id"))
+      val bucketN = nb.groupBy("band", "bucket").agg(count(lit(1)).as("_nb"))
+      val hits = bandRows.join(broadcast(bucketN), Seq("band", "bucket"))
+      val capped =
+        if (maxBucket == Int.MaxValue) hits
+        else {
+          val w = Window.partitionBy("band", "bucket")
+          hits.withColumn("_hb", count(lit(1)).over(w))
+            .filter(col("_hb") + col("_nb") <= maxBucket)
+        }
+      capped.join(broadcast(nb), Seq("band", "bucket"))
+        .select(col("new_id"), col("doc_id").as("hist_id"))
         .distinct()
     }
 
@@ -116,24 +142,23 @@ object MinHashStore {
       * ACROSS batches, then [[append]].
       */
     def probe(newDocs: DataFrame, historyDocs: DataFrame, threshold: Double,
-        maxBucket: Int = 1000): DataFrame = {
-      // one persisted+primed batch base feeds band rows AND the verify
-      // shingles — the minhashPairs discipline (without it the batch
-      // tokenizes twice and the probe lost to the union re-run baseline
-      // at sf1; MinHashStoreProbe is the receipt), and the eager prime
-      // keeps AQE's concurrent branches from racing the cold cache
-      val nb = DedupOps.minhashed(newDocs)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      nb.count()
-      val newBands = nb
-        .select(col("doc_id"), explode(lshBands(col("sig"), Bands, RowsPerBand)).as("bk"))
-        .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"), col("doc_id"))
+        maxBucket: Int = 1000, prime: Boolean = true): DataFrame = {
+      // one persisted batch base feeds band rows AND the verify shingles —
+      // the minhashPairs discipline (without it the batch tokenizes twice
+      // and the probe lost to the union re-run baseline at sf1;
+      // MinHashStoreProbe is the receipt). With `prime = true` (the
+      // execution default) the two pinned frames materialize eagerly so
+      // AQE's concurrent branches don't race the cold cache — which makes
+      // this SIDE-EFFECTING like minhashPairs; plan-only consumers pass
+      // prime = false.
+      val (nb, _, newBands) = MinHashStore.sigAndBands(newDocs)
+      if (prime) nb.count()
       // cand feeds BOTH the history semi-join and the final pair join —
       // unpinned, the store scan + bucket window would run once per
       // consumer; candidate-scale rows, so the pin is cheap
       val cand = candidates(newBands, maxBucket)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      cand.count()
+      if (prime) cand.count()
       val histSh = DedupOps.minhashed(
           historyDocs.join(cand.select(col("hist_id").as("doc_id")).distinct(),
             Seq("doc_id"), "left_semi"))
@@ -155,8 +180,11 @@ object MinHashStore {
       * the estimator noise in mind.
       */
     def probeEstimate(newDocs: DataFrame, threshold: Double,
-        maxBucket: Int = 1000): DataFrame = {
-      val (newSigs, newBands) = sigAndBands(newDocs)
+        maxBucket: Int = 1000, prime: Boolean = true): DataFrame = {
+      // pinned batch base (sigs + bands are two consumers — see probe);
+      // prime = true (default) is side-effecting like probe
+      val (nb, newSigs, newBands) = MinHashStore.sigAndBands(newDocs)
+      if (prime) nb.count()
       val cand = candidates(newBands, maxBucket)
       val k = size(col("sig_n"))
       cand

@@ -39,7 +39,10 @@ class BenchLedgerSpec extends AnyFunSuite {
 object BenchLedgerSpec {
   /** Reflectively override an env var for the block (test-only shim —
     * the JVM offers no supported setenv; this mutates the cached map the
-    * same way scalatest env-stubbing libraries do).
+    * same way scalatest env-stubbing libraries do). PROCESS-GLOBAL: safe
+    * here because forked suites run sequentially (Test/fork := true with
+    * sbt's default testForkedParallel = false); revisit if parallel
+    * forked execution is ever enabled.
     */
   def withEnv[A](k: String, v: String)(f: => A): A = {
     val envField = Class.forName("java.lang.ProcessEnvironment")

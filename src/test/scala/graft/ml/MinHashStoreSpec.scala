@@ -74,6 +74,23 @@ class MinHashStoreSpec extends AnyFunSuite {
     assert(got == directCross(batch2, histNow, 0.5))
   }
 
+  test("bucket cap is union MEMBERSHIP (minhashPairs semantics), not the pair product") {
+    // 6 identical history docs + 2 identical batch docs share every
+    // bucket: membership 8 ≤ cap 10 must KEEP the 12 cross pairs even
+    // though the hist×new product (12 per band) exceeds the cap — a
+    // product-counted cap (the first r15 cut) silently dropped exactly
+    // this shape while a union minhashPairs run kept it
+    val text = "a boilerplate paragraph repeated across many crawled pages verbatim every time"
+    val h = (1L to 6L).map(i => (i, text)).toDF("doc_id", "text")
+    val b = Seq((101L, text), (102L, text)).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("mhstore-cap").toString
+    val store = MinHashStore.build(h, path)
+    val kept = pairs(store.probe(b, h, 0.5, maxBucket = 10))
+    assert(kept.size == 12, s"expected all 12 cross pairs, got ${kept.size}: $kept")
+    // and past the membership cap the bucket drops, as in minhashPairs
+    assert(pairs(store.probe(b, h, 0.5, maxBucket = 7)).isEmpty)
+  }
+
   test("probeEstimate agrees with probe on this corpus without reading history text") {
     val path = java.nio.file.Files.createTempDirectory("mhstore3").toString
     val store = MinHashStore.build(hist, path)

@@ -30,12 +30,17 @@ def bench_line(path):
     hay = doc.get("tail", "") if isinstance(doc, dict) else raw
     # the line is a full JSON object (since r15 it contains nested objects
     # after "errors" — vs_best — so a brace-counting regex can't bound it);
-    # raw_decode from the anchor parses exactly one balanced value
-    m = re.search(r'\{"metric":"total"', hay)
-    if not m:
-        raise SystemExit(f"{path}: no bench JSON line found")
-    line, _ = json.JSONDecoder().raw_decode(hay, m.start())
-    return line
+    # raw_decode from each anchor parses exactly one balanced value, and a
+    # truncated/quoted first occurrence falls through to later anchors
+    # instead of crashing the merge
+    for m in re.finditer(r'\{"metric":"total"', hay):
+        try:
+            line, _ = json.JSONDecoder().raw_decode(hay, m.start())
+            if isinstance(line, dict) and "queries" in line:
+                return line
+        except json.JSONDecodeError:
+            continue
+    raise SystemExit(f"{path}: no parseable bench JSON line found")
 
 
 def main():
