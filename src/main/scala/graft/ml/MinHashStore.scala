@@ -44,37 +44,37 @@ object MinHashStore {
   private val Bands = 8
   private val RowsPerBand = 4
 
-  /** Persisted signature base + derived (doc_id, sig) and
-    * (band, bucket, doc_id) frames for one corpus. The base MUST be
-    * pinned: sigs and bands are two consumers, and unpinned each would
-    * tokenize/shingle/signature the whole frame independently — the
-    * dominant cost of this module doubled (the minhashPairs barrier
-    * lesson). Callers that materialize both eagerly (build/append)
-    * unpersist in a finally; plan-returning callers document the pin.
+  /** Pinned SLIM signature frame (doc_id, sig) for one corpus — what the
+    * two store writes and the estimate probe consume. The pin is
+    * mandatory (two consumers; unpinned each would tokenize/shingle/
+    * signature the whole frame independently — the minhashPairs barrier
+    * lesson), and it deliberately projects the heavy shingle arrays away
+    * BEFORE caching: pinning the full minhashed base cost more in cache
+    * serialization of `sh` than the saved second pass (same-box A/B at
+    * sf10 — only [[Store.probe]], which verifies on shingles, pins the
+    * full base). Eager-materializing callers unpersist in a finally.
     */
-  private def sigAndBands(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val base = DedupOps.minhashed(docs)
+  private def pinnedSigs(docs: DataFrame): DataFrame =
+    DedupOps.minhashed(docs).select(col("doc_id"), col("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = base.select(col("doc_id"), col("sig"))
-    val bands = base
-      .select(col("doc_id"), explode(lshBands(col("sig"), Bands, RowsPerBand)).as("bk"))
-      .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"), col("doc_id"))
-    (base, sigs, bands)
-  }
+
+  private def bandsOf(sigs: DataFrame): DataFrame = sigs
+    .select(col("doc_id"), explode(lshBands(col("sig"), Bands, RowsPerBand)).as("bk"))
+    .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"), col("doc_id"))
 
   /** Create a store at `path` from the initial history corpus
-    * ((doc_id, text) columns). The corpus signatures ONCE (pinned base,
-    * eager prime) and feeds both writes; the pin is released before
-    * returning.
+    * ((doc_id, text) columns). The corpus signatures ONCE (pinned slim
+    * frame, eager prime) and feeds both writes; the pin is released
+    * before returning.
     */
   def build(docs: DataFrame, path: String): Store = {
     val spark = docs.sparkSession
-    val (base, sigs, bands) = sigAndBands(docs)
+    val sigs = pinnedSigs(docs)
     try {
-      base.count()
-      bands.write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+      sigs.count()
+      bandsOf(sigs).write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
       sigs.write.mode("overwrite").parquet(s"$path/sigs")
-    } finally { base.unpersist(); () }
+    } finally { sigs.unpersist(); () }
     Store(spark, path)
   }
 
@@ -93,12 +93,13 @@ object MinHashStore {
       * not match itself.
       */
     def append(docs: DataFrame): Unit = {
-      val (base, sigs, bands) = sigAndBands(docs)
+      val sigs = MinHashStore.pinnedSigs(docs)
       try {
-        base.count()
-        bands.write.mode("append").partitionBy("band").parquet(s"$path/bands")
+        sigs.count()
+        MinHashStore.bandsOf(sigs).write.mode("append")
+          .partitionBy("band").parquet(s"$path/bands")
         sigs.write.mode("append").parquet(s"$path/sigs")
-      } finally { base.unpersist(); () }
+      } finally { sigs.unpersist(); () }
     }
 
     /** Candidate (new_id, hist_id) pairs from the bucket join — shared by
@@ -151,8 +152,10 @@ object MinHashStore {
       // AQE's concurrent branches don't race the cold cache — which makes
       // this SIDE-EFFECTING like minhashPairs; plan-only consumers pass
       // prime = false.
-      val (nb, _, newBands) = MinHashStore.sigAndBands(newDocs)
+      val nb = DedupOps.minhashed(newDocs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       if (prime) nb.count()
+      val newBands = MinHashStore.bandsOf(nb)
       // cand feeds BOTH the history semi-join and the final pair join —
       // unpinned, the store scan + bucket window would run once per
       // consumer; candidate-scale rows, so the pin is cheap
@@ -181,10 +184,12 @@ object MinHashStore {
       */
     def probeEstimate(newDocs: DataFrame, threshold: Double,
         maxBucket: Int = 1000, prime: Boolean = true): DataFrame = {
-      // pinned batch base (sigs + bands are two consumers — see probe);
-      // prime = true (default) is side-effecting like probe
-      val (nb, newSigs, newBands) = MinHashStore.sigAndBands(newDocs)
-      if (prime) nb.count()
+      // pinned SLIM batch frame (sigs + bands are two consumers, and the
+      // estimate never needs shingles); prime = true (default) is
+      // side-effecting like probe
+      val newSigs = MinHashStore.pinnedSigs(newDocs)
+      if (prime) newSigs.count()
+      val newBands = MinHashStore.bandsOf(newSigs)
       val cand = candidates(newBands, maxBucket)
       val k = size(col("sig_n"))
       cand
