@@ -162,8 +162,12 @@ object MinHashStore {
       val cand = candidates(newBands, maxBucket)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       if (prime) cand.count()
+      // broadcast the (bounded) candidate id list into the semi-join so
+      // the history scan STREAMS — an unhinted semi would sort-merge-
+      // shuffle the whole history table on doc_id to meet it
       val histSh = DedupOps.minhashed(
-          historyDocs.join(cand.select(col("hist_id").as("doc_id")).distinct(),
+          historyDocs.join(
+            broadcast(cand.select(col("hist_id").as("doc_id")).distinct()),
             Seq("doc_id"), "left_semi"))
         .select(col("doc_id").as("hist_id"), col("sh").as("sh_h"))
       val newSh = nb.select(col("doc_id").as("new_id"), col("sh").as("sh_n"))
@@ -192,11 +196,16 @@ object MinHashStore {
       val newBands = MinHashStore.bandsOf(newSigs)
       val cand = candidates(newBands, maxBucket)
       val k = size(col("sig_n"))
-      cand
-        .join(newSigs.select(col("doc_id").as("new_id"), col("sig").as("sig_n")),
-          Seq("new_id"))
-        .join(signatures.select(col("doc_id").as("hist_id"), col("sig").as("sig_h")),
-          Seq("hist_id"))
+      // the candidate frame (bounded: batch × bucket occupancy) carries
+      // its query signatures and BROADCASTS against the history signature
+      // table — history sigs stream through the join; an unhinted join
+      // here would sort-merge-shuffle the ENTIRE history sig table on
+      // hist_id to meet a shortlist-sized probe
+      val candSig = cand.join(
+        newSigs.select(col("doc_id").as("new_id"), col("sig").as("sig_n")),
+        Seq("new_id"))
+      signatures.select(col("doc_id").as("hist_id"), col("sig").as("sig_h"))
+        .join(broadcast(candSig), Seq("hist_id"))
         .select(col("new_id"), col("hist_id"),
           (size(filter(zip_with(col("sig_n"), col("sig_h"), _ === _),
             (x: org.apache.spark.sql.Column) => x)) / k.cast("double")).as("sim"))
