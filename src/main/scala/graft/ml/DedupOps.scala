@@ -156,11 +156,15 @@ object DedupOps {
       val docs = documents(s, d)
       val hist = docs.filter(col("doc_id") % 3 =!= 0)
       val batch = docs.filter(col("doc_id") % 3 === 0)
-      // deterministic per-sf path, overwrite-mode build: repeated gate
-      // invocations (Verify passes, plan-audit sweeps) REPLACE the store
-      // instead of leaking a fresh temp dir of sf-scale parquet each run
+      // deterministic per-PROCESS-per-sf path, overwrite-mode build:
+      // repeated gate invocations within one run (Verify passes,
+      // plan-audit sweeps) REPLACE the store instead of leaking a fresh
+      // temp dir of sf-scale parquet each run, while the pid token keeps
+      // two concurrent harness runs on the same machine from racing one
+      // shared store (one's overwrite build vs the other's probe read)
       val storeDir = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft-mhstore-gate",
+        sys.props("java.io.tmpdir"),
+        s"graft-mhstore-gate-${ProcessHandle.current().pid()}",
         new java.io.File(d).getName).toString
       val store = MinHashStore.build(hist, storeDir)
       store.probe(batch, hist, 0.5)

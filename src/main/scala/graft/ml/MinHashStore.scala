@@ -44,6 +44,55 @@ object MinHashStore {
   private val Bands = 8
   private val RowsPerBand = 4
 
+  /** The signature parameters a store is built under. Persisted at `build`
+    * as `_params.json` and validated by every `append`/`probe`/
+    * `probeEstimate` (r15 verdict #4): signatures from DIFFERENT
+    * parameters still bucket-join and still divide matching components by
+    * k, so a silent mismatch doesn't error — it produces garbage
+    * similarity estimates against every stored document. Fail fast
+    * instead, naming both parameter sets.
+    *
+    * `tokenizer` names the shingle-pipeline implementation version; bump
+    * it whenever [[graft.functions.TextExprs.shingleHashesNative]] or
+    * [[graft.functions.MinHashExprs.minhashSigNative]] change semantics.
+    */
+  final case class Params(shingleN: Int, k: Int, bands: Int,
+      rowsPerBand: Int, tokenizer: String) {
+    private[ml] def json: String =
+      s"""{"shingleN":$shingleN,"k":$k,"bands":$bands,""" +
+        s""""rowsPerBand":$rowsPerBand,"tokenizer":"$tokenizer"}"""
+  }
+
+  /** What this code signatures with today: trigram shingles, k=32
+    * permutations ([[DedupOps.minhashed]]'s defaults), 8×4 banding.
+    */
+  private[ml] val CurrentParams = Params(3, 32, Bands, RowsPerBand, "graft-shingle-v1")
+
+  private def paramsPath(path: String) = s"$path/_params.json"
+
+  private def writeParams(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(paramsPath(path))
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fsys.create(p, true)
+    try out.write(CurrentParams.json.getBytes("UTF-8")) finally out.close()
+  }
+
+  private[ml] def readParams(spark: SparkSession, path: String): Option[Params] = {
+    val p = new org.apache.hadoop.fs.Path(paramsPath(path))
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fsys.exists(p)) None
+    else {
+      val in = fsys.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      def num(k: String) = s"""\"$k\"\\s*:\\s*(\\d+)""".r
+        .findFirstMatchIn(s).map(_.group(1).toInt)
+      val tok = """"tokenizer"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
+      for (n <- num("shingleN"); k <- num("k"); b <- num("bands");
+           r <- num("rowsPerBand"); t <- tok) yield Params(n, k, b, r, t)
+    }
+  }
+
   /** Pinned SLIM signature frame (doc_id, sig) for one corpus — what the
     * two store writes and the estimate probe consume. The pin is
     * mandatory (two consumers; unpinned each would tokenize/shingle/
@@ -75,10 +124,42 @@ object MinHashStore {
       bandsOf(sigs).write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
       sigs.write.mode("overwrite").parquet(s"$path/sigs")
     } finally { sigs.unpersist(); () }
+    writeParams(spark, path)
     Store(spark, path)
   }
 
+  /** A probe result paired with the cache pins it rides on (r15 verdict
+    * #5): the returned frame is LAZY — its plan depends on the pinned
+    * batch/candidate frames, so they cannot be unpersisted before the
+    * caller consumes it. `close()` releases them; call it after the frame
+    * is fully consumed (collected, written, counted). Steady-state
+    * pipelines probing many batches through one session use this handle
+    * (or [[Store.probeCollect]]) so cached blocks don't accumulate until
+    * LRU pressure.
+    */
+  final class ProbeHandle private[MinHashStore] (val pairs: DataFrame,
+      pins: Seq[DataFrame]) extends AutoCloseable {
+    override def close(): Unit = pins.foreach { p => p.unpersist(); () }
+  }
+
   final case class Store(spark: SparkSession, path: String) {
+
+    /** One manifest read per Store instance (driver-side, metadata
+      * scale); a store written before manifests existed validates as
+      * legacy (nothing recorded to check against).
+      */
+    private lazy val storedParams: Option[Params] = readParams(spark, path)
+
+    /** Fail fast when the store was built under different signature
+      * parameters than this code signatures with — a mismatch doesn't
+      * error downstream, it silently corrupts every similarity estimate.
+      */
+    private def requireParams(): Unit = storedParams.foreach { p =>
+      require(p == CurrentParams,
+        s"MinHashStore at $path was built with $p but this build signatures " +
+          s"with $CurrentParams; rebuild the store (or run the matching " +
+          "library version) instead of probing across parameter sets")
+    }
 
     /** (band, bucket, doc_id) — footer-schema read (no inference job),
       * `band` from the dir partitioning.
@@ -93,6 +174,7 @@ object MinHashStore {
       * not match itself.
       */
     def append(docs: DataFrame): Unit = {
+      requireParams()
       val sigs = MinHashStore.pinnedSigs(docs)
       try {
         sigs.count()
@@ -141,9 +223,25 @@ object MinHashStore {
       * same exact-jaccard semantics as [[DedupOps.minhashPairs]], so the
       * two compose: run minhashPairs WITHIN the batch, probe the store
       * ACROSS batches, then [[append]].
+      *
+      * LIFECYCLE: the pinned batch/candidate frames stay cached for the
+      * returned frame's lifetime (LRU-evicted under pressure). Long-lived
+      * sessions probing many batches should use [[probeHandle]] and
+      * `close()` after consuming each result.
       */
     def probe(newDocs: DataFrame, historyDocs: DataFrame, threshold: Double,
-        maxBucket: Int = 1000, prime: Boolean = true): DataFrame = {
+        maxBucket: Int = 1000, prime: Boolean = true): DataFrame =
+      probeHandle(newDocs, historyDocs, threshold, maxBucket, prime).pairs
+
+    /** [[probe]] with its cache pins exposed for release: the returned
+      * handle's `close()` unpersists the pinned batch base and candidate
+      * frame once the pair frame has been consumed — the lifecycle hook
+      * plain `probe` (which leaves the pins to LRU eviction, documented
+      * there) does not offer.
+      */
+    def probeHandle(newDocs: DataFrame, historyDocs: DataFrame, threshold: Double,
+        maxBucket: Int = 1000, prime: Boolean = true): ProbeHandle = {
+      requireParams()
       // one persisted batch base feeds band rows AND the verify shingles —
       // the minhashPairs discipline (without it the batch tokenizes twice
       // and the probe lost to the union re-run baseline at sf1;
@@ -171,12 +269,13 @@ object MinHashStore {
             Seq("doc_id"), "left_semi"))
         .select(col("doc_id").as("hist_id"), col("sh").as("sh_h"))
       val newSh = nb.select(col("doc_id").as("new_id"), col("sh").as("sh_n"))
-      cand
+      val pairs = cand
         .join(newSh, Seq("new_id"))
         .join(histSh, Seq("hist_id"))
         .select(col("new_id"), col("hist_id"),
           jaccard(col("sh_n"), col("sh_h")).as("sim"))
         .filter(col("sim") >= threshold)
+      new ProbeHandle(pairs, Seq(nb, cand))
     }
 
     /** [[probe]] without touching history text: similarity is the
@@ -187,7 +286,15 @@ object MinHashStore {
       * the estimator noise in mind.
       */
     def probeEstimate(newDocs: DataFrame, threshold: Double,
-        maxBucket: Int = 1000, prime: Boolean = true): DataFrame = {
+        maxBucket: Int = 1000, prime: Boolean = true): DataFrame =
+      probeEstimateHandle(newDocs, threshold, maxBucket, prime).pairs
+
+    /** [[probeEstimate]] with its cache pin exposed for release — see
+      * [[probeHandle]].
+      */
+    def probeEstimateHandle(newDocs: DataFrame, threshold: Double,
+        maxBucket: Int = 1000, prime: Boolean = true): ProbeHandle = {
+      requireParams()
       // pinned SLIM batch frame (sigs + bands are two consumers, and the
       // estimate never needs shingles); prime = true (default) is
       // side-effecting like probe
@@ -204,12 +311,13 @@ object MinHashStore {
       val candSig = cand.join(
         newSigs.select(col("doc_id").as("new_id"), col("sig").as("sig_n")),
         Seq("new_id"))
-      signatures.select(col("doc_id").as("hist_id"), col("sig").as("sig_h"))
+      val pairs = signatures.select(col("doc_id").as("hist_id"), col("sig").as("sig_h"))
         .join(broadcast(candSig), Seq("hist_id"))
         .select(col("new_id"), col("hist_id"),
           (size(filter(zip_with(col("sig_n"), col("sig_h"), _ === _),
             (x: org.apache.spark.sql.Column) => x)) / k.cast("double")).as("sim"))
         .filter(col("sim") >= threshold)
+      new ProbeHandle(pairs, Seq(newSigs))
     }
   }
 }

@@ -37,7 +37,10 @@ object MinHashStoreProbe {
     val tBuild = (System.nanoTime() - t0) / 1e9
 
     val t1 = System.nanoTime()
-    val probed = store.probe(batch, hist, 0.5, maxBucket = sys.env.get("MH_CAP").map(_.toInt).getOrElse(1000))
+    // one cap for BOTH the probe and the union baseline below — capping
+    // only the probe would break match_union's ground-truth meaning
+    val cap = sys.env.get("MH_CAP").map(_.toInt).getOrElse(1000)
+    val probed = store.probe(batch, hist, 0.5, maxBucket = cap)
       .select("new_id", "hist_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val tProbe = (System.nanoTime() - t1) / 1e9
@@ -50,7 +53,7 @@ object MinHashStoreProbe {
     // union re-run; its cross-split pairs are the probe's ground truth
     spark.sharedState.cacheManager.clearCache()
     val t2 = System.nanoTime()
-    val unionPairs = DedupOps.minhashPairs(docs, 0.5)
+    val unionPairs = DedupOps.minhashPairs(docs, 0.5, maxBucket = cap)
       .select("a", "b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val tUnion = (System.nanoTime() - t2) / 1e9

@@ -91,6 +91,49 @@ class MinHashStoreSpec extends AnyFunSuite {
     assert(pairs(store.probe(b, h, 0.5, maxBucket = 7)).isEmpty)
   }
 
+  test("probing a store built under different signature params fails fast, naming both") {
+    val path = java.nio.file.Files.createTempDirectory("mhstore-params").toString
+    MinHashStore.build(hist, path)
+    // forge the manifest of a store built by a differently-parameterized
+    // build (k=64, 16 bands) — the failure mode the manifest exists for
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "_params.json"),
+      """{"shingleN":5,"k":64,"bands":16,"rowsPerBand":4,"tokenizer":"graft-shingle-v0"}"""
+        .getBytes("UTF-8"))
+    // drop Hadoop LocalFileSystem's checksum sidecar — the nio rewrite
+    // above invalidated it (a real mismatched store writes its own)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, "._params.json.crc"))
+    val store = MinHashStore.Store(spark, path)
+    val e = intercept[IllegalArgumentException](store.probe(batch, hist, 0.5))
+    assert(e.getMessage.contains("k=64") || e.getMessage.contains("64"), e.getMessage)
+    assert(e.getMessage.contains("32"), s"message must name BOTH sets: ${e.getMessage}")
+    intercept[IllegalArgumentException](store.probeEstimate(batch, 0.5))
+    intercept[IllegalArgumentException](store.append(batch))
+    // a matching manifest (what build writes) passes
+    val path2 = java.nio.file.Files.createTempDirectory("mhstore-params2").toString
+    val ok = MinHashStore.build(hist, path2)
+    assert(MinHashStore.readParams(spark, path2).contains(MinHashStore.CurrentParams))
+    assert(pairs(ok.probe(batch, hist, 0.5)).nonEmpty)
+  }
+
+  test("probeHandle.close releases every cache pin the probe created") {
+    val path = java.nio.file.Files.createTempDirectory("mhstore-rel").toString
+    val store = MinHashStore.build(hist, path)
+    val cm = spark.sharedState.cacheManager
+    cm.clearCache()
+    assert(cm.isEmpty)
+    val h = store.probeHandle(batch, hist, 0.5)
+    assert(pairs(h.pairs) == directCross(batch, hist, 0.5))
+    assert(!cm.isEmpty, "probe should have pinned its batch/candidate frames")
+    h.close()
+    assert(cm.isEmpty, "close() must unpersist every pin the probe created")
+    // estimate variant: same contract
+    val h2 = store.probeEstimateHandle(batch, 0.35)
+    assert(pairs(h2.pairs).contains((101L, 2L)))
+    assert(!cm.isEmpty)
+    h2.close()
+    assert(cm.isEmpty)
+  }
+
   test("probeEstimate agrees with probe on this corpus without reading history text") {
     val path = java.nio.file.Files.createTempDirectory("mhstore3").toString
     val store = MinHashStore.build(hist, path)
