@@ -122,15 +122,21 @@ object IvfIndex {
     * .footerSparkSchema]] — driver-side metadata): `spark.read.parquet`
     * alone runs a schema-inference Spark job per read, which is what
     * kept search-plan construction from being job-free. `partCol`
-    * appends the dir-partition column (not present in footers). Falls
-    * back to the inferring read if the footer key is missing.
+    * appends the dir-partition column (not present in footers) typed as
+    * `partType` — every current layout partitions on an int (`cell=N`,
+    * `band=N`), but the type is a caller parameter so a future long or
+    * string partition column fails loudly at the call site instead of
+    * silently mis-typing dir values. Falls back to the inferring read if
+    * the footer key is missing.
     */
   private[ml] def readOwn(spark: SparkSession, p: String,
-      partCol: Option[String] = None): DataFrame =
+      partCol: Option[String] = None,
+      partType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.IntegerType): DataFrame =
     graft.sources.Tables.footerSparkSchema(spark, p) match {
       case Some(s0) =>
         val s = partCol.filterNot(s0.fieldNames.contains)
-          .map(c => s0.add(c, org.apache.spark.sql.types.IntegerType))
+          .map(c => s0.add(c, partType))
           .getOrElse(s0)
         spark.read.schema(s).parquet(p)
       case None => spark.read.parquet(p)

@@ -32,46 +32,60 @@ final case class IvfPqIndex(spark: SparkSession, path: String) {
     * window anywhere, so no stage collapses a query's candidates into one
     * task at scale.
     */
-  /** [[search]] with a CORPUS-FRACTION shortlist — the scale-correct
-    * default (the q_ann_pq lesson: ADC ranking error at a fixed
-    * compression budget pushes true neighbors past any FIXED cutoff as
-    * the corpus grows, so recall at a constant `shortlist` decays with
-    * scale; IvfScaleProbe shows the decay at 10× — 0.94 → 0.67 at a
-    * constant 200). The bound is `frac` of the PROBED population, sized
-    * from the probed cells' parquet FOOTERS — driver-side metadata, zero
-    * Spark jobs — then delegated to [[search]].
+  /** [[search]] with an explicit CORPUS-FRACTION shortlist — what
+    * `shortlist = 0` (the default) resolves to with `frac =
+    * [[IvfPq.DefaultShortlistFrac]]`. Kept as a named entry point for
+    * callers tuning the fraction. The bound is `frac` of the PROBED
+    * population, sized from the probed cells' parquet FOOTERS —
+    * driver-side metadata, zero Spark jobs — then delegated to [[search]].
     */
   def searchFrac(corpus: DataFrame, queries: DataFrame, topK: Int,
-      nprobe: Int = 3, frac: Double = 0.01): DataFrame = {
+      nprobe: Int = 3, frac: Double = IvfPq.DefaultShortlistFrac): DataFrame =
+    search(corpus, queries, topK, nprobe,
+      footerShortlist(topK, nprobe, frac).getOrElse(IvfPq.FallbackShortlist))
+
+  /** `frac` of the probed population from driver-side metadata, or None
+    * when the footers can't be read. The probe set is query-dependent;
+    * the footer bound uses ALL cells' counts scaled by nprobe/cells — a
+    * uniform-occupancy estimate that is exact in aggregate and errs
+    * toward a LARGER shortlist when the probed cells are the fuller ones
+    * (the safe direction for recall). Cell dirs and footers are walked
+    * DRIVER-side (the cells/ layout is partitioned by cell, so row counts
+    * come from each cell=N dir's parquet footers; the cell count is the
+    * dir listing) — zero Spark jobs before the plan is built.
+    */
+  private def footerShortlist(topK: Int, nprobe: Int, frac: Double): Option[Int] = {
     require(frac > 0 && frac <= 1, s"frac out of range: $frac")
-    // the probe set is query-dependent; the footer bound uses ALL cells'
-    // counts scaled by nprobe/cells — a uniform-occupancy estimate that
-    // is exact in aggregate and errs toward a LARGER shortlist when the
-    // probed cells are the fuller ones (the safe direction for recall).
-    // Cell dirs and footers are walked DRIVER-side (the cells/ layout is
-    // partitioned by cell, so row counts come from each cell=N dir's
-    // parquet footers; the cell count is the dir listing) — zero Spark
-    // jobs before the plan is built. Any metadata surprise falls back to
-    // the default absolute shortlist rather than failing the search.
-    val probedRows: Option[Double] =
-      try {
-        val cellsDir = new org.apache.hadoop.fs.Path(s"$path/cells")
-        val fsys = cellsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val subdirs = fsys.listStatus(cellsDir).toSeq
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
-        val counts = subdirs.map(s =>
-          graft.sources.Tables.footerRowCount(spark, s.getPath.toString))
-        if (counts.isEmpty || counts.exists(_.isEmpty)) None
-        else Some(counts.flatten.sum *
-          math.min(nprobe, subdirs.size).toDouble / subdirs.size)
-      } catch { case scala.util.control.NonFatal(_) => None }
-    probedRows match {
-      case Some(rows) =>
-        search(corpus, queries, topK, nprobe,
-          math.max(topK, math.ceil(rows * frac).toInt))
-      case None => search(corpus, queries, topK, nprobe)
-    }
+    try {
+      val cellsDir = new org.apache.hadoop.fs.Path(s"$path/cells")
+      val fsys = cellsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val subdirs = fsys.listStatus(cellsDir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      val counts = subdirs.map(s =>
+        graft.sources.Tables.footerRowCount(spark, s.getPath.toString))
+      if (counts.isEmpty || counts.exists(_.isEmpty)) None
+      else {
+        val rows = counts.flatten.sum *
+          math.min(nprobe, subdirs.size).toDouble / subdirs.size
+        Some(math.max(topK, math.ceil(rows * frac).toInt))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
+
+  /** Resolve the shortlist bound: `> 0` = caller's absolute override;
+    * `<= 0` (the DEFAULT) = [[IvfPq.DefaultShortlistFrac]] of the probed
+    * population, sized from parquet footers. The fraction is the
+    * scale-correct default (r15 verdict #2): ADC ranking error at a fixed
+    * compression budget pushes true neighbors past any FIXED cutoff as
+    * the corpus grows — the sf100 probe read fixed-200 recall at 0.19
+    * where the 5% fraction held 0.92 (`tools/logs/ivfscale_sf100_r15.log`).
+    * Unreadable footers fall back to a fixed [[IvfPq.FallbackShortlist]]
+    * rather than failing the search.
+    */
+  private def resolveShortlist(topK: Int, nprobe: Int, shortlist: Int): Int =
+    if (shortlist > 0) shortlist
+    else footerShortlist(topK, nprobe, IvfPq.DefaultShortlistFrac)
+      .getOrElse(IvfPq.FallbackShortlist)
 
   /** Interactive / bounded-query search: the per-(query, probed-cell) ADC
     * build side broadcasts (|Q| × nprobe rows, each carrying its M×K
@@ -91,8 +105,9 @@ final case class IvfPqIndex(spark: SparkSession, path: String) {
     * execution time.
     */
   def search(corpus: DataFrame, queries: DataFrame, topK: Int,
-      nprobe: Int = 3, shortlist: Int = 50): DataFrame =
-    searchImpl(corpus, queries, topK, nprobe, shortlist, bulk = false)
+      nprobe: Int = 3, shortlist: Int = 0): DataFrame =
+    searchImpl(corpus, queries, topK, nprobe,
+      resolveShortlist(topK, nprobe, shortlist), bulk = false)
 
   /** [[search]] for BULK query batches: the query set stays a DataFrame
     * end to end — never collected to or broadcast from the driver
@@ -107,8 +122,9 @@ final case class IvfPqIndex(spark: SparkSession, path: String) {
     * batch probes essentially the whole cell universe anyway.
     */
   def searchDistributed(corpus: DataFrame, queries: DataFrame, topK: Int,
-      nprobe: Int = 3, shortlist: Int = 50): DataFrame =
-    searchImpl(corpus, queries, topK, nprobe, shortlist, bulk = true)
+      nprobe: Int = 3, shortlist: Int = 0): DataFrame =
+    searchImpl(corpus, queries, topK, nprobe,
+      resolveShortlist(topK, nprobe, shortlist), bulk = true)
 
   private def searchImpl(corpus: DataFrame, queries: DataFrame, topK: Int,
       nprobe: Int, shortlist: Int, bulk: Boolean): DataFrame = {
@@ -176,6 +192,17 @@ final case class IvfPqIndex(spark: SparkSession, path: String) {
 }
 
 object IvfPq {
+
+  /** The default shortlist as a fraction of the probed population — the
+    * value the sf100 scale ladder proved out (recall 0.92 at 2M vectors
+    * where fixed-200 collapsed to 0.19).
+    */
+  val DefaultShortlistFrac: Double = 0.05
+
+  /** Absolute shortlist used only when the cells/ footers can't be read
+    * (foreign layout, metadata surprise) — the legacy fixed default.
+    */
+  val FallbackShortlist: Int = 50
 
   /** Train both quantizers, encode, and persist the index. */
   def build(corpus: DataFrame, path: String, cells: Int = 10, m: Int = 8,

@@ -135,10 +135,11 @@ object IvfScaleProbe {
     val sr2Rows = sr2.collect()
     val got2 = sr2Rows.map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall2 = (brute & got2).size.toDouble / brute.size
-    // the corpus-fraction shortlist (footer-sized, zero pre-plan jobs) —
-    // the scale-correct call; the fixed-200 number above shows the decay
-    // it exists to avoid
-    val sr3 = ivfpq.searchFrac(corpus, queries, 5, nprobe = nprobe, frac = 0.05)
+    // the DEFAULT search path (shortlist unset → footer-sized 5% corpus
+    // fraction, zero pre-plan jobs) — since r16 this IS what a bare
+    // search() runs; the fixed-200 number above shows the decay the
+    // default exists to avoid
+    val sr3 = ivfpq.search(corpus, queries, 5, nprobe = nprobe)
     val recall3 = (brute & pairs(sr3)).size.toDouble / brute.size
     val narrow2 = ivfpq.search(corpus, corpus.filter(col("vec_id") < 2), 5,
       nprobe = nprobe, shortlist = 200)
@@ -149,7 +150,7 @@ object IvfScaleProbe {
       nprobe = nprobe, shortlist = 200)) == got2
     println(f"IVFPQ_SCALE dir=$sfDir n=$n cells=$cells nprobe=$nprobe " +
       f"build=${tBuild2}%.1fs recall_fixed200=$recall2%.3f " +
-      f"recall_frac5pct=$recall3%.3f windows=${windows(sr2)} " +
+      f"recall_default_frac5pct=$recall3%.3f windows=${windows(sr2)} " +
       s"cells_read_2q=$cellsRead2/$cells files_read_2q=$filesRead2/$filesTotal2 " +
       s"dist_equal=$distEq2")
     spark.stop()

@@ -225,6 +225,14 @@ class DedupSpec extends AnyFunSuite {
     val gotAbs = pairs(idx.search(corpus, queries, 5, nprobe = 5, shortlist = sl))
     assert(gotFrac == gotAbs,
       s"searchFrac(0.16) != search(shortlist=$sl): ${gotFrac.size} vs ${gotAbs.size}")
+
+    // the DEFAULT (shortlist unset) IS the footer-sized fraction path now
+    // (r16): a bare search must equal searchFrac at DefaultShortlistFrac
+    val gotDefault = pairs(idx.search(corpus, queries, 5, nprobe = 5))
+    val gotDefaultFrac = pairs(idx.searchFrac(corpus, queries, 5, nprobe = 5,
+      frac = IvfPq.DefaultShortlistFrac))
+    assert(gotDefault == gotDefaultFrac,
+      s"default search != searchFrac(${IvfPq.DefaultShortlistFrac})")
   }
 
   test("exact dedup keeps one representative per content hash") {
