@@ -157,6 +157,31 @@ object IvfIndex {
       .sorted
   }
 
+  /** Hard-link every parquet file of the given cells from one generation's
+    * cells dir into another — O(1) metadata per file, no data read or
+    * rewritten (an object-store binding would use a server-side copy or a
+    * manifest reference; the local link carries the same
+    * immutable-generation contract). Shared by both disk indexes'
+    * splitMerge paths.
+    */
+  private[ml] def linkCellFiles(srcCellsPath: String, dstCellsPath: String,
+      cells: Seq[Int]): Unit = {
+    import java.nio.file.{Files, Paths}
+    for (c <- cells.sorted) {
+      val src = Paths.get(srcCellsPath, s"cell=$c")
+      val dst = Paths.get(dstCellsPath, s"cell=$c")
+      Files.createDirectories(dst)
+      Files.list(src).forEach { f =>
+        val name = f.getFileName.toString
+        if (name.endsWith(".parquet"))
+          try Files.createLink(dst.resolve(name), f)
+          catch { case _: UnsupportedOperationException => // cross-device FS
+            Files.copy(f, dst.resolve(name)); ()
+          }
+      }
+    }
+  }
+
   /** Per-cell (cell, n, mean_sim) over stored cells: scan + broadcast
     * centroid join + per-cell aggregate — output is cell-count rows
     * (metadata scale), the scan never shuffles the corpus.
@@ -355,7 +380,6 @@ object IvfIndex {
   def splitMerge(index: IvfIndex, newPath: String, splitFactor: Double = 2.0,
       mergeFraction: Double = 0.1, subCells: Int = 2,
       trainIters: Int = 3): IvfIndex = {
-    import java.nio.file.{Files, Paths}
     val spark = index.spark
     val cellsPath = s"${index.path}/cells"
     // one row per cell — metadata scale
@@ -393,19 +417,7 @@ object IvfIndex {
     }
 
     // new generation: link survivor files, write only the rewritten cells
-    for (c <- survivors.toSeq.sorted) {
-      val src = Paths.get(cellsPath, s"cell=$c")
-      val dst = Paths.get(newPath, "cells", s"cell=$c")
-      Files.createDirectories(dst)
-      Files.list(src).forEach { f =>
-        val name = f.getFileName.toString
-        if (name.endsWith(".parquet"))
-          try Files.createLink(dst.resolve(name), f)
-          catch { case _: UnsupportedOperationException => // cross-device FS
-            Files.copy(f, dst.resolve(name))
-          }
-      }
-    }
+    linkCellFiles(cellsPath, s"$newPath/cells", survivors.toSeq)
     rewritten.reduce(_.unionByName(_))
       .write.mode("append").partitionBy("cell").parquet(s"$newPath/cells")
     finalCents.write.mode("overwrite").parquet(s"$newPath/centroids")

@@ -20,6 +20,12 @@ final case class IvfPqIndex(spark: SparkSession, path: String) {
   def cellCentroids: DataFrame = IvfIndex.readOwn(spark, s"$path/cell_centroids")
   def codebook: DataFrame = IvfIndex.readOwn(spark, s"$path/codebook")
 
+  /** Build-time per-cell (cell, n, mean_qerr) snapshot written by
+    * [[IvfPq.build]] — the frozen reference [[IvfPq.health]] measures
+    * codebook drift against.
+    */
+  def stats: DataFrame = IvfIndex.readOwn(spark, s"$path/stats")
+
   /** Two-stage search: ADC shortlist over the probed cells' codes, exact
     * cosine re-rank of the shortlist against `corpus` (the source table —
     * re-rank I/O is shortlist-sized, keyed by vec_id).
@@ -204,7 +210,16 @@ object IvfPq {
     */
   val FallbackShortlist: Int = 50
 
-  /** Train both quantizers, encode, and persist the index. */
+  /** Train both quantizers, encode, and persist the index.
+    *
+    * Each stored row carries its quantization error alongside the codes
+    * ((vec_id, codes, qerr) partitioned by cell — one float per row, the
+    * price of drift monitoring with NO corpus access: [[health]] compares
+    * a narrow (cell, qerr) scan against the build-time snapshot written
+    * here, where the [[IvfIndex]] sibling must re-join vectors against
+    * centroids). Search plans project (vec_id, codes, cell), so the extra
+    * column never enters a query's scan.
+    */
   def build(corpus: DataFrame, path: String, cells: Int = 10, m: Int = 8,
       k: Int = 16, iters: Int = 3): IvfPqIndex = {
     val spark = corpus.sparkSession
@@ -213,16 +228,322 @@ object IvfPq {
     val book = Pq.train(corpus, m, k, iters)
     try {
       val assigned = AnnOps.assignCells(corpus, cellCents) // vec_id, v, cell
-      val codes = Pq.encode(corpus, book)                  // vec_id, codes
+      val codes = Pq.encodeWithError(corpus, book)         // vec_id, codes, qerr
       assigned.select(col("vec_id"), col("cell"))
         .join(codes, Seq("vec_id"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
       cellCents.write.mode("overwrite").parquet(s"$path/cell_centroids")
       book.write.mode("overwrite").parquet(s"$path/codebook")
+      cellQerrStats(spark, path).write.mode("overwrite").parquet(s"$path/stats")
     } finally {
       cellCents.unpersist()
       book.unpersist()
     }
     IvfPqIndex(spark, path)
+  }
+
+  /** Per-cell (cell, n, mean_qerr) over the stored codes: ONE narrow scan
+    * of (cell, qerr) — columnar-pruned, no vectors, no joins — with
+    * cell-count output rows.
+    */
+  private def cellQerrStats(spark: SparkSession, path: String,
+      sampleFraction: Double = 1.0): DataFrame = {
+    val stored0 = IvfIndex.readOwn(spark, s"$path/cells", Some("cell"))
+      .select("cell", "qerr")
+    val stored = if (sampleFraction < 1.0)
+      stored0.sample(withReplacement = false, sampleFraction, seed = 42L)
+    else stored0
+    stored.groupBy("cell")
+      .agg(count(lit(1)).as("n"), avg("qerr").as("mean_qerr"))
+  }
+
+  /** Incrementally index new vectors against the EXISTING quantizers:
+    * assign to the trained cells, encode with the trained codebooks, and
+    * append into the cell partitions — no retrain, no rewrite of prior
+    * data (same discipline as [[IvfIndex.append]]). Both quantizers stay
+    * frozen, so drift now has TWO symptoms: probe recall decays (cell
+    * geometry stale) and per-row qerr inflates (codebook reconstructing
+    * vectors it wasn't trained on) — the second is what [[health]] reads,
+    * and it's the cheaper, earlier signal.
+    */
+  def append(index: IvfPqIndex, newVectors: DataFrame): IvfPqIndex = {
+    val assigned = AnnOps.assignCells(newVectors, index.cellCentroids)
+    val codes = Pq.encodeWithError(newVectors, index.codebook)
+    assigned.select(col("vec_id"), col("cell"))
+      .join(codes, Seq("vec_id"))
+      .write.mode("append").partitionBy("cell").parquet(s"${index.path}/cells")
+    index
+  }
+
+  /** One cell's line in a PQ [[HealthReport]]: current vs build-time size
+    * and mean quantization error (NaN build side for cells born after
+    * build).
+    */
+  final case class CellHealth(cell: Int, size: Long, buildSize: Long,
+      meanQerr: Double, buildMeanQerr: Double)
+
+  /** Drift diagnosis for the codes-only index — bounded by the cell
+    * count. `qerrDrift` is the corpus-weighted global mean quantization
+    * error RISE since build, normalized by the build-time mean;
+    * `appendDrift` isolates the APPENDED rows' own reconstruction
+    * quality (derived per cell from the two snapshots — same algebra as
+    * [[IvfIndex.health]], error axis instead of cosine).
+    */
+  final case class HealthReport(cells: Seq[CellHealth], sizeSkew: Double,
+      qerrDrift: Double, appendDrift: Double, splitCandidates: Seq[Int],
+      mergeCandidates: Seq[Int], recommendation: String)
+
+  /** Cheap drift monitor over the PQ index, NO corpus access (the stored
+    * per-row qerr was computed at encode time, while the raw vector was
+    * in hand — it is exactly the appended mass's codebook fit, frozen
+    * per row):
+    *
+    *  - `appendDrift` = worst per-cell RELATIVE reconstruction-error
+    *    inflation of rows appended since build:
+    *    `(appendedMeanQerr − buildMeanQerr) / globalBuildMeanQerr`, with
+    *    the appended mass's mean recovered from the two snapshots as
+    *    `(n·cur − bn·bcur)/(n − bn)`. Appends reconstructing worse than
+    *    the training distribution are the direct symptom of codebook
+    *    drift: above `driftTol` → **retrain** (needs the source corpus —
+    *    the PQ store keeps no vectors).
+    *  - `sizeSkew` / split / merge candidates as in [[IvfIndex.health]]:
+    *    localized pile-up with acceptable codebook fit → **splitMerge**
+    *    (cell surgery on decoded reconstructions — no corpus needed).
+    *  - otherwise → **ok**.
+    *
+    * At 100 TB the current snapshot is one sampled scan of TWO int/float
+    * columns — far cheaper than the IvfIndex sibling's vector-×-centroid
+    * join, which is the point of persisting qerr per row.
+    */
+  def health(index: IvfPqIndex, sampleFraction: Double = 1.0,
+      splitFactor: Double = 2.0, mergeFraction: Double = 0.1,
+      driftTol: Double = 0.5): HealthReport = {
+    val spark = index.spark
+    val now = cellQerrStats(spark, index.path, sampleFraction)
+      .collect().map(r => r.getInt(0) ->
+        (math.round(r.getLong(1) / sampleFraction), r.getDouble(2))).toMap
+    val ref = index.stats
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val cells = now.keySet.union(ref.keySet).toSeq.sorted.map { c =>
+      val (n, e) = now.getOrElse(c, (0L, Double.NaN))
+      val (bn, be) = ref.getOrElse(c, (0L, Double.NaN))
+      CellHealth(c, n, bn, e, be)
+    }
+    val total = now.values.map(_._1).sum
+    val mean = total.toDouble / math.max(now.size, 1)
+    val sizeSkew = if (now.isEmpty) 0.0 else now.values.map(_._1).max / mean
+    def weighted(m: Map[Int, (Long, Double)]): Double = {
+      val n = m.values.map(_._1).sum
+      if (n == 0) Double.NaN else m.values.map { case (c, e) => c * e }.sum / n
+    }
+    val buildGlobal = weighted(ref)
+    // normalizer: the build-time global mean error — relative inflation is
+    // scale-free across embedding dims/norms (an absolute qerr threshold
+    // would mean nothing across corpora); a degenerate all-zero build
+    // (identical vectors) can't normalize, so guard with a tiny floor
+    val norm = math.max(buildGlobal, 1e-12)
+    val qerrDrift = (weighted(now) - buildGlobal) / norm
+    val appendDrift = cells.flatMap { c =>
+      val newMass = c.size - c.buildSize
+      if (c.buildMeanQerr.isNaN || c.meanQerr.isNaN ||
+          newMass < math.max(5L, c.buildSize / 50)) None
+      else {
+        val appendedMean =
+          (c.size * c.meanQerr - c.buildSize * c.buildMeanQerr) / newMass
+        Some((appendedMean - c.buildMeanQerr) / norm)
+      }
+    }.foldLeft(0.0)(math.max)
+    val split = now.filter(_._2._1 > splitFactor * mean).keys.toSeq.sorted
+    val merge = (now.filter(_._2._1 < mergeFraction * mean).keySet -- split.toSet)
+      .toSeq.sorted
+    val rec =
+      if (appendDrift > driftTol) "retrain"
+      else if (split.nonEmpty || merge.nonEmpty) "splitMerge"
+      else "ok"
+    HealthReport(cells, sizeSkew, qerrDrift, appendDrift, split, merge, rec)
+  }
+
+  /** Re-train BOTH quantizers for a drifted corpus as a fresh index
+    * generation at `newPath` — the full rebuild, and the only action that
+    * needs the SOURCE corpus (the store keeps codes, not vectors; a new
+    * codebook cannot be trained from its own reconstructions).
+    * `cells`/`m`/`k` default (0) to the current index's shape. Readers
+    * keep using the old generation until the caller flips its pointer —
+    * the immutable-generation contract of [[IvfIndex.retrain]].
+    */
+  def retrain(index: IvfPqIndex, corpus: DataFrame, newPath: String,
+      cells: Int = 0, m: Int = 0, k: Int = 0, iters: Int = 3): IvfPqIndex = {
+    val c = if (cells > 0) cells else index.cellCentroids.count().toInt
+    val shape = index.codebook.agg(
+      (max(col("m")) + 1).as("m"), (max(col("k")) + 1).as("k")).head()
+    build(corpus, newPath,
+      c, if (m > 0) m else shape.getInt(0), if (k > 0) k else shape.getInt(1),
+      iters)
+  }
+
+  /** Partial maintenance for LOCALIZED drift, NO corpus access: the
+    * coarse cells the pile-up landed in are re-clustered over the PQ
+    * RECONSTRUCTIONS of their stored codes ([[Pq.decode]] — within
+    * sqrt(qerr) of the originals, and centroid means average the
+    * per-vector error out), every untouched cell's files hard-link into
+    * the new generation, and the rewritten rows keep their codes and
+    * qerr untouched — both are properties of the VECTOR and the frozen
+    * codebook, independent of which cell owns the row. Maintenance cost
+    * scales with the drifted fraction, exactly as [[IvfIndex.splitMerge]];
+    * the probe-budget contract there carries over unchanged.
+    */
+  def splitMerge(index: IvfPqIndex, newPath: String, splitFactor: Double = 2.0,
+      mergeFraction: Double = 0.1, subCells: Int = 2,
+      trainIters: Int = 3): IvfPqIndex = {
+    val spark = index.spark
+    val cellsPath = s"${index.path}/cells"
+    val stored = IvfIndex.readOwn(spark, cellsPath, Some("cell"))
+    // one row per cell — metadata scale
+    val sizes = stored.groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val mean = sizes.values.sum.toDouble / sizes.size
+    val toSplit = sizes.filter(_._2 > splitFactor * mean).keySet
+    val toMerge = sizes.filter(_._2 < mergeFraction * mean).keySet -- toSplit
+    if (toSplit.isEmpty && toMerge.isEmpty) return index
+    val survivors = sizes.keySet -- toSplit -- toMerge
+
+    val book = index.codebook
+    var nextId = sizes.keySet.max + 1
+    var newCents = List.empty[DataFrame]
+    var rewritten = List.empty[DataFrame]
+    var pinned = List.empty[DataFrame]
+    for (c <- toSplit.toSeq.sorted) {
+      val cellCodes = stored.filter(col("cell") === c) // partition-pruned
+        .select("vec_id", "codes", "qerr")
+      // pinned through the final write: the decode feeds every Lloyd
+      // round of the sub-quantizer AND the re-assignment join, and those
+      // plans evaluate lazily at write time
+      val recon = Pq.decode(cellCodes, book)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned ::= recon
+      val sub = AnnOps.kmeansCells(recon, subCells, trainIters)
+        .withColumn("cell", (col("cell") + lit(nextId - 1)).cast("int"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      nextId += subCells
+      newCents ::= sub
+      rewritten ::= AnnOps.assignCells(recon, sub)
+        .select(col("vec_id"), col("cell"))
+        .join(cellCodes, Seq("vec_id"))
+    }
+    val survivorCents = index.cellCentroids
+      .filter(col("cell").isin(survivors.toSeq.map(_.asInstanceOf[Any]): _*))
+    val finalCents = (survivorCents :: newCents).reduce(_.unionByName(_))
+    if (toMerge.nonEmpty) {
+      val mergeCodes = stored
+        .filter(col("cell").isin(toMerge.toSeq.map(_.asInstanceOf[Any]): _*))
+        .select("vec_id", "codes", "qerr")
+      rewritten ::= AnnOps.assignCells(Pq.decode(mergeCodes, book), finalCents)
+        .select(col("vec_id"), col("cell"))
+        .join(mergeCodes, Seq("vec_id"))
+    }
+
+    IvfIndex.linkCellFiles(cellsPath, s"$newPath/cells", survivors.toSeq)
+    rewritten.reduce(_.unionByName(_))
+      .write.mode("append").partitionBy("cell").parquet(s"$newPath/cells")
+    finalCents.write.mode("overwrite").parquet(s"$newPath/cell_centroids")
+    book.write.mode("overwrite").parquet(s"$newPath/codebook")
+
+    // stats at drifted-fraction cost: carry untouched cells' snapshot
+    // rows, recompute only cells this pass wrote into
+    val mergeTargets: Set[Int] =
+      if (toMerge.isEmpty) Set.empty
+      else rewritten.head.select("cell").distinct().collect().map(_.getInt(0)).toSet
+    val touched = ((sizes.keySet.max + 1) until nextId).toSet ++ mergeTargets
+    val untouched = survivors -- mergeTargets
+    val carried = index.stats
+      .filter(col("cell").isin(untouched.toSeq.map(_.asInstanceOf[Any]): _*))
+    cellQerrStats(spark, newPath)
+      .filter(col("cell").isin(touched.toSeq.map(_.asInstanceOf[Any]): _*))
+      .unionByName(carried)
+      .write.mode("overwrite").parquet(s"$newPath/stats")
+    (newCents ++ pinned).foreach { c => c.unpersist(); () }
+    IvfPqIndex(spark, newPath)
+  }
+
+  /** Probe-recall audit against the SOURCE corpus: a bounded
+    * deterministic self-query sample (md5-ordered, `nQueries` rows) whose
+    * exact top-k is one broadcast-join corpus scan — the bounded price of
+    * knowing a maintenance action actually restored quality.
+    */
+  def measureRecall(index: IvfPqIndex, corpus: DataFrame, k: Int = 5,
+      nprobe: Int = 3, nQueries: Int = 32, shortlist: Int = 0): Double = {
+    val queries = corpus
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(nQueries)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val exact = AnnOps.bruteForceTopK(corpus, queries, k).select("q_id", "n_id")
+      val got = index.search(corpus, queries, k, nprobe, shortlist)
+        .select("q_id", "n_id")
+      val tot = exact.count()
+      if (tot == 0) 1.0 else exact.intersect(got).count().toDouble / tot
+    } finally { queries.unpersist(); () }
+  }
+
+  /** Knobs for [[maintain]] — [[IvfIndex.MaintainPolicy]]'s PQ sibling.
+    * `driftTol` is on the RELATIVE qerr-inflation axis (see [[health]]);
+    * the recall floor matches the q_ann_ivfpq gate's pinned bar (0.50 at
+    * nprobe=3 — the compounded cell-pruning × code-quantization
+    * approximation).
+    */
+  final case class MaintainPolicy(
+      sampleFraction: Double = 1.0,
+      splitFactor: Double = 2.0, mergeFraction: Double = 0.1,
+      driftTol: Double = 0.5,
+      subCells: Int = 2, trainIters: Int = 3,
+      retrainCells: Int = 0, // 0 = keep the current centroid count
+      recallFloor: Double = 0.50, recallQueries: Int = 32,
+      k: Int = 5, nprobe: Int = 3,
+      // audit shortlist: 0 = the production default (footer-sized corpus
+      // fraction); tiny test corpora need an absolute override because 5%
+      // of a few hundred rows barely exceeds topK
+      auditShortlist: Int = 0,
+      escalate: Boolean = true)
+
+  /** Outcome of one [[maintain]] tick — see [[IvfIndex.MaintainResult]]. */
+  final case class MaintainResult(index: IvfPqIndex, report: HealthReport,
+      action: String, recall: Option[Double])
+
+  /** The closed maintenance loop for the PQ-coded index — the index you
+    * actually run at 100 TB for memory reasons, so a from-scratch rebuild
+    * on every drift is ITS scale-killer (r15 verdict #3): run [[health]]
+    * (no corpus access), apply its recommendation as a new generation
+    * (splitMerge works on decoded reconstructions — also corpus-free;
+    * only retrain touches `corpus`), then audit probe recall against
+    * `policy.recallFloor`, escalating a failed splitMerge to a full
+    * retrain. The caller flips its generation pointer to `result.index`
+    * when it accepts — the immutable-generation contract throughout.
+    */
+  def maintain(index: IvfPqIndex, corpus: DataFrame, newPath: String,
+      policy: MaintainPolicy = MaintainPolicy()): MaintainResult = {
+    val h = health(index, policy.sampleFraction, policy.splitFactor,
+      policy.mergeFraction, policy.driftTol)
+    h.recommendation match {
+      case "ok" => MaintainResult(index, h, "ok", None)
+      case "retrain" =>
+        val next = retrain(index, corpus, newPath, policy.retrainCells,
+          iters = policy.trainIters)
+        MaintainResult(next, h, "retrain",
+          Some(measureRecall(next, corpus, policy.k, policy.nprobe,
+            policy.recallQueries, policy.auditShortlist)))
+      case "splitMerge" =>
+        val next = splitMerge(index, newPath, policy.splitFactor,
+          policy.mergeFraction, policy.subCells, policy.trainIters)
+        val r = measureRecall(next, corpus, policy.k, policy.nprobe,
+          policy.recallQueries, policy.auditShortlist)
+        if (r >= policy.recallFloor || !policy.escalate)
+          MaintainResult(next, h, "splitMerge", Some(r))
+        else {
+          val esc = retrain(index, corpus, s"$newPath-retrain",
+            policy.retrainCells, iters = policy.trainIters)
+          MaintainResult(esc, h, "splitMerge->retrain",
+            Some(measureRecall(esc, corpus, policy.k, policy.nprobe,
+              policy.recallQueries, policy.auditShortlist)))
+        }
+    }
   }
 }

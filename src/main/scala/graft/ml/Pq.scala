@@ -80,7 +80,19 @@ object Pq {
   }
 
   /** Encode every vector as its M nearest-centroid codes: (vec_id, codes). */
-  def encode(corpus: DataFrame, cents: DataFrame): DataFrame = {
+  def encode(corpus: DataFrame, cents: DataFrame): DataFrame =
+    encodeWithError(corpus, cents).drop("qerr")
+
+  /** [[encode]] plus the per-vector QUANTIZATION ERROR: (vec_id, codes,
+    * qerr) where qerr is the L2² distance between the vector and its PQ
+    * reconstruction — the subspaces are disjoint, so the sum of the M
+    * per-subspace min distances IS the full reconstruction error, free in
+    * the same aggregation that picks the codes. The error is only
+    * computable while the raw vector is in hand (encode/append time);
+    * persisting it per row is what lets [[IvfPq.health]] measure codebook
+    * drift later from the codes-only store, no corpus access.
+    */
+  private[ml] def encodeWithError(corpus: DataFrame, cents: DataFrame): DataFrame = {
     val m = cents.agg(max("m")).head().getInt(0) + 1
     val dim = corpus.select(size(col("v"))).head().getInt(0)
     val sub = subvectors(corpus, m, dim / m)
@@ -88,10 +100,12 @@ object Pq {
       .select(col("vec_id"), col("m"),
         struct(l2sq(col("sv"), col("cent")).as("d2"), col("k").as("k")).as("dk"))
       .groupBy("vec_id", "m").agg(min("dk").as("best"))
-      .select(col("vec_id"), col("m"), col("best.k").as("code"))
+      .select(col("vec_id"), col("m"), col("best.k").as("code"),
+        col("best.d2").as("d2"))
       .groupBy("vec_id")
       .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
-        p => p.getField("code")).as("codes"))
+        p => p.getField("code")).as("codes"),
+        sum("d2").as("qerr"))
   }
 
   /** Asymmetric-distance top-kNN: exact query subvectors against the
@@ -135,6 +149,24 @@ object Pq {
       spark.sparkContext.parallelize(qRows.toSeq, 1),
       StructType(Seq(StructField("q_id", LongType),
         StructField("table", ArrayType(ArrayType(DoubleType))))))
+  }
+
+  /** Reconstruct each coded vector's PQ APPROXIMATION — the concatenation
+    * of its M chosen centroids: (vec_id, v). The approximation is within
+    * sqrt(qerr) L2 of the original by construction, which is what makes
+    * it usable for COARSE-quantizer maintenance ([[IvfPq.splitMerge]]'s
+    * cell re-clustering) on a store that keeps no raw vectors: cell
+    * centroids are means over many reconstructions, so the per-vector
+    * error largely averages out.
+    */
+  private[ml] def decode(codes: DataFrame, cents: DataFrame): DataFrame = {
+    val book = cents.select(col("m").as("_m"), col("k").as("_k"), col("cent"))
+    codes.select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
+      .join(broadcast(book),
+        col("m") === col("_m") && col("code").cast("int") === col("_k"))
+      .groupBy("vec_id")
+      .agg(flatten(transform(array_sort(collect_list(struct(col("m"), col("cent")))),
+        p => p.getField("cent"))).as("v"))
   }
 
   /** The codegen'd ADC score: M array lookups summed. */

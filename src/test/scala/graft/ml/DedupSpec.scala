@@ -199,9 +199,11 @@ class DedupSpec extends AnyFunSuite {
     val path = java.nio.file.Files.createTempDirectory("ivfpq").toString
     val idx = IvfPq.build(corpus, path, cells = 10, m = 8, k = 64, iters = 4)
 
-    // the on-disk index is codes only — no raw vectors
+    // the on-disk index is codes only — no raw vectors (qerr is the
+    // per-row quantization error the drift monitor reads, one float)
     val stored = spark.read.parquet(s"$path/cells")
-    assert(stored.columns.toSet == Set("vec_id", "codes", "cell"), stored.columns.toSeq)
+    assert(stored.columns.toSet == Set("vec_id", "codes", "cell", "qerr"),
+      stored.columns.toSeq)
 
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
