@@ -44,6 +44,47 @@ object Bench {
   private def fmt3(x: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
 
+  /** Deterministic CPU-bound calibration workload (r15 verdict #1): a
+    * SplitMix64 fill + sort of a 32 MB long array plus a serial mixing
+    * loop — no Spark, no I/O, no allocation churn beyond the one array —
+    * so its wall time moves with the BOX (co-tenant load, thermal state,
+    * frequency scaling), never with this repo's code. One reading is
+    * taken per family child right before its timed suite; the artifact
+    * carries the run's median and `box_drift` = calibration / the
+    * ledger's best calibration, and regression flags are judged on the
+    * drift-NORMALIZED ratio — a drifted box inflates gates and
+    * calibration alike, so ambient noise can no longer masquerade as
+    * nine regressions (the BENCH_r15 episode), while a real single-gate
+    * slowdown leaves the calibration untouched and still flags.
+    */
+  private[graft] def calibrate(): Double = {
+    val t0 = System.nanoTime()
+    val arr = new Array[Long](1 << 22)
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < arr.length) {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      arr(i) = z ^ (z >>> 31)
+      i += 1
+    }
+    java.util.Arrays.sort(arr)
+    var acc = arr(0) ^ arr(arr.length - 1) ^ arr(arr.length / 2)
+    var j = 0
+    while (j < (1 << 24)) { acc = (acc ^ (acc << 13)) * 0x2545F4914F6CDD1DL + j; j += 1 }
+    // data-dependent sink so neither loop can be dead-code-eliminated
+    if (acc == 42L) System.err.println("[bench] calibration sentinel")
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Two calibration passes, minimum kept: the MIN is "how fast this box
+    * can go" — load only ever inflates a reading, so min is the honest
+    * per-process statistic; the parent medians across family children.
+    */
+  private[graft] def calibrateMin(): Double = math.min(calibrate(), calibrate())
+
   /** One warm-up pass then `runs` timed passes over the headline suite;
     * returns (per-query medians in suite order — None when a query never
     * succeeded, per-run totals over SUCCESSFUL samples only, failed query
@@ -113,9 +154,48 @@ object Bench {
       }
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
+  /** The ledger's best CALIBRATION reading (same file, ledger-level key,
+    * no sf gating — the workload is data-independent). None when the
+    * ledger predates calibration or is unreadable.
+    */
+  private[graft] def loadBestCalib(): Option[Double] =
+    try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_BENCH_BEST", "BENCH_BEST.json"))
+      if (!java.nio.file.Files.isReadable(p)) None
+      else {
+        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        """"calibration"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(s)
+          .map(_.group(1).toDouble).filter(_ > 0)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-gate ratio to the ledger best, skipping unusable ledger entries
+    * (best <= 0 — fmt3 rounds sub-ms gates to 0.000 before the ledger
+    * ingests them; a division there would print 'Infinity' and corrupt
+    * the JSON line).
+    */
+  private[graft] def vsBestRatios(perQuery: Seq[(String, Option[Double])],
+      best: Map[String, Double]): Seq[(String, Double)] =
+    perQuery.collect { case (k, Some(v)) if best.get(k).exists(_ > 0) =>
+      k -> v / best(k)
+    }
+
+  /** The regression watch list: gates whose DRIFT-NORMALIZED ratio to
+    * best exceeds 1.2×. The normalizer is the box-drift factor clamped
+    * at 1.0 — a SLOWER box forgives proportionally (gate and calibration
+    * inflate together), a faster-than-best box never tightens the bar
+    * (that would convert calibration noise into false flags).
+    */
+  private[graft] def regressionsFor(ratios: Seq[(String, Double)],
+      drift: Option[Double]): Seq[String] = {
+    val norm = drift.map(math.max(_, 1.0)).getOrElse(1.0)
+    ratios.collect { case (k, r) if r / norm > 1.2 => k }
+  }
+
   private def jsonLine(perQuery: Seq[(String, Option[Double])],
       spreadOpt: Option[(Double, Double)], sfDir: String, runs: Int,
-      failed: Set[String]): String = {
+      failed: Set[String], calibration: Option[Double]): String = {
     val qs = perQuery.map {
       case (k, Some(v)) => jstr(k) + ":" + fmt3(v)
       case (k, None)    => jstr(k) + ":null"
@@ -133,17 +213,23 @@ object Bench {
     // environmental" hid a 12× scan cost for two rounds (the r14
     // tokenizer episode); an in-artifact flag can't be skipped over
     val best = loadBest(sfDir)
+    val ratios = vsBestRatios(perQuery, best)
     val vsBest =
       if (best.isEmpty) "null"
-      else perQuery.collect { case (k, Some(v)) if best.contains(k) =>
-        jstr(k) + ":" + fmt3(v / best(k))
-      }.mkString("{", ",", "}")
+      else ratios.map { case (k, r) => jstr(k) + ":" + fmt3(r) }
+        .mkString("{", ",", "}")
+    // box drift: this run's calibration over the ledger's best reading —
+    // the self-calibration that keeps ambient load from masquerading as
+    // per-gate regressions (or hiding one); vs_best stays RAW so the
+    // artifact shows both the measured ratio and the drift it's judged
+    // against
+    val drift = for (c <- calibration; b <- loadBestCalib()) yield c / b
     val regressions =
       if (best.isEmpty) "null"
-      else perQuery.collect { case (k, Some(v))
-        if best.contains(k) && v / best(k) > 1.2 => jstr(k)
-      }.mkString("[", ",", "]")
-    s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"spread":$spread,"errors":$errs,"vs_best":$vsBest,"regressions":$regressions}"""
+      else regressionsFor(ratios, drift).map(jstr).mkString("[", ",", "]")
+    val calib = calibration.map(fmt3).getOrElse("null")
+    val driftS = drift.map(fmt3).getOrElse("null")
+    s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"spread":$spread,"errors":$errs,"calibration":$calib,"box_drift":$driftS,"vs_best":$vsBest,"regressions":$regressions}"""
   }
 
   /** Family partition for `-families` mode — the run_sf100.sh lesson
@@ -223,15 +309,21 @@ object Bench {
       }
       val spread = out.collectFirst { case l if l.startsWith("BENCHSPREAD ") =>
         val Array(_, mn, mx) = l.split(" "); (mn.toDouble, mx.toDouble) }
+      val calib = out.collectFirst { case l if l.startsWith("BENCHCALIB ") =>
+        l.stripPrefix("BENCHCALIB ").toDouble }
       val errs = out.collect { case l if l.startsWith("BENCHERR ") => l.stripPrefix("BENCHERR ") }
       // a child that died before reporting marks its whole family failed
       val dead = if (rc != 0 || spread.isEmpty) qs.filterNot(errs.contains).filter(
         q => perQ.find(_._1 == q).exists(_._2.isEmpty)) else Nil
-      (perQ, spread, errs ++ dead)
+      (perQ, spread, errs ++ dead, calib)
     }
     val perQuery = results.flatMap(_._1)
     val spreads = results.map(_._2)
     val failed = results.flatMap(_._3).toSet
+    // per-family calibration readings, medianed: one number that moved
+    // only if the BOX did during this run's window
+    val calibs = results.flatMap(_._4)
+    val calibration = if (calibs.isEmpty) None else Some(median(calibs))
     // families run sequentially, so summed per-family min/max bound any
     // single sequential pass — but ONLY if every family reported; a dead
     // family would silently understate the spread, so it nulls instead
@@ -239,7 +331,7 @@ object Bench {
       if (spreads.forall(_.isDefined))
         Some((spreads.flatten.map(_._1).sum, spreads.flatten.map(_._2).sum))
       else None
-    println(jsonLine(perQuery, spreadSum, sfDir, runs, failed))
+    println(jsonLine(perQuery, spreadSum, sfDir, runs, failed, calibration))
   }
 
   def main(args: Array[String]): Unit = {
@@ -264,10 +356,13 @@ object Bench {
       // child mode for -families: machine lines on stdout, no JSON
       val names = args(args.indexOf("-family") + 1).split(",").toSet
       val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      // calibration BEFORE the timed suite, same process conditions
+      val calib = calibrateMin()
       val (perQuery, totals, failed) = runSuite(spark, sfDir, runs, Some(names))
       perQuery.foreach { case (k, v) =>
         println(s"BENCHQ $k ${v.map(fmt3).getOrElse("null")}") }
       println(s"BENCHSPREAD ${fmt3(totals.min)} ${fmt3(totals.max)}")
+      println(s"BENCHCALIB ${fmt3(calib)}")
       failed.toSeq.sorted.foreach(f => println(s"BENCHERR $f"))
       spark.stop()
       return
@@ -280,8 +375,10 @@ object Bench {
         "testdata-sf1", "testdata-sf10", "testdata-sf100")
         .filter(d => new java.io.File(s"$d/lineitem.parquet").exists())
       val rows = rungs.map { d =>
+        val calib = calibrateMin()
         val (perQuery, totals, failed) = runSuite(spark, d, runs)
-        println(jsonLine(perQuery, Some((totals.min, totals.max)), d, runs, failed))
+        println(jsonLine(perQuery, Some((totals.min, totals.max)), d, runs,
+          failed, Some(calib)))
         (d, perQuery.flatMap(_._2).sum, totals.min, totals.max, failed)
       }
       println("\n| sf dir | median total (s) | min | max | errors |")
@@ -292,8 +389,10 @@ object Bench {
       }
     } else if (args.contains("-marathon")) {
       val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val calib = calibrateMin()
       val (perQuery, totals, failed) = runSuite(spark, sfDir, runs)
-      println(jsonLine(perQuery, Some((totals.min, totals.max)), sfDir, runs, failed))
+      println(jsonLine(perQuery, Some((totals.min, totals.max)), sfDir, runs,
+        failed, Some(calib)))
     } else {
       System.err.println(s"[bench] unknown args: ${args.mkString(" ")}")
       sys.exit(2)

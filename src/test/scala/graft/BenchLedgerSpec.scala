@@ -26,6 +26,45 @@ class BenchLedgerSpec extends AnyFunSuite {
     }
   }
 
+  test("calibration: ledger parse, zero-guard, and drift-normalized flags") {
+    val body =
+      """{"protocol":"families","sf":"/x/sf0.1","calibration":0.400,
+        |"best":{"q_agg":0.200,"q_fast":0.000,"q_join":0.300}}""".stripMargin
+    withLedger(body) {
+      assert(Bench.loadBestCalib().contains(0.4))
+      // q_fast's 0.000 ledger entry is unusable — skipped, not Infinity
+      // (the r15 advice: 'Infinity' would corrupt the one-line JSON)
+      val perQuery = Seq("q_agg" -> Some(0.30), "q_fast" -> Some(0.05),
+        "q_join" -> Some(0.33))
+      val ratios = Bench.vsBestRatios(perQuery, Bench.loadBest("/root/testdata/sf0.1"))
+      assert(ratios.map(_._1) == Seq("q_agg", "q_join"))
+      assert(math.abs(ratios.head._2 - 1.5) < 1e-9)
+
+      // no drift info → raw flags: q_agg at 1.5× flags, q_join at 1.1× not
+      assert(Bench.regressionsFor(ratios, None) == Seq("q_agg"))
+      // loaded box (calibration 1.5× of best): a uniformly-inflated run
+      // flags NOTHING — the drift normalizer absorbs exactly the ambient
+      // factor the r15 artifact's nine false flags came from
+      assert(Bench.regressionsFor(ratios, Some(1.5)).isEmpty)
+      // a REAL single-gate slowdown still flags on the same loaded box:
+      // 2.0× raw is 1.33× drift-normalized
+      val withReal = ratios :+ ("q_agg2" -> 2.0)
+      assert(Bench.regressionsFor(withReal, Some(1.5)) == Seq("q_agg2"))
+      // a faster-than-best box must NOT tighten the bar (clamped at 1.0):
+      // q_join at 1.1× stays unflagged even at drift 0.8
+      assert(Bench.regressionsFor(ratios, Some(0.8)) == Seq("q_agg"))
+    }
+  }
+
+  test("calibration workload is CPU-bound and repeatable on this box") {
+    val a = Bench.calibrate()
+    val b = Bench.calibrate()
+    assert(a > 0.01 && a < 30.0, s"calibration out of plausible range: $a")
+    // same box, back to back: within 3× of each other (JIT warm-up on the
+    // first call is real; the workload itself is deterministic)
+    assert(math.max(a, b) / math.min(a, b) < 3.0, s"unstable: $a vs $b")
+  }
+
   test("missing or malformed ledger degrades to empty, never throws") {
     graft.BenchLedgerSpec.withEnv("GRAFT_BENCH_BEST", "/nonexistent/ledger.json") {
       assert(Bench.loadBest("/root/testdata/sf0.1").isEmpty)

@@ -60,6 +60,14 @@ def main():
             if old is None or v < old:
                 ledger["best"][q] = v
                 changed.append(f"{q}: {old} -> {v} ({path})")
+        # best (= lowest) calibration reading: the quiet-box reference
+        # box_drift is computed against; data-independent, so no sf gate
+        cal = line.get("calibration")
+        if isinstance(cal, (int, float)) and cal > 0:
+            old = ledger.get("calibration")
+            if old is None or cal < old:
+                ledger["calibration"] = cal
+                changed.append(f"calibration: {old} -> {cal} ({path})")
         if path not in ledger["sources"]:
             ledger["sources"].append(path)
     with open(LEDGER, "w") as f:
