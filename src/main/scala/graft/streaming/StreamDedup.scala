@@ -58,6 +58,63 @@ object StreamDedup {
     candidatesFromHits(hits, ttlMs, metrics)
   }
 
+  /** Continuous CROSS-BATCH near-dup against a persisted
+    * [[graft.ml.MinHashStore]] (r15 verdict #6): the `foreachBatch` body
+    * for a streaming documents frame (`doc_id`, `text`). Each micro-batch
+    * is probed against the store (the store-only ESTIMATE path — history
+    * text stays in cold storage, the steady-state pipeline shape the
+    * batch store proved at sf100), the pair frame is handed to `onPairs`
+    * (consume it eagerly — its cache pins release when the call returns),
+    * and the batch is appended AFTERWARD so it never matches itself.
+    * Unlike [[minhashCandidates]] — whose bucket ownership lives in
+    * bounded flatMapGroupsWithState state and forgets evicted buckets —
+    * the store remembers every prior batch at parquet prices, so a
+    * near-dup of ANY earlier document is caught, not just recent ones.
+    *
+    * Micro-batch REPLAY (foreachBatch is at-least-once): a per-store
+    * high-water mark (`_stream_batch`) skips the duplicate append, and
+    * the probe always anti-joins its own batch's doc ids out of the hit
+    * set, so a replayed batch — whose rows are already in the store —
+    * reports the same pairs the original did instead of matching its own
+    * appended copy. Same disjoint-id contract as the store itself.
+    */
+  def minhashStoreForeachBatch(store: graft.ml.MinHashStore.Store,
+      threshold: Double, maxBucket: Int = 1000)(
+      onPairs: (Long, DataFrame) => Unit): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      val docs = batch.select(col("doc_id"), col("text"))
+      val h = store.probeEstimateHandle(docs, threshold, maxBucket)
+      try {
+        val own = docs.select(col("doc_id").as("hist_id"))
+        onPairs(batchId, h.pairs.join(broadcast(own), Seq("hist_id"), "left_anti"))
+      } finally h.close()
+      if (lastAppendedBatch(store) < batchId) {
+        store.append(docs)
+        writeLastBatch(store, batchId)
+      }
+  }
+
+  private def batchMarkPath(store: graft.ml.MinHashStore.Store) =
+    new org.apache.hadoop.fs.Path(s"${store.path}/_stream_batch")
+
+  private def lastAppendedBatch(store: graft.ml.MinHashStore.Store): Long = {
+    val p = batchMarkPath(store)
+    val fsys = p.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+    if (!fsys.exists(p)) -1L
+    else {
+      val in = fsys.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeLastBatch(store: graft.ml.MinHashStore.Store, id: Long): Unit = {
+    val p = batchMarkPath(store)
+    val fsys = p.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+    val out = fsys.create(p, true)
+    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+  }
+
   /** The stateful stage alone, over precomputed band hits — the seam the
     * batch-replay gate uses to feed both the streaming semantics and the
     * batch replica from ONE materialized band-row set.

@@ -139,6 +139,87 @@ class StreamSpec extends AnyFunSuite {
       s"near-dup 3 pairs with owner 1, exact dup 4 with owner 2, got $cands")
   }
 
+  test("store-backed streaming near-dup == batch probe-then-append on the same batches") {
+    import graft.ml.MinHashStore
+    import spark.implicits._
+    val histDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "spark structured streaming processes unbounded data with watermarks and stateful operators"),
+      (3L, "a completely unrelated recipe for sourdough bread with a long fermentation schedule"))
+      .toDF("doc_id", "text")
+    val b1Docs = Seq(
+      (101L, "spark structured streaming processes unbounded data with watermarks and stateful operators"), // dup of hist 2
+      (103L, "an entirely fresh document about graph algorithms and connected components at scale"))
+      .toDF("doc_id", "text")
+    val b2Docs = Seq(
+      (201L, "an entirely fresh document about graph algorithms and connected components at scale"), // CROSS-BATCH dup of 103
+      (202L, "yet another document that matches nothing stored so far in any way"))
+      .toDF("doc_id", "text")
+
+    // two identically-built stores: one fed by the stream, one by the
+    // equivalent batch sequence — the parity oracle
+    val storeA = MinHashStore.build(histDocs,
+      Files.createTempDirectory("mhs-stream").toString)
+    val storeB = MinHashStore.build(histDocs,
+      Files.createTempDirectory("mhs-batch").toString)
+
+    val dir = Files.createTempDirectory("mhs-src")
+    def writeBatch(name: String, lines: Seq[String]): Unit = {
+      val tmp = dir.resolve(s".$name"); Files.write(tmp, lines.mkString("\n").getBytes)
+      Files.move(tmp, dir.resolve(name))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(r => s"""{"doc_id":${r.getLong(0)},"text":"${r.getString(1)}"}""").toSeq
+    writeBatch("b1.json", rows(b1Docs))
+
+    val streamPairs = scala.collection.mutable.Set[(Long, Long, Long)]()
+    val q = spark.readStream.schema("doc_id LONG, text STRING").json(dir.toString)
+      .writeStream
+      .foreachBatch(StreamDedup.minhashStoreForeachBatch(storeA, 0.5) {
+        (bid, pairs) =>
+          streamPairs ++= pairs.select("new_id", "hist_id").collect()
+            .map(r => (bid, r.getLong(0), r.getLong(1)))
+          ()
+      })
+      .option("checkpointLocation", Files.createTempDirectory("mhs-ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    writeBatch("b2.json", rows(b2Docs))
+    q.processAllAvailable()
+    q.stop()
+
+    // batch replica: probe then append, batch by batch
+    def probePairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      val got = storeB.probeEstimate(df, 0.5).select("new_id", "hist_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      storeB.append(df)
+      got
+    }
+    val batchPairs = probePairs(b1Docs).map(p => (0L, p._1, p._2)) ++
+      probePairs(b2Docs).map(p => (1L, p._1, p._2))
+    assert(streamPairs.toSet == batchPairs, s"stream $streamPairs vs batch $batchPairs")
+    // the cross-batch catch is the point: 201 (batch 2) matched 103
+    // (batch 1) through the store, beyond any in-memory bucket state
+    assert(streamPairs.exists { case (_, n, h) => n == 201L && h == 103L },
+      s"cross-batch near-dup missed: $streamPairs")
+    assert(streamPairs.exists { case (_, n, h) => n == 101L && h == 2L })
+    assert(!streamPairs.exists { case (_, n, _) => n == 202L })
+
+    // replay idempotence: re-running batch 2's body (at-least-once
+    // semantics) reports the SAME pairs — its own appended copy is
+    // anti-joined out — and does not double-append
+    val sizeBefore = storeA.signatures.count()
+    var replay = Set.empty[(Long, Long)]
+    StreamDedup.minhashStoreForeachBatch(storeA, 0.5) { (_, pairs) =>
+      replay = pairs.select("new_id", "hist_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      ()
+    }.apply(b2Docs, 1L)
+    assert(replay == batchPairs.collect { case (1L, n, h) => (n, h) },
+      s"replayed probe diverged: $replay")
+    assert(storeA.signatures.count() == sizeBefore, "replay must not double-append")
+  }
+
   test("streaming dedup keeps first arrival across micro-batches") {
     val dir = Files.createTempDirectory("sdedup-src")
     def writeBatch(name: String, lines: Seq[String]): Unit = {
