@@ -165,11 +165,11 @@ object IvfIndex {
     * splitMerge paths.
     */
   private[ml] def linkCellFiles(srcCellsPath: String, dstCellsPath: String,
-      cells: Seq[Int]): Unit = {
+      cells: Seq[Int], prefix: String = "cell="): Unit = {
     import java.nio.file.{Files, Paths}
     for (c <- cells.sorted) {
-      val src = Paths.get(srcCellsPath, s"cell=$c")
-      val dst = Paths.get(dstCellsPath, s"cell=$c")
+      val src = Paths.get(srcCellsPath, s"$prefix$c")
+      val dst = Paths.get(dstCellsPath, s"$prefix$c")
       Files.createDirectories(dst)
       Files.list(src).forEach { f =>
         val name = f.getFileName.toString
@@ -181,6 +181,90 @@ object IvfIndex {
       }
     }
   }
+
+  /** Hard-link (or copy, cross-device) every file of a metadata-scale
+    * dir into a new generation — centroids/codebooks/stats sidecars
+    * during compaction.
+    */
+  private[ml] def linkDir(src: String, dst: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val s = Paths.get(src)
+    if (!Files.isDirectory(s)) return
+    Files.createDirectories(Paths.get(dst))
+    Files.list(s).forEach { f =>
+      if (Files.isRegularFile(f)) {
+        val t = Paths.get(dst).resolve(f.getFileName)
+        try Files.createLink(t, f)
+        catch { case _: UnsupportedOperationException => Files.copy(f, t); () }
+      }
+    }
+  }
+
+  /** Driver-side per-cell parquet FILE counts — one FS listing per cell
+    * dir, metadata scale. The fragmentation signal [[compactCells]] acts
+    * on.
+    */
+  private[ml] def cellFileCounts(spark: SparkSession, cellsPath: String,
+      prefix: String = "cell="): Map[Int, Int] = {
+    val dir = new org.apache.hadoop.fs.Path(cellsPath)
+    val fsys = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map { s =>
+        val n = fsys.listStatus(s.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        s.getPath.getName.stripPrefix(prefix).toInt -> n
+      }.toMap
+  }
+
+  /** Shared small-file compaction over a `cells/` layout (r16): every
+    * [[append]] adds task-count files to each touched cell dir, so a
+    * steady-state pipeline appending thousands of batches fragments the
+    * index — scan task count and footer/listing overhead grow with the
+    * APPEND count instead of the data size, the classic LSM small-file
+    * problem. Cells at or under `maxFilesPerCell` hard-link into the new
+    * generation untouched; fragmented cells rewrite partition-pruned at
+    * ~`targetFilesPerCell` files (a salted repartition, so one giant
+    * cell still writes in parallel). Data is byte-identical in content —
+    * only file boundaries change — so sidecar metadata (centroids,
+    * stats, codebooks) links over unchanged. Returns None when nothing
+    * is fragmented (no new generation written).
+    */
+  private[ml] def compactCells(spark: SparkSession, path: String,
+      newPath: String, maxFilesPerCell: Int, targetFilesPerCell: Int,
+      readCells: String => DataFrame): Option[Seq[Int]] = {
+    require(targetFilesPerCell >= 1, s"targetFilesPerCell: $targetFilesPerCell")
+    val cellsPath = s"$path/cells"
+    val counts = cellFileCounts(spark, cellsPath)
+    val fragmented = counts.filter(_._2 > maxFilesPerCell).keys.toSeq.sorted
+    if (fragmented.isEmpty) return None
+    val keep = (counts.keySet -- fragmented).toSeq.sorted
+    linkCellFiles(cellsPath, s"$newPath/cells", keep)
+    readCells(cellsPath)
+      .filter(col("cell").isin(fragmented.map(_.asInstanceOf[Any]): _*))
+      .repartition(fragmented.size * targetFilesPerCell, col("cell"),
+        pmod(xxhash64(col("vec_id")), lit(targetFilesPerCell.toLong)))
+      .write.mode("append").partitionBy("cell").parquet(s"$newPath/cells")
+    Some(fragmented)
+  }
+
+  /** [[compactCells]] for this index: rewrites only fragmented cells,
+    * links everything else (cells, centroids, stats). Same
+    * immutable-generation contract as [[retrain]]/[[splitMerge]] — the
+    * caller flips its pointer when it accepts. Run it on the same
+    * maintenance tick as [[health]]; the file counts it reads are one
+    * driver-side listing.
+    */
+  def compact(index: IvfIndex, newPath: String, maxFilesPerCell: Int = 8,
+      targetFilesPerCell: Int = 1): IvfIndex =
+    compactCells(index.spark, index.path, newPath, maxFilesPerCell,
+      targetFilesPerCell, p => readOwn(index.spark, p, Some("cell"))) match {
+      case None => index
+      case Some(_) =>
+        linkDir(s"${index.path}/centroids", s"$newPath/centroids")
+        linkDir(s"${index.path}/stats", s"$newPath/stats")
+        IvfIndex(index.spark, newPath)
+    }
 
   /** Per-cell (cell, n, mean_sim) over stored cells: scan + broadcast
     * centroid join + per-cell aggregate — output is cell-count rows

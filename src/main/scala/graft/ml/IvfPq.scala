@@ -465,6 +465,26 @@ object IvfPq {
     IvfPqIndex(spark, newPath)
   }
 
+  /** Small-file compaction for the PQ index — [[IvfIndex.compact]]'s
+    * sibling over the same `cells/` layout (appends fragment this index
+    * identically): fragmented cells rewrite, everything else (cells,
+    * cell_centroids, codebook, stats) hard-links into the new
+    * generation. Codes and qerr are per-row data, untouched by the
+    * rewrite.
+    */
+  def compact(index: IvfPqIndex, newPath: String, maxFilesPerCell: Int = 8,
+      targetFilesPerCell: Int = 1): IvfPqIndex =
+    IvfIndex.compactCells(index.spark, index.path, newPath, maxFilesPerCell,
+      targetFilesPerCell,
+      p => IvfIndex.readOwn(index.spark, p, Some("cell"))) match {
+      case None => index
+      case Some(_) =>
+        IvfIndex.linkDir(s"${index.path}/cell_centroids", s"$newPath/cell_centroids")
+        IvfIndex.linkDir(s"${index.path}/codebook", s"$newPath/codebook")
+        IvfIndex.linkDir(s"${index.path}/stats", s"$newPath/stats")
+        IvfPqIndex(index.spark, newPath)
+    }
+
   /** Probe-recall audit against the SOURCE corpus: a bounded
     * deterministic self-query sample (md5-ordered, `nQueries` rows) whose
     * exact top-k is one broadcast-join corpus scan — the bounded price of

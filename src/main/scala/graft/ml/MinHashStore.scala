@@ -184,6 +184,67 @@ object MinHashStore {
       } finally { sigs.unpersist(); () }
     }
 
+    /** Small-file compaction into a NEW store generation (r16): every
+      * [[append]] adds task-count files to each band dir (and to sigs/),
+      * so a pipeline appending thousands of batches fragments the store —
+      * the probe's one-scan cost grows with the APPEND count instead of
+      * the data size, the same LSM small-file problem
+      * [[IvfIndex.compact]] solves for the ANN indexes. Band dirs at or
+      * under `maxFilesPerBand` hard-link; fragmented bands rewrite
+      * partition-pruned with a salted repartition (`targetFilesPerBand`
+      * files each); sigs rewrite under the equivalent budget. The params
+      * manifest and the streaming high-water mark carry over, so a
+      * [[graft.streaming.StreamDedup.minhashStoreForeachBatch]] pipeline
+      * can flip its Store pointer between micro-batches. Returns `this`
+      * (no new generation) when nothing is fragmented.
+      */
+    def compactTo(newPath: String, maxFilesPerBand: Int = 8,
+        targetFilesPerBand: Int = 1): Store = {
+      requireParams()
+      require(targetFilesPerBand >= 1, s"targetFilesPerBand: $targetFilesPerBand")
+      val bandsPath = s"$path/bands"
+      val counts = IvfIndex.cellFileCounts(spark, bandsPath, "band=")
+      val fragBands = counts.filter(_._2 > maxFilesPerBand).keys.toSeq.sorted
+      val sigFiles = {
+        val dir = new org.apache.hadoop.fs.Path(s"$path/sigs")
+        val fsys = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fsys.listStatus(dir).count(f =>
+          f.isFile && f.getPath.getName.endsWith(".parquet"))
+      }
+      val sigBudget = maxFilesPerBand * counts.size.max(1)
+      if (fragBands.isEmpty && sigFiles <= sigBudget) return this
+      // bands: link the tidy dirs, rewrite the fragmented ones pruned
+      IvfIndex.linkCellFiles(bandsPath, s"$newPath/bands",
+        (counts.keySet -- fragBands).toSeq, "band=")
+      if (fragBands.nonEmpty)
+        bandRows
+          .filter(col("band").isin(fragBands.map(_.asInstanceOf[Any]): _*))
+          .repartition(fragBands.size * targetFilesPerBand, col("band"),
+            pmod(xxhash64(col("doc_id")), lit(targetFilesPerBand.toLong)))
+          .write.mode("append").partitionBy("band").parquet(s"$newPath/bands")
+      // sigs: rewrite when fragmented, link otherwise
+      if (sigFiles > sigBudget)
+        signatures.repartition(targetFilesPerBand * counts.size.max(1))
+          .write.mode("overwrite").parquet(s"$newPath/sigs")
+      else IvfIndex.linkDir(s"$path/sigs", s"$newPath/sigs")
+      copyMarker(paramsPath(path), paramsPath(newPath))
+      copyMarker(s"$path/_stream_batch", s"$newPath/_stream_batch")
+      Store(spark, newPath)
+    }
+
+    /** Copy a small driver-written marker file into the new generation if
+      * it exists (manifest, streaming high-water mark).
+      */
+    private def copyMarker(src: String, dst: String): Unit = {
+      val s = new org.apache.hadoop.fs.Path(src)
+      val fsys = s.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fsys.exists(s))
+        org.apache.hadoop.fs.FileUtil.copy(fsys, s, fsys,
+          new org.apache.hadoop.fs.Path(dst), false, true,
+          spark.sparkContext.hadoopConfiguration)
+      ()
+    }
+
     /** Candidate (new_id, hist_id) pairs from the bucket join — shared by
       * both verification variants. One store scan, broadcast new-batch
       * band rows. The per-bucket cap applies to the bucket's TOTAL
