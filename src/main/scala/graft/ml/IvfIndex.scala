@@ -317,7 +317,8 @@ object IvfIndex {
     */
   final case class HealthReport(cells: Seq[CellHealth], sizeSkew: Double,
       simDrift: Double, appendDrift: Double, splitCandidates: Seq[Int],
-      mergeCandidates: Seq[Int], recommendation: String)
+      mergeCandidates: Seq[Int], fragmentedCells: Seq[Int],
+      recommendation: String)
 
   /** Cheap drift monitor — the trigger for the maintenance actions above.
     * One sampled scan of the stored cells (broadcast centroid join,
@@ -349,7 +350,7 @@ object IvfIndex {
     */
   def health(index: IvfIndex, sampleFraction: Double = 1.0,
       splitFactor: Double = 2.0, mergeFraction: Double = 0.1,
-      driftTol: Double = 0.05): HealthReport = {
+      driftTol: Double = 0.05, maxFilesPerCell: Int = 16): HealthReport = {
     val spark = index.spark
     // sampled counts scale up to full-size estimates so the split/merge
     // thresholds and append-mass algebra compare like with like
@@ -387,11 +388,18 @@ object IvfIndex {
     val split = now.filter(_._2._1 > splitFactor * mean).keys.toSeq.sorted
     val merge = (now.filter(_._2._1 < mergeFraction * mean).keySet -- split.toSet)
       .toSeq.sorted
+    // fragmentation (one driver-side listing): append-count file growth —
+    // the cheapest condition, checked only when geometry is healthy (a
+    // splitMerge/retrain rewrite defragments what it touches anyway)
+    val fragmented = cellFileCounts(index.spark, s"${index.path}/cells")
+      .filter(_._2 > maxFilesPerCell).keys.toSeq.sorted
     val rec =
       if (appendDrift > driftTol) "retrain"
       else if (split.nonEmpty || merge.nonEmpty) "splitMerge"
+      else if (fragmented.nonEmpty) "compact"
       else "ok"
-    HealthReport(cells, sizeSkew, simDrift, appendDrift, split, merge, rec)
+    HealthReport(cells, sizeSkew, simDrift, appendDrift, split, merge,
+      fragmented, rec)
   }
 
   /** Incrementally index new vectors against the EXISTING quantizer:
@@ -541,6 +549,9 @@ object IvfIndex {
       // contract its QUERY path already promises
       recallFloor: Double = 0.65, recallQueries: Int = 32,
       k: Int = 5, nprobe: Int = 3,
+      // fragmentation budget for the "compact" recommendation (16 ≈ 2×
+      // a fresh build's worst per-cell file count at default parallelism)
+      maxFilesPerCell: Int = 16, targetFilesPerCell: Int = 1,
       escalate: Boolean = true)
 
   /** Outcome of one [[maintain]] tick: the (possibly unchanged) index, the
@@ -585,7 +596,7 @@ object IvfIndex {
   def maintain(index: IvfIndex, newPath: String,
       policy: MaintainPolicy = MaintainPolicy()): MaintainResult = {
     val h = health(index, policy.sampleFraction, policy.splitFactor,
-      policy.mergeFraction, policy.driftTol)
+      policy.mergeFraction, policy.driftTol, policy.maxFilesPerCell)
     def retrainTo(path: String): IvfIndex = {
       val cells = if (policy.retrainCells > 0) policy.retrainCells
         else index.centroids.count().toInt
@@ -593,6 +604,11 @@ object IvfIndex {
     }
     h.recommendation match {
       case "ok" => MaintainResult(index, h, "ok", None)
+      case "compact" =>
+        // no recall audit: compaction only moves file boundaries —
+        // CompactSpec pins row-identical results across the generation
+        MaintainResult(compact(index, newPath, policy.maxFilesPerCell,
+          policy.targetFilesPerCell), h, "compact", None)
       case "retrain" =>
         val next = retrainTo(newPath)
         MaintainResult(next, h, "retrain",

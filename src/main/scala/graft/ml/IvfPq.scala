@@ -291,7 +291,8 @@ object IvfPq {
     */
   final case class HealthReport(cells: Seq[CellHealth], sizeSkew: Double,
       qerrDrift: Double, appendDrift: Double, splitCandidates: Seq[Int],
-      mergeCandidates: Seq[Int], recommendation: String)
+      mergeCandidates: Seq[Int], fragmentedCells: Seq[Int],
+      recommendation: String)
 
   /** Cheap drift monitor over the PQ index, NO corpus access (the stored
     * per-row qerr was computed at encode time, while the raw vector was
@@ -317,7 +318,7 @@ object IvfPq {
     */
   def health(index: IvfPqIndex, sampleFraction: Double = 1.0,
       splitFactor: Double = 2.0, mergeFraction: Double = 0.1,
-      driftTol: Double = 0.5): HealthReport = {
+      driftTol: Double = 0.5, maxFilesPerCell: Int = 16): HealthReport = {
     val spark = index.spark
     val now = cellQerrStats(spark, index.path, sampleFraction)
       .collect().map(r => r.getInt(0) ->
@@ -356,11 +357,16 @@ object IvfPq {
     val split = now.filter(_._2._1 > splitFactor * mean).keys.toSeq.sorted
     val merge = (now.filter(_._2._1 < mergeFraction * mean).keySet -- split.toSet)
       .toSeq.sorted
+    // fragmentation (one driver-side listing) — see IvfIndex.health
+    val fragmented = IvfIndex.cellFileCounts(index.spark, s"${index.path}/cells")
+      .filter(_._2 > maxFilesPerCell).keys.toSeq.sorted
     val rec =
       if (appendDrift > driftTol) "retrain"
       else if (split.nonEmpty || merge.nonEmpty) "splitMerge"
+      else if (fragmented.nonEmpty) "compact"
       else "ok"
-    HealthReport(cells, sizeSkew, qerrDrift, appendDrift, split, merge, rec)
+    HealthReport(cells, sizeSkew, qerrDrift, appendDrift, split, merge,
+      fragmented, rec)
   }
 
   /** Re-train BOTH quantizers for a drifted corpus as a fresh index
@@ -522,6 +528,8 @@ object IvfPq {
       // fraction); tiny test corpora need an absolute override because 5%
       // of a few hundred rows barely exceeds topK
       auditShortlist: Int = 0,
+      // fragmentation budget for the "compact" recommendation
+      maxFilesPerCell: Int = 16, targetFilesPerCell: Int = 1,
       escalate: Boolean = true)
 
   /** Outcome of one [[maintain]] tick — see [[IvfIndex.MaintainResult]]. */
@@ -541,9 +549,14 @@ object IvfPq {
   def maintain(index: IvfPqIndex, corpus: DataFrame, newPath: String,
       policy: MaintainPolicy = MaintainPolicy()): MaintainResult = {
     val h = health(index, policy.sampleFraction, policy.splitFactor,
-      policy.mergeFraction, policy.driftTol)
+      policy.mergeFraction, policy.driftTol, policy.maxFilesPerCell)
     h.recommendation match {
       case "ok" => MaintainResult(index, h, "ok", None)
+      case "compact" =>
+        // no recall audit: compaction only moves file boundaries —
+        // CompactSpec pins row-identical results across the generation
+        MaintainResult(compact(index, newPath, policy.maxFilesPerCell,
+          policy.targetFilesPerCell), h, "compact", None)
       case "retrain" =>
         val next = retrain(index, corpus, newPath, policy.retrainCells,
           iters = policy.trainIters)

@@ -102,6 +102,35 @@ class CompactSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("maintain applies compact unprompted when geometry is healthy but files fragment") {
+    val corpus = baseCorpus.persist()
+    val path = java.nio.file.Files.createTempDirectory("ivf-maintcomp").toString
+    val idx = IvfIndex.build(corpus, s"$path/gen0", cells = 5, trainIters = 2)
+    // distribution-preserving appends: whole-corpus copies under fresh
+    // ids — every cell scales equally (no skew, no drift), only the file
+    // counts grow: the pure-fragmentation state
+    for (i <- 1 to 6)
+      IvfIndex.append(idx, corpus.withColumn("vec_id", col("vec_id") + lit(1000000L * i)))
+    val budget = 4
+    val frag0 = IvfIndex.cellFileCounts(spark, s"$path/gen0/cells")
+      .count(_._2 > budget)
+    assert(frag0 > 0, "appends should fragment past the test budget")
+
+    val res = IvfIndex.maintain(idx, s"$path/gen1",
+      IvfIndex.MaintainPolicy(maxFilesPerCell = budget))
+    assert(res.action == "compact", s"expected compact, got ${res.action}")
+    assert(res.report.fragmentedCells.nonEmpty)
+    assert(res.report.splitCandidates.isEmpty && res.report.appendDrift < 0.05)
+    assert(res.recall.isEmpty, "compaction is audit-free: results provably identical")
+    assert(IvfIndex.cellFileCounts(spark, s"$path/gen1/cells")
+      .forall(_._2 <= budget), "maintained generation still fragmented")
+    // and the next tick is quiet
+    val again = IvfIndex.maintain(res.index, s"$path/gen2",
+      IvfIndex.MaintainPolicy(maxFilesPerCell = budget))
+    assert(again.action == "ok" && (again.index eq res.index))
+    corpus.unpersist()
+  }
+
   test("MinHashStore.compactTo: probe parity, manifest + stream marker carried") {
     import spark.implicits._
     val hist = Seq(
