@@ -267,11 +267,19 @@ object IvfPq {
     * and it's the cheaper, earlier signal.
     */
   def append(index: IvfPqIndex, newVectors: DataFrame): IvfPqIndex = {
-    val assigned = AnnOps.assignCells(newVectors, index.cellCentroids)
-    val codes = Pq.encodeWithError(newVectors, index.codebook)
-    assigned.select(col("vec_id"), col("cell"))
-      .join(codes, Seq("vec_id"))
-      .write.mode("append").partitionBy("cell").parquet(s"${index.path}/cells")
+    // pinned for the write: cell assignment and code encoding are two
+    // independent consumers of the batch — unpinned, an expensive
+    // upstream lineage would compute twice (IvfIndex.append has one
+    // consumer and needs no pin)
+    val nv = newVectors
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val assigned = AnnOps.assignCells(nv, index.cellCentroids)
+      val codes = Pq.encodeWithError(nv, index.codebook)
+      assigned.select(col("vec_id"), col("cell"))
+        .join(codes, Seq("vec_id"))
+        .write.mode("append").partitionBy("cell").parquet(s"${index.path}/cells")
+    } finally { nv.unpersist(); () }
     index
   }
 

@@ -77,6 +77,14 @@ object StreamDedup {
     * set, so a replayed batch — whose rows are already in the store —
     * reports the same pairs the original did instead of matching its own
     * appended copy. Same disjoint-id contract as the store itself.
+    *
+    * FRAGMENTATION: each append adds files to the store
+    * ([[graft.ml.MinHashStore.Store.compactTo]] documents the cost
+    * curve). `compactTo` returns the SAME store when nothing is
+    * fragmented (one driver-side listing), so the steady-state idiom is
+    * simply: every N batches, stop the query, `store.compactTo(nextGen)`,
+    * and restart the sink on the returned store — a no-op tick costs one
+    * listing.
     */
   def minhashStoreForeachBatch(store: graft.ml.MinHashStore.Store,
       threshold: Double, maxBucket: Int = 1000)(
