@@ -267,10 +267,17 @@ object Pq {
     * with exact cosine against the uncompressed vectors. Accuracy is the
     * codebook's recall@shortlist; cost is the compressed scan plus
     * `shortlist × queries` exact distances.
+    *
+    * `shortlist <= 0` (the DEFAULT, r16 — the same flip
+    * [[graft.ml.IvfPqIndex.search]] made) sizes the shortlist as a
+    * corpus FRACTION in-plan via [[searchWithRerankFrac]] (|C|/20 = 5%,
+    * floor 50): a fixed cutoff's recall decays as the corpus grows, the
+    * q_ann_pq lesson.
     */
   def searchWithRerank(codes: DataFrame, cents: DataFrame, corpus: DataFrame,
-      queries: DataFrame, topK: Int, shortlist: Int = 50): DataFrame =
-    rerank(searchTopK(codes, cents, queries, shortlist).select("q_id", "n_id"),
+      queries: DataFrame, topK: Int, shortlist: Int = 0): DataFrame =
+    if (shortlist <= 0) searchWithRerankFrac(codes, cents, corpus, queries, topK, 20)
+    else rerank(searchTopK(codes, cents, queries, shortlist).select("q_id", "n_id"),
       corpus, queries, topK)
 
   /** [[searchWithRerank]] with the shortlist sized as a CORPUS FRACTION
