@@ -162,12 +162,29 @@ object MinHashStore {
     }
 
     /** (band, bucket, doc_id) — footer-schema read (no inference job),
-      * `band` from the dir partitioning.
+      * `band` from the dir partitioning. A store with no rows yet (built
+      * empty — the streaming bootstrap — or every append still pending)
+      * has no parquet footers to read a schema from; it reads as an
+      * explicit EMPTY frame rather than failing schema inference, so the
+      * first probe simply finds nothing and the first append lights the
+      * store up.
       */
-    def bandRows: DataFrame = IvfIndex.readOwn(spark, s"$path/bands", Some("band"))
+    def bandRows: DataFrame =
+      if (graft.sources.Tables.footerSparkSchema(spark, s"$path/bands").isEmpty)
+        emptyFrame("band INT, bucket BIGINT, doc_id BIGINT")
+      else IvfIndex.readOwn(spark, s"$path/bands", Some("band"))
 
-    /** (doc_id, sig) for the whole history. */
-    def signatures: DataFrame = IvfIndex.readOwn(spark, s"$path/sigs")
+    /** (doc_id, sig) for the whole history; empty-store contract as
+      * [[bandRows]].
+      */
+    def signatures: DataFrame =
+      if (graft.sources.Tables.footerSparkSchema(spark, s"$path/sigs").isEmpty)
+        emptyFrame("doc_id BIGINT, sig ARRAY<BIGINT>")
+      else IvfIndex.readOwn(spark, s"$path/sigs")
+
+    private def emptyFrame(ddl: String): DataFrame =
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
 
     /** Grow the store with a new batch (append-mode writes — history is
       * never rewritten). Call AFTER probing the batch, so the batch does

@@ -91,6 +91,20 @@ class MinHashStoreSpec extends AnyFunSuite {
     assert(pairs(store.probe(b, h, 0.5, maxBucket = 7)).isEmpty)
   }
 
+  test("empty-store bootstrap: build from nothing, probe finds nothing, first append lights it up") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("mhstore-empty").toString
+    val store = MinHashStore.build(Seq.empty[(Long, String)].toDF("doc_id", "text"), path)
+    // the streaming bootstrap shape: no history yet — probes return
+    // empty instead of failing schema inference on footer-less dirs
+    assert(store.probe(batch, hist.limit(0), 0.5).isEmpty)
+    assert(store.probeEstimate(batch, 0.5).isEmpty)
+    assert(MinHashStore.readParams(spark, path).contains(MinHashStore.CurrentParams))
+    store.append(hist)
+    val got = pairs(store.probe(batch, hist, 0.5))
+    assert(got == directCross(batch, hist, 0.5) && got.contains((101L, 2L)))
+  }
+
   test("probing a store built under different signature params fails fast, naming both") {
     val path = java.nio.file.Files.createTempDirectory("mhstore-params").toString
     MinHashStore.build(hist, path)
