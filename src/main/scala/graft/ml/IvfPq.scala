@@ -314,7 +314,13 @@ object IvfPq {
     *    `(n·cur − bn·bcur)/(n − bn)`. Appends reconstructing worse than
     *    the training distribution are the direct symptom of codebook
     *    drift: above `driftTol` → **retrain** (needs the source corpus —
-    *    the PQ store keeps no vectors).
+    *    the PQ store keeps no vectors). The inflation's magnitude
+    *    shrinks as codebook quality grows (a rich codebook reconstructs
+    *    even foreign vectors tolerably): equally foreign drift read 0.51
+    *    on a 500-vector build but 0.19 on a 200k-vector k=64 build
+    *    (IvfPqMaintProbe) — hence the 0.15 default, with [[maintain]]'s
+    *    recall-audited escalation as the net for whatever a fixed
+    *    threshold misses.
     *  - `sizeSkew` / split / merge candidates as in [[IvfIndex.health]]:
     *    localized pile-up with acceptable codebook fit → **splitMerge**
     *    (cell surgery on decoded reconstructions — no corpus needed).
@@ -326,7 +332,7 @@ object IvfPq {
     */
   def health(index: IvfPqIndex, sampleFraction: Double = 1.0,
       splitFactor: Double = 2.0, mergeFraction: Double = 0.1,
-      driftTol: Double = 0.5, maxFilesPerCell: Int = 16): HealthReport = {
+      driftTol: Double = 0.15, maxFilesPerCell: Int = 16): HealthReport = {
     val spark = index.spark
     val now = cellQerrStats(spark, index.path, sampleFraction)
       .collect().map(r => r.getInt(0) ->
@@ -527,7 +533,7 @@ object IvfPq {
   final case class MaintainPolicy(
       sampleFraction: Double = 1.0,
       splitFactor: Double = 2.0, mergeFraction: Double = 0.1,
-      driftTol: Double = 0.5,
+      driftTol: Double = 0.15,
       subCells: Int = 2, trainIters: Int = 3,
       retrainCells: Int = 0, // 0 = keep the current centroid count
       recallFloor: Double = 0.50, recallQueries: Int = 32,
