@@ -218,6 +218,37 @@ class StreamSpec extends AnyFunSuite {
     assert(replay == batchPairs.collect { case (1L, n, h) => (n, h) },
       s"replayed probe diverged: $replay")
     assert(storeA.signatures.count() == sizeBefore, "replay must not double-append")
+
+    // the documented steady-state idiom: compact between micro-batches,
+    // flip the Store pointer, keep streaming — the compacted generation
+    // must still see every earlier batch AND keep the replay guard (the
+    // high-water mark carries, so re-running batch 1 on the new store
+    // still skips the duplicate append)
+    val storeC = storeA.compactTo(
+      Files.createTempDirectory("mhs-stream-gen1").toString, maxFilesPerBand = 0)
+    assert(storeC.path != storeA.path, "maxFilesPerBand=0 must force a new generation")
+    var afterFlip = Set.empty[(Long, Long)]
+    val sizeC = storeC.signatures.count()
+    StreamDedup.minhashStoreForeachBatch(storeC, 0.5) { (_, pairs) =>
+      afterFlip = pairs.select("new_id", "hist_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      ()
+    }.apply(b2Docs, 1L) // replay of batch 1 against the new generation
+    assert(afterFlip == replay, s"compacted generation diverged: $afterFlip")
+    assert(storeC.signatures.count() == sizeC,
+      "high-water mark must carry through compaction: no duplicate append")
+    // a genuinely new batch against the flipped store catches dups from
+    // BOTH pre-compaction batches
+    val b3Docs = Seq(
+      (301L, "yet another document that matches nothing stored so far in any way")) // dup of 202 (batch 2)
+      .toDF("doc_id", "text")
+    var b3Pairs = Set.empty[(Long, Long)]
+    StreamDedup.minhashStoreForeachBatch(storeC, 0.5) { (_, pairs) =>
+      b3Pairs = pairs.select("new_id", "hist_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      ()
+    }.apply(b3Docs, 2L)
+    assert(b3Pairs == Set((301L, 202L)), s"post-flip cross-batch catch: $b3Pairs")
   }
 
   test("streaming dedup keeps first arrival across micro-batches") {
