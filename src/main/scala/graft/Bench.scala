@@ -125,14 +125,38 @@ object Bench {
     (perQuery, samples.map(_.map(_._2).sum), failed.toSet)
   }
 
+  /** CONFIRMED best over one gate's recorded readings (r16 verdict #2):
+    * the minimum only gates when a second reading sits within 5% above
+    * it; otherwise the second-lowest reading is the best. A single
+    * exceptionally quiet reading must not become a bar every honest run
+    * fails — q_ann_lsh's one-off 0.229 flagged 6 of 7 calibrated r16
+    * readings (0.28–0.34, box_drift ≤ 1.08) as "regressions" on
+    * unchanged code. The second-lowest is always attested (the lowest
+    * itself sits within 5% BELOW it or further — either way, two
+    * independent runs reached it), so the rule needs no recursion.
+    */
+  private[graft] def confirmedBest(readings: Seq[Double]): Option[Double] = {
+    val s = readings.filter(_ > 0).sorted
+    s match {
+      case Seq() => None
+      case Seq(one) => Some(one)
+      case _ => Some(if (s(1) <= s(0) * 1.05) s(0) else s(1))
+    }
+  }
+
   /** The per-gate best-ever SAME-PROTOCOL ledger (r14 verdict #1): reads
     * `BENCH_BEST.json` (or `GRAFT_BENCH_BEST`) — maintained by
     * `tools/update_bench_best.py` from official families-mode artifacts —
     * and returns its per-gate best seconds, but ONLY when the ledger's sf
     * tag matches the run's sf dir (a sf0.01 smoke run compared against
-    * sf0.1 bests would flag everything). The file is this repo's own
-    * trivially regular format; the extraction is a line regex, not a JSON
-    * parser dependency.
+    * sf0.1 bests would flag everything). When the ledger carries per-gate
+    * `readings` arrays (r16 verdict #2), the effective best is computed
+    * HERE via [[confirmedBest]] — the rule lives in the artifact's
+    * consumer so BenchLedgerSpec pins it — and the ledger's `best` map
+    * only covers gates with no recorded readings. The file is this repo's
+    * own trivially regular format; the extraction is a line regex, not a
+    * JSON parser dependency (readings arrays are the only q_-keyed arrays
+    * in the file, so the two regexes cannot cross-match).
     */
   private[graft] def loadBest(sfDir: String): Map[String, Double] =
     try {
@@ -146,10 +170,19 @@ object Bench {
         if (!sfTag.exists(t => new java.io.File(t).getName == sfBase)) Map.empty
         else {
           val best = s.indexOf("\"best\"")
-          if (best < 0) Map.empty
-          else """"(q_[A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r
-            .findAllMatchIn(s.substring(best))
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val bestMap =
+            if (best < 0) Map.empty[String, Double]
+            else """"(q_[A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r
+              .findAllMatchIn(s.substring(best))
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val confirmed = """"(q_[A-Za-z0-9_]+)"\s*:\s*\[([0-9.,\sEe+-]*)\]""".r
+            .findAllMatchIn(s)
+            .flatMap { m =>
+              val rs = m.group(2).split(",").toSeq
+                .map(_.trim).filter(_.nonEmpty).map(_.toDouble)
+              confirmedBest(rs).map(m.group(1) -> _)
+            }.toMap
+          bestMap ++ confirmed
         }
       }
     } catch { case scala.util.control.NonFatal(_) => Map.empty }

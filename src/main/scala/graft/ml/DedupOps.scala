@@ -150,6 +150,28 @@ object DedupOps {
   // the DuckDB oracle is the same gram algebra restricted to cross-batch
   // pairs (and the LSH-recall-=1 argument above carries over unchanged —
   // every real near-dup in the corpus sits at sim ≥ 0.9).
+  /** Deterministic per-PROCESS gate-store root, deleted at JVM exit (r16
+    * advice): the pid suffix keeps two concurrent harness runs on one
+    * machine from racing a shared store (one's overwrite build vs the
+    * other's probe read), and the shutdown hook keeps each run's
+    * sf-scale parquet from accumulating under /tmp across runs —
+    * overwrite-mode only ever reclaimed space WITHIN one process.
+    */
+  private lazy val gateStoreRoot: java.nio.file.Path = {
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-mhstore-gate-${ProcessHandle.current().pid()}")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        if (java.nio.file.Files.exists(root)) {
+          java.nio.file.Files.walk(root)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach { p => java.nio.file.Files.deleteIfExists(p); () }
+        }
+      } catch { case scala.util.control.NonFatal(_) => () },
+      "graft-gate-store-cleanup"))
+    root
+  }
+
   private val qDedupMinhashIncr = GQuery(
     "q_dedup_minhash_incr",
     (s, d) => {
@@ -162,10 +184,7 @@ object DedupOps {
       // temp dir of sf-scale parquet each run, while the pid token keeps
       // two concurrent harness runs on the same machine from racing one
       // shared store (one's overwrite build vs the other's probe read)
-      val storeDir = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        s"graft-mhstore-gate-${ProcessHandle.current().pid()}",
-        new java.io.File(d).getName).toString
+      val storeDir = gateStoreRoot.resolve(new java.io.File(d).getName).toString
       val store = MinHashStore.build(hist, storeDir)
       store.probe(batch, hist, 0.5)
         .select(col("new_id"), col("hist_id"), stableRound(col("sim"), 4).as("sim"))

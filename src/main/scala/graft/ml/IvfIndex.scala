@@ -162,7 +162,10 @@ object IvfIndex {
     * rewritten (an object-store binding would use a server-side copy or a
     * manifest reference; the local link carries the same
     * immutable-generation contract). Shared by both disk indexes'
-    * splitMerge paths.
+    * splitMerge paths. The copy fallback covers BOTH failure shapes a
+    * link can take: UnsupportedOperationException (FS has no links) and
+    * IOException — a cross-device link is EXDEV, surfaced as
+    * FileSystemException, not UnsupportedOperation (r16 advice).
     */
   private[ml] def linkCellFiles(srcCellsPath: String, dstCellsPath: String,
       cells: Seq[Int], prefix: String = "cell="): Unit = {
@@ -175,16 +178,17 @@ object IvfIndex {
         val name = f.getFileName.toString
         if (name.endsWith(".parquet"))
           try Files.createLink(dst.resolve(name), f)
-          catch { case _: UnsupportedOperationException => // cross-device FS
-            Files.copy(f, dst.resolve(name)); ()
+          catch {
+            case _: UnsupportedOperationException | _: java.io.IOException =>
+              Files.copy(f, dst.resolve(name)); ()
           }
       }
     }
   }
 
-  /** Hard-link (or copy, cross-device) every file of a metadata-scale
-    * dir into a new generation — centroids/codebooks/stats sidecars
-    * during compaction.
+  /** Hard-link (or copy, cross-device — see [[linkCellFiles]] on the
+    * catch shape) every file of a metadata-scale dir into a new
+    * generation — centroids/codebooks/stats sidecars during compaction.
     */
   private[ml] def linkDir(src: String, dst: String): Unit = {
     import java.nio.file.{Files, Paths}
@@ -195,8 +199,27 @@ object IvfIndex {
       if (Files.isRegularFile(f)) {
         val t = Paths.get(dst).resolve(f.getFileName)
         try Files.createLink(t, f)
-        catch { case _: UnsupportedOperationException => Files.copy(f, t); () }
+        catch {
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            Files.copy(f, t); ()
+        }
       }
+    }
+  }
+
+  /** One file's link-or-copy into a new generation, creating parent
+    * dirs — the per-file flavor of [[linkCellFiles]] for callers whose
+    * file universe comes from a commit log rather than a directory
+    * listing ([[MinHashStore.Store.compactTo]]).
+    */
+  private[ml] def linkOrCopyFile(src: String, dst: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val d = Paths.get(dst)
+    Files.createDirectories(d.getParent)
+    try { Files.createLink(d, Paths.get(src)); () }
+    catch {
+      case _: UnsupportedOperationException | _: java.io.IOException =>
+        Files.copy(Paths.get(src), d); ()
     }
   }
 
@@ -414,6 +437,71 @@ object IvfIndex {
     AnnOps.assignCells(newVectors, cents)
       .write.mode("append").partitionBy("cell").parquet(s"${index.path}/cells")
     index
+  }
+
+  /** [[append]] behind the replay guard a streaming ingest loop needs
+    * (r16 verdict #5): foreachBatch is at-least-once, and a replayed
+    * plain `append` silently duplicates vec_ids — inflating cells and
+    * distorting [[health]]'s size-based recommendations. Returns true
+    * when the batch appended, false when the guard skipped a replay.
+    * Single writer per index, same contract as the MinHashStore sink.
+    */
+  def appendBatch(index: IvfIndex, newVectors: DataFrame,
+      batchId: Long): Boolean =
+    guardedCellAppend(index.spark, index.path, batchId) { staging =>
+      AnnOps.assignCells(newVectors, index.centroids)
+        .write.partitionBy("cell").parquet(staging)
+    }
+
+  /** Exactly-once batch append over a `cells/` layout WITHOUT touching
+    * the read path (the ANN indexes read whole cell dirs, with runtime
+    * DPP on `cell=` — a commit-log reader would change every search
+    * plan):
+    *
+    *  - the `_stream_batch` high-water mark (temp + atomic-rename
+    *    updates, [[StoreIo.replaceSmallAtomic]]) skips any batch at or
+    *    below it — the replay-after-successful-commit case;
+    *  - data files land under DETERMINISTIC per-batch names
+    *    (`b<batchId>-<i>.parquet`), so a replay of a batch that crashed
+    *    MID-append first sweeps the partial files that attempt left and
+    *    redoes the whole batch — duplicates cannot accumulate. Between
+    *    a crash and its replay the partial batch is transiently
+    *    visible to searches (bounded staleness, converges on replay) —
+    *    the trade for keeping searches commit-log-free.
+    */
+  private[ml] def guardedCellAppend(spark: SparkSession, path: String,
+      batchId: Long)(write: String => Unit): Boolean = {
+    val fs = StoreIo.fsOf(spark, path)
+    val mark = new org.apache.hadoop.fs.Path(s"$path/_stream_batch")
+    val hw = StoreIo.readSmall(fs, mark).map(_.trim.toLong).getOrElse(-1L)
+    if (batchId <= hw) return false
+    // sweep partial files from a crashed attempt of THIS batch
+    val cellsDir = new org.apache.hadoop.fs.Path(s"$path/cells")
+    if (fs.exists(cellsDir))
+      for (d <- fs.listStatus(cellsDir) if d.isDirectory;
+           f <- fs.listStatus(d.getPath)
+           if f.isFile && f.getPath.getName.startsWith(s"b$batchId-"))
+        fs.delete(f.getPath, false)
+    val staging = s"$path/_staging-b$batchId"
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    write(staging)
+    var i = 0
+    val st = new org.apache.hadoop.fs.Path(staging)
+    if (fs.exists(st))
+      for (d <- fs.listStatus(st).sortBy(_.getPath.getName)
+           if d.isDirectory && d.getPath.getName.startsWith("cell=")) {
+        val dst = new org.apache.hadoop.fs.Path(s"$path/cells/${d.getPath.getName}")
+        fs.mkdirs(dst)
+        for (f <- fs.listStatus(d.getPath).sortBy(_.getPath.getName)
+             if f.isFile && f.getPath.getName.endsWith(".parquet")) {
+          val t = new org.apache.hadoop.fs.Path(dst, s"b$batchId-$i.parquet")
+          require(fs.rename(f.getPath, t), s"staged move failed: ${f.getPath} -> $t")
+          i += 1
+        }
+      }
+    fs.delete(st, true)
+    StoreIo.replaceSmallAtomic(fs, mark, batchId.toString)
+    true
   }
 
   /** Re-train for a drifted corpus: re-run the coarse quantizer over the

@@ -283,6 +283,28 @@ object IvfPq {
     index
   }
 
+  /** [[append]] behind the at-least-once replay guard — see
+    * [[IvfIndex.appendBatch]]: a replayed micro-batch must not
+    * double-encode its vec_ids into the cells (duplicates inflate cell
+    * sizes AND the appended-mass qerr that [[health]]'s drift signal
+    * reads). Returns true when the batch appended, false on a skipped
+    * replay. The per-row qerr persists at encode exactly as in
+    * [[append]] — only the commit discipline differs.
+    */
+  def appendBatch(index: IvfPqIndex, newVectors: DataFrame,
+      batchId: Long): Boolean =
+    IvfIndex.guardedCellAppend(index.spark, index.path, batchId) { staging =>
+      val nv = newVectors
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val assigned = AnnOps.assignCells(nv, index.cellCentroids)
+        val codes = Pq.encodeWithError(nv, index.codebook)
+        assigned.select(col("vec_id"), col("cell"))
+          .join(codes, Seq("vec_id"))
+          .write.partitionBy("cell").parquet(staging)
+      } finally { nv.unpersist(); () }
+    }
+
   /** One cell's line in a PQ [[HealthReport]]: current vs build-time size
     * and mean quantization error (NaN build side for cells born after
     * build).

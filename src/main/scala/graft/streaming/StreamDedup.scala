@@ -71,56 +71,70 @@ object StreamDedup {
     * the store remembers every prior batch at parquet prices, so a
     * near-dup of ANY earlier document is caught, not just recent ones.
     *
-    * Micro-batch REPLAY (foreachBatch is at-least-once): a per-store
-    * high-water mark (`_stream_batch`) skips the duplicate append, and
-    * the probe always anti-joins its own batch's doc ids out of the hit
-    * set, so a replayed batch — whose rows are already in the store —
-    * reports the same pairs the original did instead of matching its own
-    * appended copy. Same disjoint-id contract as the store itself.
+    * Micro-batch REPLAY (foreachBatch is at-least-once): the append goes
+    * through [[graft.ml.MinHashStore.Store.appendBatch]] — data files
+    * and the `#batch` high-water mark publish in ONE atomic manifest
+    * commit (r16 verdict #1: the old three-write append left crash
+    * windows that re-appended the batch or stranded bands without sigs),
+    * scoped to this query's checkpoint lineage (the `#query` mark — a
+    * fresh checkpoint's batch ids restart at 0 and fail fast instead of
+    * silently skipping). The probe anti-joins its own batch's doc ids
+    * out of the hit set, so a replayed batch — whose rows are already in
+    * the store — reports the same pairs the original did instead of
+    * matching its own appended copy.
     *
     * FRAGMENTATION: each append adds files to the store
     * ([[graft.ml.MinHashStore.Store.compactTo]] documents the cost
-    * curve). `compactTo` returns the SAME store when nothing is
-    * fragmented (one driver-side listing), so the steady-state idiom is
-    * simply: every N batches, stop the query, `store.compactTo(nextGen)`,
-    * and restart the sink on the returned store — a no-op tick costs one
-    * listing.
+    * curve). With `compactEvery > 0` the sink compacts ITSELF: every N
+    * batches it runs the fragmentation check (one driver listing —
+    * `compactTo` returns the same store when tidy), flips its own store
+    * pointer to the new generation between micro-batches, records the
+    * flip durably as a `_successor` pointer at the ORIGINAL store path
+    * (so a restarted query resolves to the live generation,
+    * [[graft.ml.MinHashStore.resolveLive]]), and deletes the
+    * intermediate generation it created previously (data survives — the
+    * new generation hard-links unchanged files). The manual idiom (stop
+    * query → `compactTo` → restart on the returned store) still works;
+    * `compactEvery = 0` disables auto-compaction.
+    *
+    * SINGLE WRITER per store: one streaming query owns a store's commit
+    * log — the manifest sequence assumes no concurrent publisher.
     */
   def minhashStoreForeachBatch(store: graft.ml.MinHashStore.Store,
-      threshold: Double, maxBucket: Int = 1000)(
+      threshold: Double, maxBucket: Int = 1000, compactEvery: Int = 0,
+      maxFilesPerBand: Int = 8)(
       onPairs: (Long, DataFrame) => Unit): (DataFrame, Long) => Unit = {
-    (batch: DataFrame, batchId: Long) =>
+    // the live generation: follow successor pointers left by a previous
+    // incarnation's auto-compaction, so a restart that rebuilds this
+    // closure from the ORIGINAL store resumes on the generation holding
+    // every append made since the flip
+    var cur = graft.ml.MinHashStore.resolveLive(store)
+    (batch: DataFrame, batchId: Long) => {
       val docs = batch.select(col("doc_id"), col("text"))
-      val h = store.probeEstimateHandle(docs, threshold, maxBucket)
+      val queryId = Option(batch.sparkSession.sparkContext
+        .getLocalProperty("sql.streaming.queryId"))
+      val h = cur.probeEstimateHandle(docs, threshold, maxBucket)
       try {
         val own = docs.select(col("doc_id").as("hist_id"))
         onPairs(batchId, h.pairs.join(broadcast(own), Seq("hist_id"), "left_anti"))
       } finally h.close()
-      if (lastAppendedBatch(store) < batchId) {
-        store.append(docs)
-        writeLastBatch(store, batchId)
+      cur.appendBatch(docs, batchId, queryId)
+      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+        // unique generation path per attempt: a crashed flip leaves an
+        // orphan dir (bounded by crash count), never a name collision
+        val nonce = java.util.UUID.randomUUID().toString.take(8)
+        val gen = cur.compactTo(s"${store.path}@g$batchId-$nonce", maxFilesPerBand)
+        if (gen.path != cur.path) {
+          // durable flip FIRST (atomic replace at the original path),
+          // then retire the intermediate generation this sink created —
+          // never the caller's original store
+          store.writeSuccessor(gen.path)
+          val prev = cur
+          cur = gen
+          if (prev.path != store.path) prev.delete()
+        }
       }
-  }
-
-  private def batchMarkPath(store: graft.ml.MinHashStore.Store) =
-    new org.apache.hadoop.fs.Path(s"${store.path}/_stream_batch")
-
-  private def lastAppendedBatch(store: graft.ml.MinHashStore.Store): Long = {
-    val p = batchMarkPath(store)
-    val fsys = p.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
-    if (!fsys.exists(p)) -1L
-    else {
-      val in = fsys.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-      finally in.close()
     }
-  }
-
-  private def writeLastBatch(store: graft.ml.MinHashStore.Store, id: Long): Unit = {
-    val p = batchMarkPath(store)
-    val fsys = p.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
-    val out = fsys.create(p, true)
-    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
   }
 
   /** The stateful stage alone, over precomputed band hits — the seam the

@@ -56,6 +56,47 @@ class BenchLedgerSpec extends AnyFunSuite {
     }
   }
 
+  test("confirmed best: a one-off quiet reading does not gate; attested minima do") {
+    // the r16 q_ann_lsh episode: one 0.229 among 0.26-0.34 readings made
+    // every honest run "regress" — the confirmed best is the second-lowest
+    assert(Bench.confirmedBest(Seq(0.264, 0.229, 0.307, 0.282, 0.281))
+      .contains(0.264))
+    // min attested by a second reading within 5% above it: min gates
+    assert(Bench.confirmedBest(Seq(0.91, 0.87, 1.06, 0.90)).contains(0.87))
+    // boundary: exactly 5% above still confirms
+    assert(Bench.confirmedBest(Seq(0.105, 0.1)).contains(0.1))
+    assert(Bench.confirmedBest(Seq(0.106, 0.1)).contains(0.106))
+    // degenerate shapes: single reading gates as-is, empty/zeroes don't
+    assert(Bench.confirmedBest(Seq(0.5)).contains(0.5))
+    assert(Bench.confirmedBest(Nil).isEmpty)
+    assert(Bench.confirmedBest(Seq(0.0)).isEmpty)
+  }
+
+  test("ledger readings arrays drive the effective best; injected slowdown still flags") {
+    val body =
+      """{"protocol":"families","sf":"/x/sf0.1","calibration":0.485,
+        |"best":{"q_ann_lsh":0.229,"q_legacy":0.300},
+        |"readings":{"q_ann_lsh":[0.229,0.264,0.282,0.281],
+        |"q_agg":[0.258,0.197,0.215,0.213]}}""".stripMargin
+    withLedger(body) {
+      val m = Bench.loadBest("/root/testdata/sf0.1")
+      // readings override the stale best entry (one-off 0.229 rejected);
+      // a gate with no readings keeps its legacy best
+      assert(m("q_ann_lsh") == 0.264)
+      assert(m("q_legacy") == 0.300)
+      // q_agg's 0.197 is a one-off too (next is 0.213 > 1.05x): 0.213 gates
+      assert(m("q_agg") == 0.213)
+      // a quiet-box honest run (the 6-of-7 r16 readings) no longer flags...
+      val honest = Bench.vsBestRatios(
+        Seq("q_ann_lsh" -> Some(0.291), "q_agg" -> Some(0.231)), m)
+      assert(Bench.regressionsFor(honest, Some(1.0)).isEmpty,
+        s"honest readings flagged: $honest")
+      // ...while a REAL slowdown on the same ledger still does
+      val slow = Bench.vsBestRatios(Seq("q_ann_lsh" -> Some(0.60)), m)
+      assert(Bench.regressionsFor(slow, Some(1.0)) == Seq("q_ann_lsh"))
+    }
+  }
+
   test("calibration workload is CPU-bound and repeatable on this box") {
     val a = Bench.calibrate()
     val b = Bench.calibrate()

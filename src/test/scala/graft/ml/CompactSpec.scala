@@ -172,11 +172,11 @@ class CompactSpec extends AnyFunSuite {
     // identical answers from the compacted generation
     assert(pairs(store2.probe(batch, histNow, 0.5)) == before)
     assert(pairs(store2.probeEstimate(batch, 0.35)) == beforeEst)
-    // manifest + streaming marker carried
+    // manifest + streaming marker carried (the mark rides the new
+    // generation's commit log since r17, not a loose marker file)
     assert(MinHashStore.readParams(spark, s"$path/gen1")
       .contains(MinHashStore.CurrentParams))
-    assert(new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$path/gen1/_stream_batch")), "UTF-8") == "5")
+    assert(store2.batchMark._1 == 5L, s"carried mark: ${store2.batchMark}")
     // tidy store: no new generation
     assert(store2.compactTo(s"$path/gen2", maxFilesPerBand = 3) eq store2)
   }

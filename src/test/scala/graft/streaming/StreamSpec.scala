@@ -251,6 +251,74 @@ class StreamSpec extends AnyFunSuite {
     assert(b3Pairs == Set((301L, 202L)), s"post-flip cross-batch catch: $b3Pairs")
   }
 
+  test("auto-compacting store sink: bounded files over a long run, pairs identical, restart resumes the live generation") {
+    import graft.ml.MinHashStore
+    import spark.implicits._
+    def docText(k: Int) = s"unique document number $k with plenty of words " +
+      "to shingle for the minhash signature pipeline across micro batches"
+    // batch i: one exact dup of a doc from two batches back + two fresh
+    def batchDocs(i: Int): org.apache.spark.sql.DataFrame = {
+      val fresh = Seq((i * 10L + 1, docText(i * 10 + 1)), (i * 10L + 2, docText(i * 10 + 2)))
+      val dup = if (i >= 2) Seq((i * 10L + 3, docText((i - 2) * 10 + 1))) else Nil
+      (fresh ++ dup).toDF("doc_id", "text")
+    }
+    val hist = Seq((1000001L, "seed history document with enough words to shingle and signature"))
+      .toDF("doc_id", "text")
+    val origPath = Files.createTempDirectory("mhs-auto").resolve("store").toString
+    val store = MinHashStore.build(hist, origPath)
+    val twin = MinHashStore.build(hist, Files.createTempDirectory("mhs-auto-twin").toString)
+
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("new_id", "hist_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = scala.collection.mutable.Map[Long, Set[(Long, Long)]]()
+    val sink = StreamDedup.minhashStoreForeachBatch(store, 0.5,
+      compactEvery = 4, maxFilesPerBand = 4) { (bid, pairs) =>
+      got(bid) = pairSet(pairs); ()
+    }
+    val rounds = 16
+    for (i <- 0 until rounds) {
+      val docs = batchDocs(i)
+      sink.apply(docs, i.toLong)
+      // never-compacted replica: probe-then-append, the parity oracle
+      val h = twin.probeEstimateHandle(docs, 0.5)
+      try assert(got(i.toLong) == pairSet(h.pairs),
+        s"batch $i diverged from the uncompacted twin") finally h.close()
+      twin.append(docs)
+    }
+    assert((2 until rounds).forall(i =>
+      got(i.toLong).contains((i * 10L + 3, (i - 2) * 10L + 1))),
+      s"every cross-batch dup caught: $got")
+
+    // the flip happened, is durable, and retired its intermediates
+    val live = MinHashStore.resolveLive(store)
+    assert(live.path != store.path, "auto-compaction never flipped")
+    val parent = java.nio.file.Paths.get(origPath).getParent
+    val gens = Files.list(parent).filter(
+      _.getFileName.toString.startsWith("store@g")).count()
+    assert(gens == 1, s"intermediate generations not retired: $gens")
+    // bounded fragmentation: the live generation's band dirs never carry
+    // more than one uncompacted cycle of appends
+    val bandsDir = java.nio.file.Paths.get(live.path, "bands")
+    val maxFiles = Files.list(bandsDir).filter(
+      _.getFileName.toString.startsWith("band=")).mapToInt { d =>
+      Files.list(d).filter(_.getFileName.toString.endsWith(".parquet"))
+        .count().toInt
+    }.max().orElse(0)
+    assert(maxFiles <= 4 + 4, s"file count unbounded: $maxFiles per band")
+
+    // restart: a NEW closure built from the ORIGINAL store resolves to
+    // the live generation — replaying the last batch reports the same
+    // pairs and appends nothing
+    val sigsBefore = live.signatures.count()
+    var replay = Set.empty[(Long, Long)]
+    StreamDedup.minhashStoreForeachBatch(store, 0.5, compactEvery = 4,
+      maxFilesPerBand = 4) { (_, pairs) => replay = pairSet(pairs); () }
+      .apply(batchDocs(rounds - 1), (rounds - 1).toLong)
+    assert(replay == got((rounds - 1).toLong), s"restart replay diverged: $replay")
+    assert(MinHashStore.resolveLive(store).signatures.count() == sigsBefore,
+      "restart replay must not re-append")
+  }
+
   test("streaming dedup keeps first arrival across micro-batches") {
     val dir = Files.createTempDirectory("sdedup-src")
     def writeBatch(name: String, lines: Seq[String]): Unit = {
