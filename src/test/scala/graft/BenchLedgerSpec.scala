@@ -97,6 +97,31 @@ class BenchLedgerSpec extends AnyFunSuite {
     }
   }
 
+  test("suite drift: uniform inflation is ambient, a lone slow gate is a regression") {
+    def gates(rs: Double*): Seq[(String, Double)] =
+      rs.zipWithIndex.map { case (r, i) => s"q_g$i" -> r }
+    // 16 gates uniformly ~1.3x at calibration drift 1.0: the single-thread
+    // calibration is blind to memory/IO contention, but 16 independent
+    // gates moving in lockstep IS that contention - zero flags
+    val uniform = gates(Seq.fill(16)(1.3): _*)
+    assert(Bench.regressionsFor(uniform, Some(1.0)).isEmpty)
+    // one genuinely slow gate among healthy ones: median stays ~1.0,
+    // exactly that gate flags
+    val lone = gates((Seq.fill(15)(1.05) :+ 2.0): _*)
+    assert(Bench.regressionsFor(lone, Some(1.0)) == Seq("q_g15"))
+    // a lone slow gate on a uniformly loaded box STILL flags (2.6/1.3 = 2x)
+    val loadedLone = gates((Seq.fill(15)(1.3) :+ 2.6): _*)
+    assert(Bench.regressionsFor(loadedLone, Some(1.0)) == Seq("q_g15"))
+    // a global CODE regression cannot normalize itself away: the suite
+    // normalizer caps at 1.5, so uniform 10x flags everything
+    val global = gates(Seq.fill(16)(10.0): _*)
+    assert(Bench.regressionsFor(global, Some(1.0)).size == 16)
+    // below the gate-count floor (a filtered -family child) the suite
+    // median is not trusted: two gates at 1.3x flag as before
+    val few = gates(1.3, 1.3)
+    assert(Bench.regressionsFor(few, Some(1.0)) == Seq("q_g0", "q_g1"))
+  }
+
   test("calibration workload is CPU-bound and repeatable on this box") {
     val a = Bench.calibrate()
     val b = Bench.calibrate()
