@@ -29,6 +29,30 @@ final case class IvfIndex(spark: SparkSession, path: String) {
     */
   def stats: DataFrame = IvfIndex.readOwn(spark, s"$path/stats")
 
+  /** The next live generation, when a streaming sink's maintenance has
+    * flipped past this index — see [[IvfIndex.resolveLive]].
+    */
+  def successor: Option[IvfIndex] =
+    StoreIo.readSuccessor(StoreIo.fsOf(spark, path), path)
+      .map(IvfIndex(spark, _))
+
+  /** Record `newPath` as this index's live successor (atomic replace).
+    * A streaming sink writes this at the ORIGIN path on every
+    * maintenance flip, so restarts resolve to the live generation.
+    */
+  def writeSuccessor(newPath: String): Unit =
+    StoreIo.writeSuccessor(StoreIo.fsOf(spark, path), path, newPath)
+
+  /** Delete this index's directory — for retiring a superseded
+    * generation after a flip. Hard-linked files survive in the
+    * generation that linked them; only this generation's names go.
+    */
+  def delete(): Unit = {
+    StoreIo.fsOf(spark, path)
+      .delete(new org.apache.hadoop.fs.Path(path), true)
+    ()
+  }
+
   /** The probed-cell scan for a query set; exposed for plan inspection.
     *
     * The per-query nprobe-nearest-cell pick rides the bounded k-heap
@@ -447,11 +471,17 @@ object IvfIndex {
     * Single writer per index, same contract as the MinHashStore sink.
     */
   def appendBatch(index: IvfIndex, newVectors: DataFrame,
-      batchId: Long): Boolean =
-    guardedCellAppend(index.spark, index.path, batchId) { staging =>
+      batchId: Long, queryId: Option[String] = None): Boolean =
+    guardedCellAppend(index.spark, index.path, batchId, queryId) { staging =>
       AnnOps.assignCells(newVectors, index.centroids)
         .write.partitionBy("cell").parquet(staging)
     }
+
+  /** Follow the successor chain left by a streaming sink's maintenance
+    * flips to the live generation (see [[graft.streaming.StreamAnn]]).
+    */
+  def resolveLive(index: IvfIndex): IvfIndex =
+    IvfIndex(index.spark, StoreIo.resolveLivePath(index.spark, index.path))
 
   /** Exactly-once batch append over a `cells/` layout WITHOUT touching
     * the read path (the ANN indexes read whole cell dirs, with runtime
@@ -462,27 +492,45 @@ object IvfIndex {
     *    updates, [[StoreIo.replaceSmallAtomic]]) skips any batch at or
     *    below it — the replay-after-successful-commit case;
     *  - data files land under DETERMINISTIC per-batch names
-    *    (`b<batchId>-<i>.parquet`), so a replay of a batch that crashed
-    *    MID-append first sweeps the partial files that attempt left and
-    *    redoes the whole batch — duplicates cannot accumulate. Between
-    *    a crash and its replay the partial batch is transiently
-    *    visible to searches (bounded staleness, converges on replay) —
-    *    the trade for keeping searches commit-log-free.
+    *    (`b<batchId>-<lineage>-<i>.parquet`), so a replay of a batch
+    *    that crashed MID-append first sweeps the partial files that
+    *    attempt left and redoes the whole batch — duplicates cannot
+    *    accumulate. Between a crash and its replay the partial batch is
+    *    transiently visible to searches (bounded staleness, converges
+    *    on replay) — the trade for keeping searches commit-log-free.
+    *    The name carries a LINEAGE token (hash of the query id, `x`
+    *    when none): after [[resetStreamMark]] re-binds the index to a
+    *    fresh checkpoint, the new stream's restarted batch ids would
+    *    otherwise collide with — and sweep — the previous lineage's
+    *    COMMITTED files of the same number.
     */
   private[ml] def guardedCellAppend(spark: SparkSession, path: String,
-      batchId: Long)(write: String => Unit): Boolean = {
+      batchId: Long, queryId: Option[String] = None)(
+      write: String => Unit): Boolean = {
     val fs = StoreIo.fsOf(spark, path)
-    val mark = new org.apache.hadoop.fs.Path(s"$path/_stream_batch")
-    val hw = StoreIo.readSmall(fs, mark).map(_.trim.toLong).getOrElse(-1L)
+    val (hw, lineage) = streamMark(spark, path)
+    // lineage guard (same contract as MinHashStore.appendBatch): a fresh
+    // checkpoint directory restarts batch ids at 0, so comparing them
+    // against a mark carried from a DIFFERENT lineage would silently
+    // skip genuinely new batches — fail fast; resetStreamMark re-binds.
+    for (q <- queryId; l <- lineage)
+      if (l != q) throw new IllegalStateException(
+        s"index at $path is bound to streaming checkpoint lineage $l " +
+          s"but this batch arrives under $q; call resetStreamMark to " +
+          "intentionally re-bind it to the new stream")
     if (batchId <= hw) return false
-    // sweep partial files from a crashed attempt of THIS batch
+    val lin = queryId.map(q => java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(q))).getOrElse("x")
+    val prefix = s"b$batchId-$lin-"
+    // sweep partial files from a crashed attempt of THIS batch (same
+    // lineage only — a prior lineage's committed b<id> files are data)
     val cellsDir = new org.apache.hadoop.fs.Path(s"$path/cells")
     if (fs.exists(cellsDir))
       for (d <- fs.listStatus(cellsDir) if d.isDirectory;
            f <- fs.listStatus(d.getPath)
-           if f.isFile && f.getPath.getName.startsWith(s"b$batchId-"))
+           if f.isFile && f.getPath.getName.startsWith(prefix))
         fs.delete(f.getPath, false)
-    val staging = s"$path/_staging-b$batchId"
+    val staging = s"$path/_staging-b$batchId-$lin"
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     write(staging)
     var i = 0
@@ -494,15 +542,53 @@ object IvfIndex {
         fs.mkdirs(dst)
         for (f <- fs.listStatus(d.getPath).sortBy(_.getPath.getName)
              if f.isFile && f.getPath.getName.endsWith(".parquet")) {
-          val t = new org.apache.hadoop.fs.Path(dst, s"b$batchId-$i.parquet")
+          val t = new org.apache.hadoop.fs.Path(dst, s"$prefix$i.parquet")
           require(fs.rename(f.getPath, t), s"staged move failed: ${f.getPath} -> $t")
           i += 1
         }
       }
     fs.delete(st, true)
-    StoreIo.replaceSmallAtomic(fs, mark, batchId.toString)
+    StoreIo.replaceSmallAtomic(fs,
+      new org.apache.hadoop.fs.Path(s"$path/_stream_batch"),
+      (batchId.toString +: queryId.toSeq).mkString("\n"))
     true
   }
+
+  /** The streaming high-water mark and its checkpoint lineage for an
+    * index at `path`: (-1, None) when unmarked. Line 1 of the marker is
+    * the batch id; line 2 (absent on pre-lineage markers) the query id.
+    */
+  def streamMark(spark: SparkSession, path: String): (Long, Option[String]) =
+    StoreIo.readSmall(StoreIo.fsOf(spark, path),
+      new org.apache.hadoop.fs.Path(s"$path/_stream_batch"))
+      .map { s =>
+        val ls = s.split("\n", -1).map(_.trim)
+        (ls(0).toLong, ls.drop(1).find(_.nonEmpty))
+      }
+      .getOrElse((-1L, None))
+
+  /** Clear the streaming mark — the operator action that intentionally
+    * re-binds an existing index to a NEW stream (fresh checkpoint
+    * lineage) after [[guardedCellAppend]]'s fail-fast guard fired.
+    */
+  def resetStreamMark(spark: SparkSession, path: String): Unit = {
+    StoreIo.fsOf(spark, path)
+      .delete(new org.apache.hadoop.fs.Path(s"$path/_stream_batch"), false)
+    ()
+  }
+
+  /** Carry the streaming mark into a maintenance-created generation —
+    * BEFORE the durable successor flip, or a crash-after-flip replay
+    * would re-append a batch the new generation already incorporates.
+    */
+  private[graft] def copyStreamMark(spark: SparkSession, from: String,
+      to: String): Unit =
+    StoreIo.readSmall(StoreIo.fsOf(spark, from),
+      new org.apache.hadoop.fs.Path(s"$from/_stream_batch"))
+      .foreach { body =>
+        StoreIo.replaceSmallAtomic(StoreIo.fsOf(spark, to),
+          new org.apache.hadoop.fs.Path(s"$to/_stream_batch"), body)
+      }
 
   /** Re-train for a drifted corpus: re-run the coarse quantizer over the
     * CURRENT stored corpus (original build plus every append) and build a

@@ -26,6 +26,29 @@ final case class IvfPqIndex(spark: SparkSession, path: String) {
     */
   def stats: DataFrame = IvfIndex.readOwn(spark, s"$path/stats")
 
+  /** The next live generation, when a streaming sink's maintenance has
+    * flipped past this index — see [[IvfPq.resolveLive]].
+    */
+  def successor: Option[IvfPqIndex] =
+    StoreIo.readSuccessor(StoreIo.fsOf(spark, path), path)
+      .map(IvfPqIndex(spark, _))
+
+  /** Record `newPath` as this index's live successor (atomic replace) —
+    * written at the ORIGIN path on every maintenance flip.
+    */
+  def writeSuccessor(newPath: String): Unit =
+    StoreIo.writeSuccessor(StoreIo.fsOf(spark, path), path, newPath)
+
+  /** Delete this index's directory — for retiring a superseded
+    * generation after a flip (hard-linked files survive in the
+    * generation that linked them).
+    */
+  def delete(): Unit = {
+    StoreIo.fsOf(spark, path)
+      .delete(new org.apache.hadoop.fs.Path(path), true)
+    ()
+  }
+
   /** Two-stage search: ADC shortlist over the probed cells' codes, exact
     * cosine re-rank of the shortlist against `corpus` (the source table —
     * re-rank I/O is shortlist-sized, keyed by vec_id).
@@ -292,8 +315,9 @@ object IvfPq {
     * [[append]] — only the commit discipline differs.
     */
   def appendBatch(index: IvfPqIndex, newVectors: DataFrame,
-      batchId: Long): Boolean =
-    IvfIndex.guardedCellAppend(index.spark, index.path, batchId) { staging =>
+      batchId: Long, queryId: Option[String] = None): Boolean =
+    IvfIndex.guardedCellAppend(index.spark, index.path, batchId,
+        queryId) { staging =>
       val nv = newVectors
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -582,6 +606,12 @@ object IvfPq {
     * retrain. The caller flips its generation pointer to `result.index`
     * when it accepts — the immutable-generation contract throughout.
     */
+  /** Follow the successor chain left by a streaming sink's maintenance
+    * flips to the live generation (see [[graft.streaming.StreamAnn]]).
+    */
+  def resolveLive(index: IvfPqIndex): IvfPqIndex =
+    IvfPqIndex(index.spark, StoreIo.resolveLivePath(index.spark, index.path))
+
   def maintain(index: IvfPqIndex, corpus: DataFrame, newPath: String,
       policy: MaintainPolicy = MaintainPolicy()): MaintainResult = {
     val h = health(index, policy.sampleFraction, policy.splitFactor,

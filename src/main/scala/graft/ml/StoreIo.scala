@@ -36,6 +36,35 @@ private[ml] object StoreIo {
     require(fs.rename(tmp, p), s"atomic publish failed: $tmp -> $p")
   }
 
+  /** The live-generation successor pointer a streaming sink leaves at a
+    * store's ORIGIN path on a generation flip (auto-compaction or
+    * maintenance): `Some(newPath)` when flipped, None for a live origin.
+    */
+  def readSuccessor(fs: FileSystem, path: String): Option[String] =
+    readSmall(fs, new HPath(s"$path/_successor")).map(_.trim).filter(_.nonEmpty)
+
+  /** Record `newPath` as `path`'s live successor (atomic replace — a
+    * crash leaves either the old pointer or the new one). Sinks write
+    * this at the ORIGIN path on every flip, so the chain stays one hop
+    * deep in steady state.
+    */
+  def writeSuccessor(fs: FileSystem, path: String, newPath: String): Unit =
+    replaceSmallAtomic(fs, new HPath(s"$path/_successor"), newPath)
+
+  /** Follow the successor chain from `path` to the live generation. */
+  def resolveLivePath(spark: SparkSession, path: String): String = {
+    var cur = path
+    var hops = 0
+    while (hops < 1000) {
+      readSuccessor(fsOf(spark, cur), cur) match {
+        case Some(next) => cur = next; hops += 1
+        case None => return cur
+      }
+    }
+    throw new IllegalStateException(
+      s"successor chain from $path exceeds 1000 hops (cycle?)")
+  }
+
   /** Overwrite a small file atomically. Local paths go through
     * java.nio ATOMIC_MOVE (rename(2) — the replace itself is atomic, so
     * a crash mid-update leaves either the old or the new content, never

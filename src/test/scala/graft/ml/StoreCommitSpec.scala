@@ -152,7 +152,7 @@ class StoreCommitSpec extends AnyFunSuite {
       p.getFileName.toString.startsWith("cell=")).findFirst().get()
     val donor = Files.list(someCell).filter(_.getFileName.toString.endsWith(".parquet"))
       .findFirst().get()
-    Files.copy(donor, someCell.resolve("b1-999.parquet"))
+    Files.copy(donor, someCell.resolve("b1-x-999.parquet"))
     assert(IvfIndex.appendBatch(ivf, newVecs.limit(5), 1L))
     assert(spark.read.parquet(s"${ivf.path}/cells").count() == n0 + nNew + 5,
       "partial-crash leftovers must be swept, not double-counted")
