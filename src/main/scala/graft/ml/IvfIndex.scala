@@ -716,14 +716,16 @@ object IvfIndex {
       sampleFraction: Double = 1.0,
       splitFactor: Double = 2.0, mergeFraction: Double = 0.1,
       // CALIBRATE driftTol above the quantizer's GENERALIZATION GAP:
-      // k-means centroids overfit their training mass, so fresh
-      // in-distribution appends score a slightly lower assignment
-      // cosine than the build snapshot — ~0.06 at ~100 training
-      // points/cell on the sf1 ladder (tools/logs/streamann_sf1_r17
-      // .log), shrinking as points-per-cell grow (sf10 read 0.0000,
-      // ivfmaint_sf10_r16.log). A tolerance below the gap retrains on
-      // every maintenance tick for nothing; streaming sinks that pick
-      // cells ≈ √N should set ~0.12 (StreamAnnProbe's setting).
+      // k-means centroids overfit their training mass, so HELD-OUT
+      // in-distribution appends score a lower assignment cosine than
+      // the build snapshot — 0.055-0.071 at sf1 and ~0.088 at sf10
+      // with cells ≈ √N (tools/logs/streamann_sf{1,10}_r17.log; the
+      // r16 probe's 0.0000 re-appended training points themselves,
+      // which has no gap by construction). A tolerance below the gap
+      // retrains on every maintenance tick for nothing; streaming
+      // sinks at cells ≈ √N should set ~0.12 (StreamAnnProbe's
+      // setting — both rungs' ticks correctly chose compact, and the
+      // maintained recall matched a fresh rebuild).
       driftTol: Double = 0.05,
       subCells: Int = 2, trainIters: Int = 3,
       retrainCells: Int = 0, // 0 = keep the current centroid count

@@ -108,6 +108,50 @@ class ScaleSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("sf1 streaming ANN sink: exactly-once counts, maintained recall holds vs fresh rebuild") {
+    gated()
+    val corpus = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist()
+    val hist = corpus.filter(col("vec_id") % 2 === 0)
+    def batch(b: Int) = corpus.filter(col("vec_id") % 2 === 1 &&
+      pmod(expr("vec_id div 2"), lit(8L)) === b)
+    val origin = IvfIndex.build(hist,
+      java.nio.file.Files.createTempDirectory("scale-streamann").toString,
+      cells = 64, trainIters = 3)
+    // driftTol 0.12 sits above the ~0.06 generalization gap at this
+    // points-per-cell (BENCHNOTES r17) — ticks compact, never retrain
+    val policy = IvfIndex.MaintainPolicy(driftTol = 0.12,
+      maxFilesPerCell = 4, targetFilesPerCell = 1,
+      recallQueries = 16, k = 5, nprobe = 8)
+    val sink = graft.streaming.StreamAnn.ivfForeachBatch(origin, 4, policy)()
+    for (b <- 0 until 8) sink(batch(b), b.toLong)
+    // restart + replay of the delivered last batch: exactly-once
+    graft.streaming.StreamAnn.ivfForeachBatch(origin, 4, policy)()(batch(7), 7L)
+
+    val live = IvfIndex.resolveLive(origin)
+    assert(live.path != origin.path, "8 appends at maxFilesPerCell=4 must have flipped")
+    val ids = spark.read.parquet(s"${live.path}/cells").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val want = corpus.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids == want, s"sink lost/duplicated rows: ${ids.size} vs ${want.size}")
+    // post-tick file ceiling stays within the policy budget
+    val ceiling = new java.io.File(s"${live.path}/cells").listFiles()
+      .filter(_.isDirectory)
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+    assert(ceiling <= 4, s"maintenance left fragmentation: $ceiling files/cell")
+    // the maintained index holds the recall of a fresh single-shot build
+    val rMaint = IvfIndex.measureRecall(live, k = 5, nprobe = 8, nQueries = 32)
+    val control = IvfIndex.build(corpus,
+      java.nio.file.Files.createTempDirectory("scale-streamann-ctl").toString,
+      cells = 64, trainIters = 3)
+    val rCtl = IvfIndex.measureRecall(control, k = 5, nprobe = 8, nQueries = 32)
+    assert(rMaint >= rCtl - 0.05,
+      f"maintained recall $rMaint%.3f fell below fresh-rebuild $rCtl%.3f - 0.05")
+    info(f"maintained=$rMaint%.3f freshControl=$rCtl%.3f ceiling=$ceiling")
+    corpus.unpersist()
+  }
+
   test("sf1 store compaction: fragmented appends rewritten, probe parity, cost not worse") {
     gated()
     val docs = Tables.documents(spark, sfDir)
