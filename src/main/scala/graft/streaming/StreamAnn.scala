@@ -84,8 +84,13 @@ object StreamAnn {
   /** The PQ sink — the memory-feasible index at 100 TB. `corpus` is the
     * raw-vector source of truth (the PQ index stores codes only): a
     * retrain tick — and its recall audit — reads it; lazy because most
-    * ticks never do. It must cover everything appended so far, e.g. the
-    * lake table the same pipeline appends vectors to upstream.
+    * ticks never do. It must COVER everything appended so far (e.g. the
+    * lake table the same pipeline appends vectors to upstream) and MAY
+    * run ahead of the stream: the sink restricts it to the vec_ids the
+    * index actually stores before handing it to `maintain` — without
+    * that, `IvfPq.retrain` (which rebuilds from the corpus frame
+    * verbatim) would import rows the stream has not delivered yet, and
+    * their later micro-batches would append them AGAIN.
     */
   def ivfPqForeachBatch(index: IvfPqIndex, corpus: () => DataFrame,
       maintainEvery: Int = 0,
@@ -99,8 +104,11 @@ object StreamAnn {
       IvfPq.appendBatch(cur, batch.select(col("vec_id"), col("v")),
         batchId, queryId)
       if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0) {
-        val res = IvfPq.maintain(cur, corpus(), genPath(index.path, batchId),
-          policy)
+        val stored = index.spark.read.parquet(s"${cur.path}/cells")
+          .select("vec_id")
+        val res = IvfPq.maintain(cur,
+          corpus().join(stored, Seq("vec_id"), "left_semi"),
+          genPath(index.path, batchId), policy)
         if (res.index.path != cur.path) {
           IvfIndex.copyStreamMark(index.spark, cur.path, res.index.path)
           index.writeSuccessor(res.index.path)

@@ -119,6 +119,32 @@ class StreamAnnSpec extends AnyFunSuite {
     assert(IvfIndex.streamMark(spark, idx.path) == ((0L, Some("qB"))))
   }
 
+  test("PQ sink retrain tick: an ahead-of-stream corpus provider imports nothing undelivered") {
+    val origin = IvfPq.build(base,
+      Files.createTempDirectory("stream-pq-retrain").toString, cells = 4, m = 4)
+    // provider covers MORE than the stream has delivered (batches 0-3
+    // appended; the provider also carries batch 9's future rows)
+    val ahead = () => base
+      .unionByName((0 to 3).map(batchOf).reduce(_.unionByName(_)))
+      .unionByName(batchOf(9))
+    // driftTol = -1 forces the retrain recommendation at the tick
+    val sink = StreamAnn.ivfPqForeachBatch(origin, ahead, maintainEvery = 4,
+      IvfPq.MaintainPolicy(driftTol = -1.0, recallQueries = 4, k = 3,
+        nprobe = 3, auditShortlist = 50))()
+    for (b <- 0 to 3) sink(batchOf(b), b.toLong)
+    val live = IvfPq.resolveLive(origin)
+    assert(live.path != origin.path, "forced retrain must flip")
+    val delivered = base.select("vec_id").collect().map(_.getLong(0)).toSet ++
+      (0 to 3).flatMap(b => batchOf(b).select("vec_id").collect().map(_.getLong(0)))
+    assert(storedIds(live.path) == delivered,
+      "retrain imported rows the stream has not delivered yet")
+    // batch 9 arrives later: appended exactly once, not duplicated
+    val sink2 = StreamAnn.ivfPqForeachBatch(origin, ahead, maintainEvery = 0)()
+    sink2(batchOf(9), 9L)
+    val after = storedIds(IvfPq.resolveLive(origin).path)
+    assert(after == delivered ++ batchOf(9).select("vec_id").collect().map(_.getLong(0)))
+  }
+
   test("PQ sink: exactly-once appends and a compacting flip carry the mark") {
     val origin = IvfPq.build(base,
       Files.createTempDirectory("stream-pq").toString, cells = 4, m = 4)
