@@ -21,13 +21,18 @@ import org.apache.spark.sql.functions._
   * maintenance tick — the action taken plus a self-query recall sample
   * on the LIVE generation.
   *
-  * usage: run_main.sh graft.ml.StreamAnnProbe [sfDir] [batches] [maintainEvery]
+  * usage: run_main.sh graft.ml.StreamAnnProbe [sfDir] [batches] [maintainEvery] [pq]
+  *   4th arg `pq` drives [[graft.streaming.StreamAnn.ivfPqForeachBatch]]
+  *   instead — the memory-feasible index at 100 TB — with an
+  *   over-covering corpus provider (the full embeddings table), so the
+  *   sink's stored-vec_id restriction is exercised at scale too.
   */
 object StreamAnnProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/testdata-sf1")
     val batches = if (args.length > 1) args(1).toInt else 16
     val maintainEvery = if (args.length > 2) args(2).toInt else 4
+    val pqMode = args.length > 3 && args(3) == "pq"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -42,18 +47,66 @@ object StreamAnnProbe {
       col("vec_id") % 2 === 1 &&
         pmod(expr("vec_id div 2"), lit(batches.toLong)) === b)
 
+    def maxFilesPerCellAt(p: String): Int = {
+      val cellsDir = new java.io.File(s"$p/cells")
+      cellsDir.listFiles().filter(_.isDirectory)
+        .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+        .foldLeft(0)(math.max)
+    }
+
+    if (pqMode) {
+      val nprobe = math.max(3, cells / 10)
+      val path = java.nio.file.Files.createTempDirectory("stream-pq-probe").toString
+      val t0 = System.nanoTime()
+      val origin = IvfPq.build(hist, path, cells = cells, m = 8)
+      println(f"STREAMPQ build dir=$sfDir n=$n cells=$cells m=8 batches=$batches " +
+        f"every=$maintainEvery hist=${hist.count()} wall=${(System.nanoTime() - t0) / 1e9}%.1fs")
+      // the provider deliberately OVER-COVERS (whole table, both splits):
+      // the sink must restrict retrains to delivered vec_ids
+      val sink = graft.streaming.StreamAnn.ivfPqForeachBatch(origin,
+        () => corpus, maintainEvery,
+        IvfPq.MaintainPolicy(maxFilesPerCell = 8, targetFilesPerCell = 1,
+          recallQueries = 32, k = 5, nprobe = nprobe)) { (bid, r) =>
+        println(f"STREAMPQ tick=$bid action=${r.action} " +
+          f"appendDrift=${r.report.appendDrift}%.4f frag=${r.report.fragmentedCells.size} " +
+          f"recallAudit=${r.recall.map(v => f"$v%.3f").getOrElse("-")}")
+      }
+      var seen = hist.count()
+      for (b <- 0 until batches) {
+        spark.sharedState.cacheManager.clearCache()
+        val bd = batch(b)
+        val t = System.nanoTime()
+        sink(bd, b.toLong)
+        seen += bd.count()
+        val live = IvfPq.resolveLive(origin)
+        println(f"STREAMPQ batch=$b wall=${(System.nanoTime() - t) / 1e9}%.2fs " +
+          f"indexed=$seen maxFiles=${maxFilesPerCellAt(live.path)}")
+      }
+      val live = IvfPq.resolveLive(origin)
+      val stored = spark.read.parquet(s"${live.path}/cells").select("vec_id")
+      val storedCorpus = corpus.join(stored, Seq("vec_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tq = System.nanoTime()
+      val rec = IvfPq.measureRecall(live, storedCorpus, k = 5, nprobe = nprobe)
+      val tRec = (System.nanoTime() - tq) / 1e9
+      val control = IvfPq.build(storedCorpus,
+        java.nio.file.Files.createTempDirectory("stream-pq-ctl").toString,
+        cells = cells, m = 8)
+      val recCtl = IvfPq.measureRecall(control, storedCorpus, k = 5, nprobe = nprobe)
+      println(f"STREAMPQ final live=${live.path} storedRows=${stored.count()} " +
+        f"recall=$rec%.3f freshControl=$recCtl%.3f auditWall=$tRec%.1fs " +
+        f"maxFiles=${maxFilesPerCellAt(live.path)}")
+      spark.stop()
+      return
+    }
+
     val path = java.nio.file.Files.createTempDirectory("stream-ann-probe").toString
     val t0 = System.nanoTime()
     val origin = IvfIndex.build(hist, path, cells = cells)
     println(f"STREAMANN build dir=$sfDir n=$n cells=$cells batches=$batches " +
       f"every=$maintainEvery hist=${hist.count()} wall=${(System.nanoTime() - t0) / 1e9}%.1fs")
 
-    def maxFilesPerCell(p: String): Int = {
-      val cellsDir = new java.io.File(s"$p/cells")
-      cellsDir.listFiles().filter(_.isDirectory)
-        .map(_.listFiles().count(_.getName.endsWith(".parquet")))
-        .foldLeft(0)(math.max)
-    }
+    def maxFilesPerCell(p: String): Int = maxFilesPerCellAt(p)
     // nprobe sized to the cell count (the recall lever: ~10% of cells
     // probed — ScaleSpec's sf1 receipt reads 0.99 at 12.5%); driftTol
     // sits ABOVE the quantizer's generalization gap (in-distribution
