@@ -119,6 +119,87 @@ class StreamAnnSpec extends AnyFunSuite {
     assert(IvfIndex.streamMark(spark, idx.path) == ((0L, Some("qB"))))
   }
 
+  test("real stream: lineage binds via sql.streaming.queryId; fresh checkpoint fails fast until reset") {
+    import spark.implicits._
+    def vecs(ids: Range): Seq[(Long, Array[Double])] = ids.map { i =>
+      (i.toLong, Array.tabulate(4)(d => math.sin(i * 7.0 + d) + (if (i % 2 == 0) 2.0 else -2.0)))
+    }
+    val idx = IvfIndex.build(vecs(0 until 8).toDF("vec_id", "v"),
+      Files.createTempDirectory("stream-real-ivf").toString,
+      cells = 2, trainIters = 2)
+
+    val dir = Files.createTempDirectory("stream-real-src")
+    def writeBatch(name: String, ids: Range): Unit = {
+      val lines = vecs(ids).map { case (id, v) =>
+        s"""{"vec_id":$id,"v":[${v.mkString(",")}]}""" }
+      val tmp = dir.resolve(s".$name")
+      Files.write(tmp, lines.mkString("\n").getBytes)
+      Files.move(tmp, dir.resolve(name))
+      ()
+    }
+    def start(ckpt: java.nio.file.Path) = spark.readStream
+      .schema("vec_id LONG, v ARRAY<DOUBLE>").json(dir.toString)
+      .writeStream
+      .foreachBatch(StreamAnn.ivfForeachBatch(idx)())
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+
+    val ckpt = Files.createTempDirectory("stream-real-ckpt")
+    writeBatch("b1.json", 100 until 104)
+    val q = start(ckpt)
+    q.processAllAvailable()
+    writeBatch("b2.json", 200 until 204)
+    q.processAllAvailable()
+    q.stop()
+    assert(storedIds(idx.path).size == 16)
+    // the mark carries the QUERY id (stable across restarts of the same
+    // checkpoint) — proof the local property reached the sink
+    val (hw, lineage) = IvfIndex.streamMark(spark, idx.path)
+    assert(hw == 1L && lineage.contains(q.id.toString),
+      s"mark ($hw, $lineage) vs query ${q.id}")
+
+    // same checkpoint restart: same queryId, batch ids continue — fine
+    writeBatch("b3.json", 300 until 304)
+    val q2 = start(ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(q2.id == q.id && storedIds(idx.path).size == 20)
+
+    // FRESH checkpoint over the same index: new queryId, batch ids
+    // restart at 0 — the guard must kill the query, not skip silently
+    writeBatch("b4.json", 400 until 404)
+    val q3 = start(Files.createTempDirectory("stream-real-ckpt2"))
+    val e = intercept[Exception] { q3.processAllAvailable() }
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else t.getMessage :: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("resetStreamMark")),
+      s"expected the lineage fail-fast, got: ${chain(e)}")
+    q3.stop()
+    assert(storedIds(idx.path).size == 20, "no partial append from the killed query")
+
+    // operator re-bind: reset, then point the new lineage at NEW data
+    // only (a fresh checkpoint REPLAYS its source from scratch, and ANN
+    // appends carry no content dedup — that replay-duplication is
+    // exactly what the guard above refuses to let happen silently)
+    IvfIndex.resetStreamMark(spark, idx.path)
+    val dir2 = Files.createTempDirectory("stream-real-src2")
+    val lines = vecs(400 until 404).map { case (id, v) =>
+      s"""{"vec_id":$id,"v":[${v.mkString(",")}]}""" }
+    Files.write(dir2.resolve("b4.json"), lines.mkString("\n").getBytes)
+    val q4 = spark.readStream
+      .schema("vec_id LONG, v ARRAY<DOUBLE>").json(dir2.toString)
+      .writeStream
+      .foreachBatch(StreamAnn.ivfForeachBatch(idx)())
+      .option("checkpointLocation",
+        Files.createTempDirectory("stream-real-ckpt3").toString)
+      .start()
+    q4.processAllAvailable()
+    q4.stop()
+    val rows = spark.read.parquet(s"${idx.path}/cells").count()
+    assert(storedIds(idx.path).size == 24 && rows == 24L,
+      s"re-bound lineage must append exactly its new rows (ids=${storedIds(idx.path).size}, rows=$rows)")
+  }
+
   test("PQ sink retrain tick: an ahead-of-stream corpus provider imports nothing undelivered") {
     val origin = IvfPq.build(base,
       Files.createTempDirectory("stream-pq-retrain").toString, cells = 4, m = 4)
