@@ -152,6 +152,45 @@ class ScaleSpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("sf1 streaming PQ sink: exact rows under an over-covering provider, recall holds") {
+    gated()
+    val corpus = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist()
+    val hist = corpus.filter(col("vec_id") % 2 === 0)
+    def batch(b: Int) = corpus.filter(col("vec_id") % 2 === 1 &&
+      pmod(expr("vec_id div 2"), lit(8L)) === b)
+    val origin = IvfPq.build(hist,
+      java.nio.file.Files.createTempDirectory("scale-streampq").toString,
+      cells = 64, m = 8)
+    // provider deliberately over-covers (both splits): only delivered
+    // batches may reach the index (StreamAnn restricts to stored ids)
+    val sink = graft.streaming.StreamAnn.ivfPqForeachBatch(origin,
+      () => corpus, maintainEvery = 4,
+      IvfPq.MaintainPolicy(maxFilesPerCell = 4, targetFilesPerCell = 1,
+        recallQueries = 16, k = 5, nprobe = 8))()
+    for (b <- 0 until 6) sink(batch(b), b.toLong)
+    // exactly-once under replay, as the IVF rung
+    graft.streaming.StreamAnn.ivfPqForeachBatch(origin, () => corpus,
+      maintainEvery = 4)()(batch(5), 5L)
+
+    val live = IvfPq.resolveLive(origin)
+    val stored = spark.read.parquet(s"${live.path}/cells")
+    val want = hist.count() + (0 until 6).map(b => batch(b).count()).sum
+    assert(stored.count() == want && stored.select("vec_id").distinct().count() == want,
+      s"PQ sink row drift: ${stored.count()} vs $want")
+    val storedCorpus = corpus.join(stored.select("vec_id"), Seq("vec_id"), "left_semi")
+    val rMaint = IvfPq.measureRecall(live, storedCorpus, k = 5, nprobe = 8)
+    val control = IvfPq.build(storedCorpus,
+      java.nio.file.Files.createTempDirectory("scale-streampq-ctl").toString,
+      cells = 64, m = 8)
+    val rCtl = IvfPq.measureRecall(control, storedCorpus, k = 5, nprobe = 8)
+    assert(rMaint >= rCtl - 0.1,
+      f"maintained PQ recall $rMaint%.3f fell below fresh-rebuild $rCtl%.3f - 0.1")
+    info(f"maintained=$rMaint%.3f freshControl=$rCtl%.3f rows=$want")
+    corpus.unpersist()
+  }
+
   test("sf1 store compaction: fragmented appends rewritten, probe parity, cost not worse") {
     gated()
     val docs = Tables.documents(spark, sfDir)
