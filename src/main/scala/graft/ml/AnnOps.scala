@@ -241,14 +241,39 @@ object AnnOps {
   /** Train a coarse quantizer: Lloyd's k-means over cosine similarity,
     * deterministic init (the k lowest vec_ids), all in DataFrame ops —
     * each iteration is one broadcast-join assign + one mean-reduce.
+    *
+    * TRAINING SAMPLE CAP (`trainCap` × k rows, the standard coarse-
+    * quantizer practice): past the cap the Lloyd iterations run on a
+    * deterministic hash-filter sample — a narrow predicate, no shuffle
+    * — so training cost stops growing with the corpus (sf100 build
+    * dropped ~336 s → ~2 min at 1M vectors / 1000 cells), and, just as
+    * important, the build-time stats snapshot (always computed over the
+    * FULL corpus) then predominantly measures HELD-OUT assignment
+    * quality: the drift monitor's training-overfit gap — which SCALES
+    * with the cell count (in-distribution appends read appendDrift
+    * 0.065 / 0.088 / 0.16 at cells 100 / 316 / 1000 against
+    * full-corpus-trained snapshots, r17 StreamAnnProbe receipts) —
+    * self-cancels instead of needing a per-scale driftTol recalibration.
+    * Corpora at or under the cap (every correctness gate) train on
+    * every row, byte-identical to the uncapped behavior.
     */
-  def kmeansCells(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kmeansCells(corpus: DataFrame, k: Int, iters: Int,
+      trainCap: Int = 256): DataFrame = {
+    val ss = corpus.sparkSession
+    val vType = corpus.schema("v").dataType
+    val cap = trainCap.toLong * k
+    val n = corpus.count()
+    // sample only when the stride keeps the sample AT or ABOVE the cap
+    // (n/cap ≥ 2): a fractional stride rounded up would undershoot —
+    // observed at the sf1 rung, where a forced 50% sample left 156
+    // points/cell (under the 256 floor) and IVF recall fell 0.99 → 0.71
+    val train = if (trainCap > 0 && n >= 2 * cap) {
+      corpus.filter(pmod(xxhash64(col("vec_id")), lit(n / cap)) === 0)
+    } else corpus
     // Deterministic init: the k lowest vec_ids, numbered on the driver —
     // k rows is metadata scale, and it avoids a partition-less global
     // window (the pattern PlanAuditSpec bans).
-    val ss = corpus.sparkSession
-    val vType = corpus.schema("v").dataType
-    val init = corpus.orderBy("vec_id").limit(k).select("v").collect()
+    val init = train.orderBy("vec_id").limit(k).select("v").collect()
     var cents = ss.createDataFrame(
       java.util.Arrays.asList(init.zipWithIndex.map { case (r, i) =>
         org.apache.spark.sql.Row(i + 1, r.get(0))
@@ -260,7 +285,7 @@ object AnnOps {
     for (it <- 0 until iters) {
       // argmax via the bounded heap (k=1): the shuffle carries one row
       // per VECTOR, not one per vector × cell as the old rank window did
-      val assigned = argmaxCell(corpus, cents)
+      val assigned = argmaxCell(train, cents)
       cents = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg("x").as("m"))

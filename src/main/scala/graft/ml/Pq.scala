@@ -32,12 +32,34 @@ object Pq {
 
   /** Train codebooks: Lloyd's k-means per subspace, deterministic init
     * (the K lowest vec_ids' subvectors). Returns (m, k, cent).
+    *
+    * Training caps at `trainCap` × K vectors past that size — same
+    * deterministic hash-filter sample (and same two rationales) as
+    * [[AnnOps.kmeansCells]]: Lloyd cost stops growing with the corpus,
+    * and the build-time qerr snapshot (encoded over the FULL corpus)
+    * then measures held-out reconstruction quality, keeping the drift
+    * monitor's in-distribution baseline honest. At-or-under-cap corpora
+    * (every correctness gate) train on every row, unchanged.
+    *
+    * The default cap is 4× the coarse quantizer's: a codebook centroid
+    * sees only a D/M-dim slice and ADC ranking error COMPOUNDS across
+    * the M subspaces, so PQ recall is far more sample-sensitive — at
+    * the sf1 rung, a 256×K codebook sample read default-frac recall
+    * 0.59 where full training reads 0.73.
     */
-  def train(corpus: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 3): DataFrame = {
+  def train(corpus: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 3,
+      trainCap: Int = 1024): DataFrame = {
     val dim = corpus.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
     val dsub = dim / m
-    val sub = subvectors(corpus, m, dsub)
+    val capRows = trainCap.toLong * k
+    val n = corpus.count()
+    // stride sampling only past 2× the cap, keeping the sample at or
+    // above capRows — see AnnOps.kmeansCells's undershoot note
+    val tcorp = if (trainCap > 0 && n >= 2 * capRows) {
+      corpus.filter(pmod(xxhash64(col("vec_id")), lit(n / capRows)) === 0)
+    } else corpus
+    val sub = subvectors(tcorp, m, dsub)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // deterministic init WITHOUT a per-subspace sort window (a
     // Window.partitionBy("m") funnels each subspace's ENTIRE corpus
@@ -46,7 +68,7 @@ object Pq {
     // rank becomes its centroid index via a literal map — k is
     // codebook-sized, so the collect is driver-safe. Same seeds, same
     // indexes as the old window form.
-    val initIds = corpus.select("vec_id").orderBy("vec_id").limit(k)
+    val initIds = tcorp.select("vec_id").orderBy("vec_id").limit(k)
       .collect().map(_.getLong(0))
     val idIdx = map(initIds.zipWithIndex.flatMap { case (id, i) =>
       Seq(lit(id), lit(i)) }: _*)
