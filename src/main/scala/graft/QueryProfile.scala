@@ -13,6 +13,12 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkLi
   *   env GRAFT_PROFILE_COLD=1 — clearCache before each timed run (bench-
   *   comparable cold numbers; default keeps gate-internal persists warm)
   *   env GRAFT_PROFILE_AQE=off — disable adaptive execution for the runs
+  *   env GRAFT_PROFILE_NOOP=1 — time a noop-sink write instead of count()
+  *   (guide §1.4: count() lets the optimizer prune deterministic
+  *   projections — and with parquet aggregate pushdown a pure-projection
+  *   gate's count() collapses to a footer metadata read — so count()
+  *   under-measures scan-side expression work; the noop sink evaluates
+  *   every column of every row)
   */
 object QueryProfile {
   def main(args: Array[String]): Unit = {
@@ -49,7 +55,11 @@ object QueryProfile {
     // (CacheManager matches by canonicalized plan) — warm-cache numbers
     // that are NOT comparable to BENCH readings (the r14 minhash lesson).
     val cold = sys.env.get("GRAFT_PROFILE_COLD").contains("1")
-    q.run(spark, sfDir).count() // warm-up: JIT, codegen, parquet footers
+    val noop = sys.env.get("GRAFT_PROFILE_NOOP").contains("1")
+    def act(df: org.apache.spark.sql.DataFrame): Long =
+      if (noop) { df.write.format("noop").mode("overwrite").save(); -1L }
+      else df.count()
+    act(q.run(spark, sfDir)) // warm-up: JIT, codegen, parquet footers
     for (r <- 1 to runs) {
       if (cold) spark.sharedState.cacheManager.clearCache()
       stages.clear(); jobs = 0
@@ -58,7 +68,7 @@ object QueryProfile {
       val t1 = System.nanoTime()
       df.queryExecution.executedPlan // analysis + optimization + planning
       val t2 = System.nanoTime()
-      val n = df.count()
+      val n = act(df)
       val t3 = System.nanoTime()
       val sec = (t3 - t0) / 1e9
       Thread.sleep(300) // listener bus is async; let it drain before reporting
