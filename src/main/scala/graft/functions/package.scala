@@ -38,8 +38,15 @@ package object functions {
   def tokensColumns(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9']+"), t => length(t) > 0)
 
-  /** BPE-ish token count: words, numbers, and punctuation runs each count. */
-  def bpeishTokenCount(text: Column): Column =
+  /** BPE-ish token count: words, numbers, and punctuation runs each count.
+    * Backed by the native one-pass [[BpeishCountExpr]]; the regex
+    * formulation stays as [[bpeishTokenCountColumns]], the parity
+    * reference (CountExprsSpec).
+    */
+  def bpeishTokenCount(text: Column): Column = CountExprs.bpeishCount(text)
+
+  /** The regex reference formulation of [[bpeishTokenCount]]. */
+  def bpeishTokenCountColumns(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
       .cast("long")
 

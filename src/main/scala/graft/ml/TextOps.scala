@@ -14,24 +14,44 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Stopword regexes per language for the n-gram/stopword language-ID
-    * heuristic. Word-boundary anchored; counts are exact-match counts.
+  /** Stopword WORD SETS per language for the n-gram/stopword language-ID
+    * heuristic; zh scores by CJK codepoint count instead of words.
     */
-  val langMarkers: Seq[(String, String)] = Seq(
-    "en" -> "\\b(the|and|of|to|is|in|that|for|with|was)\\b",
-    "es" -> "\\b(el|la|de|que|y|los|las|una|por|con)\\b",
-    "de" -> "\\b(der|die|das|und|ist|nicht|ein|mit|von|zu)\\b",
-    "fr" -> "\\b(le|la|les|des|est|une|dans|pour|que|qui)\\b",
-    // \x{...} escapes: understood by both Java regex and DuckDB's RE2
-    // (RE2 has no \uXXXX form).
-    "zh" -> "[\\x{4e00}-\\x{9fff}]")
+  private[graft] val langWordSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "for", "with", "was"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "las", "una", "por", "con"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "pour", "que", "qui"))
 
-  private def markerCount(text: Column, pattern: String): Column =
+  /** The regex renderings of the markers (word-boundary anchored), used by
+    * the DuckDB oracles and as the parity reference for the native counts.
+    * \x{...} escapes: understood by both Java regex and DuckDB's RE2
+    * (RE2 has no \uXXXX form).
+    */
+  val langMarkers: Seq[(String, String)] =
+    langWordSets.map { case (l, ws) => l -> s"\\b(${ws.mkString("|")})\\b" } :+
+      ("zh" -> "[\\x{4e00}-\\x{9fff}]")
+
+  /** The regex formulation of a marker count — the oracle-shaped parity
+    * reference for the native byte-scan counts (CountExprsSpec).
+    */
+  private[graft] def markerCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(lower(text), lit(pattern), lit(0))).cast("long")
+
+  /** One marker score, native: whole-word membership counts for the word
+    * languages, CJK codepoint-range count for zh — value-identical to
+    * [[markerCount]] over the corresponding [[langMarkers]] pattern.
+    */
+  private def markerScore(text: Column, lang: String): Column = lang match {
+    case "zh" => graft.functions.CountExprs
+        .codepointRangeCount(lower(text), 0x4e00, 0x9fff)
+    case l => graft.functions.CountExprs
+        .wordSetCount(lower(text), langWordSets.toMap.apply(l))
+  }
 
   /** Argmax over marker counts, tie broken by list order (en first). */
   def langIdCol(text: Column): Column = {
-    val scores = langMarkers.map { case (l, p) => (l, markerCount(text, p)) }
+    val scores = langMarkers.map { case (l, _) => (l, markerScore(text, l)) }
     scores.tail.foldLeft(
       (when(lit(true), lit(scores.head._1)), scores.head._2)) {
       case ((bestLang, bestScore), (l, sc)) =>
@@ -71,8 +91,7 @@ object TextOps {
     (s, d) =>
       documents(s, d).select(
         col("doc_id"),
-        size(regexp_extract_all(col("text"), lit("\\w+"), lit(0))).cast("long")
-          .as("n_words"),
+        graft.functions.CountExprs.wordRunCount(col("text")).as("n_words"),
         bpeishTokenCount(col("text")).as("n_bpeish"),
         length(col("text")).cast("long").as("len_chars")),
     Some("""SELECT doc_id,
@@ -83,15 +102,31 @@ object TextOps {
             FROM documents"""),
     headline = true)
 
+  /** The C4-ish quality stopword set shared by the quality/filter/budget
+    * gates (regex form: `\b(the|a|an|…)\b` over lowercased text).
+    */
+  private[ml] val qualityStops =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+
+  // Native scan-column counts shared by the quality-feature gates —
+  // value-identical to the size(regexp_extract_all(…)) formulations the
+  // oracles keep (CountExprsSpec pins parity; the regex path materialized
+  // every match just to count it).
+  private def wordCountD(text: Column): Column =
+    graft.functions.CountExprs.wordRunCount(text).cast("double")
+  private def stopCountD(text: Column): Column =
+    graft.functions.CountExprs.wordSetCount(lower(text), qualityStops).cast("double")
+  private def punctCountD(text: Column): Column =
+    graft.functions.CountExprs.charSetCount(text, ".,!?;:").cast("double")
+
   // Quality score: stopword ratio, punctuation ratio, mean word length —
   // the length/punct/stopword heuristics of C4-style corpus filtering.
   private val qQuality = GQuery(
     "q_quality",
     (s, d) => {
-      val words = size(regexp_extract_all(col("text"), lit("\\w+"), lit(0))).cast("double")
-      val stops = size(regexp_extract_all(lower(col("text")),
-        lit("\\b(the|a|an|and|of|to|in|is|it|for)\\b"), lit(0))).cast("double")
-      val punct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0))).cast("double")
+      val words = wordCountD(col("text"))
+      val stops = stopCountD(col("text"))
+      val punct = punctCountD(col("text"))
       val chars = length(col("text")).cast("double")
       documents(s, d).select(
         col("doc_id"),
@@ -244,9 +279,8 @@ object TextOps {
     */
   def filterCorpus(docs: org.apache.spark.sql.DataFrame, minWords: Long = 10,
       maxCharsPerWord: Double = 12.0, minStopRatio: Double = 0.0): org.apache.spark.sql.DataFrame = {
-    val words = size(regexp_extract_all(col("text"), lit("\\w+"), lit(0))).cast("double")
-    val stops = size(regexp_extract_all(lower(col("text")),
-      lit("\\b(the|a|an|and|of|to|in|is|it|for)\\b"), lit(0))).cast("double")
+    val words = wordCountD(col("text"))
+    val stops = stopCountD(col("text"))
     val chars = length(col("text")).cast("double")
     docs.filter(words >= minWords &&
       (chars / words) <= maxCharsPerWord &&
@@ -272,7 +306,7 @@ object TextOps {
       documents(s, d).agg(
         count(lit(1)).as("n_docs"),
         countDistinct(md5(col("text"))).cast("long").as("n_unique"),
-        sum(size(regexp_extract_all(col("text"), lit("\\w+"), lit(0))).cast("long"))
+        sum(graft.functions.CountExprs.wordRunCount(col("text")))
           .cast("long").as("n_tokens"),
         countDistinct(col("lang")).cast("long").as("n_langs"),
         max(length(col("text"))).cast("long").as("max_chars")),
@@ -321,10 +355,9 @@ object TextOps {
   private val qQualityModel = GQuery(
     "q_quality_model",
     (s, d) => {
-      val words = size(regexp_extract_all(col("text"), lit("\\w+"), lit(0))).cast("double")
-      val stops = size(regexp_extract_all(lower(col("text")),
-        lit("\\b(the|a|an|and|of|to|in|is|it|for)\\b"), lit(0))).cast("double")
-      val punct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0))).cast("double")
+      val words = wordCountD(col("text"))
+      val stops = stopCountD(col("text"))
+      val punct = punctCountD(col("text"))
       val chars = length(col("text")).cast("double")
       val stopR = when(words === 0, 0.0).otherwise(stops / words)
       val punctR = when(chars === 0, 0.0).otherwise(punct / chars)
@@ -576,9 +609,8 @@ object TextOps {
   private val qBudgetSelect = GQuery(
     "q_budget_select",
     (s, d) => {
-      val words = size(regexp_extract_all(col("text"), lit("\\w+"), lit(0))).cast("double")
-      val stops = size(regexp_extract_all(lower(col("text")),
-        lit("\\b(the|a|an|and|of|to|in|is|it|for)\\b"), lit(0))).cast("double")
+      val words = wordCountD(col("text"))
+      val stops = stopCountD(col("text"))
       // sr is carried as the ×10000 integer scale (not /10000 back to a
       // double): every column in the gate is then integral, so no hasher,
       // formatter, or float-printing library on either side of the oracle
