@@ -49,9 +49,15 @@ object GraftSession {
       // parse) serializes on one core of 32. 8 MiB splits restore scan
       // parallelism for single-file tables; on a real cluster with
       // thousands of files per table the default would be fine either way
-      // (row-group boundaries, not files, set the floor here).
-      .config("spark.sql.files.maxPartitionBytes", (8L << 20).toString)
-      .config("spark.sql.files.openCostInBytes", (1L << 20).toString)
+      // (row-group boundaries, not files, set the floor here). Both knobs
+      // are env-overridable for cluster deployments (guide §6: large
+      // sequential scans on many-file tables want 512 MiB–1 GiB splits to
+      // cut task-scheduling overhead and the map-task count feeding any
+      // shuffle); the local defaults keep the driver's bench comparable.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("GRAFT_MAX_PARTITION_BYTES", (8L << 20).toString))
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("GRAFT_OPEN_COST_BYTES", (1L << 20).toString))
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

@@ -69,7 +69,19 @@ object DedupOps {
     */
   def minhashPairs(docs: DataFrame, threshold: Double,
       maxBucket: Int = 1000, prime: Boolean = true): DataFrame = {
-    val base = minhashed(docs)
+    // Band keys come from the fused native MinHashBandsExpr (one pass from
+    // shingle hashes; MinHashExprsSpec pins it value-identical to
+    // lshBands(minhashSignature(sh, 32), 8, 4)): the 32-long signature
+    // column existed ONLY to feed the interpreted lshBands HOF chain
+    // (slice+transform+array_join per band), so the persisted base now
+    // carries 8 (band, bucket) structs instead of sig + that per-band
+    // interpreted walk. Identical buckets → identical candidates → the
+    // same pairs, byte for byte.
+    val base = docs.select(
+      col("doc_id"),
+      TextExprs.shingleHashesNative(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("bks", MinHashExprs.minhashBands(col("sh"), 32, 8))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Prime the cache with ONE pass before the plan fans out: AQE runs the
     // downstream branches (band explode + two verification joins) as
@@ -81,7 +93,7 @@ object DedupOps {
     // is strictly cheaper at any scale than branches racing for it.
     if (prime) base.count()
     val allBands = base
-      .select(col("doc_id"), explode(lshBands(col("sig"), 8, 4)).as("bk"))
+      .select(col("doc_id"), explode(col("bks")).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     // Per-bucket size cap: a bucket of n members yields n² candidate pairs,
     // so one pathological bucket (mass-duplicated boilerplate all sharing a
@@ -208,13 +220,23 @@ object DedupOps {
             FROM p WHERE rawsim >= 0.5"""))
 
   // ---- SimHash near-dup: 64-bit signature, hamming ≤ 6 -------------------
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+  /** Same `prime` contract as [[minhashPairs]]: with `prime = true` (the
+    * execution default) one eager pass materializes the persisted
+    * signature base before the plan fans out — without it the two sides
+    * of the block self-join race to materialize the cache and the
+    * signature computation runs TWICE concurrently (QueryProfile cold:
+    * two near-identical ~180 ms materialization stages per run at sf0.1).
+    * Plan-only consumers pass `prime = false`.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int,
+      prime: Boolean = true): DataFrame = {
     // persist: the 64-bit-sum signature expression is expensive and feeds
     // both sides of the block self-join
     val sigs = docs
       .select(col("doc_id"),
         graft.functions.SimHash64Expr.simhash64Native(tokens(col("text"))).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (prime) sigs.count()
     // Block on 4 x 16-bit chunks: two sigs within hamming 3 of each other
     // share at least one exact chunk (pigeonhole over 4 blocks); for
     // maxHamming 6 this is a recall-oriented heuristic blocking, the
