@@ -220,23 +220,23 @@ object DedupOps {
             FROM p WHERE rawsim >= 0.5"""))
 
   // ---- SimHash near-dup: 64-bit signature, hamming ≤ 6 -------------------
-  /** Same `prime` contract as [[minhashPairs]]: with `prime = true` (the
-    * execution default) one eager pass materializes the persisted
-    * signature base before the plan fans out — without it the two sides
-    * of the block self-join race to materialize the cache and the
-    * signature computation runs TWICE concurrently (QueryProfile cold:
-    * two near-identical ~180 ms materialization stages per run at sf0.1).
-    * Plan-only consumers pass `prime = false`.
+  /** Deliberately NOT eager-primed (unlike [[minhashPairs]]): the two
+    * sides of the block self-join do race to materialize the cold cache
+    * (QueryProfile shows two near-identical duplicate stages), but with
+    * only TWO racing consumers the duplicate work runs on otherwise-idle
+    * cores, while an eager prime SERIALIZES a full extra pass before the
+    * plan starts — measured +22% on cold totals at sf0.1 (interleaved
+    * A/B, n=18/side, median 0.738 s unprimed vs 0.927 s primed, r17).
+    * minhashPairs' prime survives the same test because its base feeds
+    * FOUR branches, each scheduling a full task set.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int,
-      prime: Boolean = true): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     // persist: the 64-bit-sum signature expression is expensive and feeds
     // both sides of the block self-join
     val sigs = docs
       .select(col("doc_id"),
         graft.functions.SimHash64Expr.simhash64Native(tokens(col("text"))).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (prime) sigs.count()
     // Block on 4 x 16-bit chunks: two sigs within hamming 3 of each other
     // share at least one exact chunk (pigeonhole over 4 blocks); for
     // maxHamming 6 this is a recall-oriented heuristic blocking, the

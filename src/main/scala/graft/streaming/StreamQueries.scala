@@ -108,10 +108,6 @@ object StreamQueries {
         .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
           col("doc_id"), col("ts"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // the minhashPairs/simhashPairs prime discipline: the stream stage
-      // and the batch replica otherwise race to materialize the cold
-      // cache and the band computation runs twice concurrently
-      bandRows.count()
       val stream = StreamDedup.candidatesFromHits(
           bandRows.as[StreamDedup.BandHit], ttlMs = 1L << 40)
         .toDF().select("doc_id", "dup_of", "band", "bucket")

@@ -17,10 +17,14 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 run_one() { # $1=jar $2=tag
+  # extract the per-run TOTAL (build + plan + exec), the bench-comparable
+  # number: a gate whose construction is side-effecting (primed persists)
+  # does real work in the build phase, so exec alone would under-count it
   java -Xmx8g $ADD_OPENS -Dspark.ui.enabled=false \
     -Dspark.sql.session.timeZone=UTC \
     -cp "$1:/opt/spark/jars/*" graft.QueryProfile "$GATE" "$SF" "$RUNS" 2>/dev/null |
-    sed -n 's/.*exec \([0-9.]*\)\].*/\1/p' | while read -r v; do echo "$2 $v"; done
+    sed -n "s/^== run [0-9]*: $GATE \([0-9.]*\) s .*/\1/p" |
+    while read -r v; do echo "$2 $v"; done
 }
 OUT=$(mktemp)
 for i in $(seq "$REPS"); do
