@@ -21,52 +21,82 @@ import org.apache.spark.sql.functions._
 object PackOps {
 
   /** Adds `cum` = running sum of `valueCol` in `orderCol` order
-    * (`orderCol` must be numeric with unique values).
+    * (`orderCol` must be numeric with unique values; `valueCol` integral).
     *
-    * Buckets come from driver-computed quantile boundaries of the order
-    * key, so the bucket id is a PURE FUNCTION of the row: the windowed
-    * pass and the totals pass below agree by construction, with no
-    * materialization. (A `repartitionByRange` + `spark_partition_id`
-    * formulation is NOT deterministic across two evaluations of the same
-    * plan — range partitioning samples — and pinning it needs a
-    * localCheckpoint of the whole input, which trades away lineage and
-    * executor storage.)
+    * Integral order keys (the packing/gate case) take the FULLY LAZY
+    * octave path: bucket = the monotone
+    * [[graft.functions.OffsetBucketExpr]] of the key (no statistics job
+    * — the same scheme as the ETL renumber), per-bucket exclusive bases
+    * from [[graft.etl.OctaveScan.exclusiveBases]] IN-PLAN (a
+    * metadata-scale aggregate broadcast back), so composing this into a
+    * plan costs zero driver jobs and one less full pass over `df`. The
+    * quantile path below remains for fractional keys, where a
+    * monotone-int bucket function does not exist; it runs TWO driver
+    * jobs at construction (approxQuantile + the bucket-totals collect).
+    *
+    * Either bucketing is a PURE FUNCTION of the row, so the windowed
+    * pass and the totals pass agree by construction with no
+    * materialization, and re-evaluations of the plan are deterministic.
+    * (A `repartitionByRange` + `spark_partition_id` formulation is NOT
+    * deterministic across two evaluations — range partitioning samples —
+    * and pinning it needs a localCheckpoint of the whole input.)
     */
   def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
       partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val n = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val probes = (1 until n).map(_.toDouble / n).toArray
-    val bounds =
-      if (probes.isEmpty) Array.empty[Double]
-      else df.stat.approxQuantile(orderCol, probes, 0.001).distinct.sorted
-    // bucket = #bounds strictly below the key — a BINARY SEARCH over the
-    // (constant, sorted) boundary array via a native expression, not a
-    // chain of per-bound indicator terms: the chain is O(buckets) work per
-    // row and its codegen size grows with the shuffle-partition count,
-    // falling out of whole-stage codegen at cluster scale (2000+).
-    val bucket = searchSorted(col(orderCol), bounds)
-    val parted = df.withColumn("_bkt", bucket)
+    import org.apache.spark.sql.types._
+    val integral = df.schema(orderCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val parted =
+      if (integral) {
+        // negative keys all land in octave bucket −1, which sorts below
+        // every other bucket — ordering (hence cum) stays correct; only
+        // the parallelism of a heavily-negative domain would suffer
+        val m = graft.etl.OctaveScan.octaveBits(n)
+        df.withColumn("_bkt", graft.functions.OffsetBucketExpr
+          .offsetBucketNative(col(orderCol), m))
+      } else {
+        val probes = (1 until n).map(_.toDouble / n).toArray
+        val bounds =
+          if (probes.isEmpty) Array.empty[Double]
+          else df.stat.approxQuantile(orderCol, probes, 0.001).distinct.sorted
+        // bucket = #bounds strictly below the key — a BINARY SEARCH over
+        // the (constant, sorted) boundary array via a native expression:
+        // a per-bound indicator chain is O(buckets) per row and falls out
+        // of whole-stage codegen at cluster-scale partition counts.
+        df.withColumn("_bkt", searchSorted(col(orderCol), bounds))
+      }
     // per-bucket running sum — parallel windows, one per key range
     val local = parted.withColumn("_local",
       sum(col(valueCol)).over(
         Window.partitionBy("_bkt").orderBy(orderCol)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    // bucket totals → driver-side exclusive scan (numBuckets rows).
-    // sum(valueCol) per bucket, NOT max of the running sum — max is only
-    // correct for non-negative values; sum stays correct for any input.
-    val totals = parted.groupBy("_bkt").agg(sum(col(valueCol)).as("_total"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val bases = totals.scanLeft((0, 0L)) { case ((_, acc), (p, t)) => (p, acc + t) }
-      .sliding(2).collect { case Array((_, acc), (p, _)) => (p, acc) }.toMap
-    // per-bucket exclusive base joins in as a broadcast dimension (one row
-    // per bucket — metadata scale) rather than a nested when-chain, for the
-    // same codegen-stability reason as the bucket expression above.
-    import spark.implicits._
-    val baseDf = broadcast(bases.toSeq.toDF("_pb_bkt", "_pb_base"))
+    // bucket totals → exclusive bases. sum(valueCol), NOT max of the
+    // running sum — max is only correct for non-negative values.
+    val totals = parted.groupBy("_bkt")
+      .agg(sum(col(valueCol)).cast("long").as("_total"))
+    val baseDf =
+      if (integral) {
+        // in-plan exclusive scan over the (single-key) bucket counts —
+        // metadata-scale rows, no collect
+        val m = graft.etl.OctaveScan.octaveBits(n)
+        graft.etl.OctaveScan.exclusiveBases(
+          totals.withColumn("_k", lit(0)), "_k", "_bkt", "_total", m, "_pb_base")
+          .select(col("_bkt").as("_pb_bkt"), col("_pb_base"))
+      } else {
+        val collected = totals
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+        val bases = collected.scanLeft((0, 0L)) { case ((_, acc), (p, t)) => (p, acc + t) }
+          .sliding(2).collect { case Array((_, acc), (p, _)) => (p, acc) }.toMap
+        import spark.implicits._
+        bases.toSeq.toDF("_pb_bkt", "_pb_base")
+      }
     local
-      .join(baseDf, col("_bkt") === col("_pb_bkt"), "left")
+      .join(broadcast(baseDf), col("_bkt") === col("_pb_bkt"), "left")
       .withColumn("cum", col("_local") + coalesce(col("_pb_base"), lit(0L)))
       .drop("_bkt", "_local", "_pb_bkt", "_pb_base")
   }
