@@ -156,17 +156,20 @@ object PackOps {
         .select(col("doc_id"), col("lang"), lit("uniform").as("method"))
       val keyed = docs.select(col("doc_id"), col("lang"), key.as("_k"))
         .withColumn("_bkt", substring(col("_k"), 1, 2))
-      val counts = keyed.groupBy("lang", "_bkt").count()
-        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      val bases = counts.groupBy(_._1).iterator.flatMap { case (lang, rs) =>
-        val sorted = rs.sortBy(_._2)
-        val total = sorted.iterator.map(_._3).sum
-        sorted.scanLeft(0L)(_ + _._3).zip(sorted).map {
-          case (base, (_, bkt, _)) => (lang, bkt, base, total)
-        }
-      }.toSeq
-      import s.implicits._
-      val baseDf = broadcast(bases.toDF("_b_lang", "_b_bkt", "_base", "_n"))
+      // per-(lang, bucket) exclusive bases + per-lang totals IN-PLAN: the
+      // counts frame is langs × 256 rows (metadata scale), so a per-lang
+      // window over ≤ 256 bucket rows is trivially bounded — no driver
+      // collect, no construction-time Spark job, the whole gate stays one
+      // lazy plan
+      val wb = Window.partitionBy("lang").orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wt = Window.partitionBy("lang")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val baseDf = broadcast(
+        keyed.groupBy("lang", "_bkt").agg(count(lit(1)).as("_c"))
+          .select(col("lang").as("_b_lang"), col("_bkt").as("_b_bkt"),
+            coalesce(sum(col("_c")).over(wb), lit(0L)).as("_base"),
+            sum(col("_c")).over(wt).as("_n")))
       val w = Window.partitionBy("lang", "_bkt").orderBy("_k")
       val stratified = keyed
         .join(baseDf, col("lang") === col("_b_lang") && col("_bkt") === col("_b_bkt"))
