@@ -70,6 +70,16 @@ object CountExprs {
   def codepointRangeCount(text: Column, lo: Int, hi: Int): Column =
     bridge(CodepointRangeCountExpr(expr(text.cast("string")), lo, hi))
 
+  /** Count of graft tokens — equals `size(tokens(text)).cast("long")`
+    * without materializing the token array (TokensExpr's own first pass
+    * is exactly this count; see [[TextExprs.tokenize]] for why byte runs
+    * of `[a-z0-9']` over the lowercased input equal the regex split).
+    * Same Lower-under-the-expression discipline as tokensNative.
+    */
+  def tokenCount(text: Column): Column =
+    bridge(TokenRunCountExpr(expr(
+      org.apache.spark.sql.functions.lower(text.cast("string")))))
+
   private def expr(c: Column): Expression =
     org.apache.spark.sql.graftbridge.Bridge.expression(c)
   private def bridge(e: Expression): Column =
@@ -100,6 +110,33 @@ abstract class StringCountExpr extends UnaryExpression {
     val ref = ctx.addReferenceObj("countExpr", this, classOf[StringCountExpr].getName)
     nullSafeCodeGen(ctx, ev, input => s"${ev.value} = $ref.run($input);")
   }
+}
+
+/** Count of maximal `[a-z0-9']+` byte runs over ALREADY-LOWERCASED text ==
+  * `size(TokensExpr(lowered))` (the tokenizer's counting pass without the
+  * token materialization).
+  */
+case class TokenRunCountExpr(child: Expression) extends StringCountExpr {
+  override def prettyName: String = "token_run_count"
+
+  override def run(input: UTF8String): Long = {
+    val nb = input.numBytes()
+    val bytes = input.getBytes
+    @inline def isTok(c: Byte): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '\''
+    var n = 0L
+    var inRun = false
+    var i = 0
+    while (i < nb) {
+      if (isTok(bytes(i))) { if (!inRun) { n += 1; inRun = true } }
+      else inRun = false
+      i += 1
+    }
+    n
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenRunCountExpr =
+    copy(child = newChild)
 }
 
 /** Count of maximal `[A-Za-z0-9_]+` byte runs == count of `\w+` matches

@@ -117,7 +117,7 @@ object PackOps {
     "q_pack",
     (s, d) => {
       val docs = documents(s, d).select(col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
+        graft.functions.CountExprs.tokenCount(col("text")).as("n_tokens"))
       packSequences(docs, budget = 512L)
         .select("doc_id", "n_tokens", "seq_id", "seq_off")
     },

@@ -617,7 +617,7 @@ object TextOps {
       // compare has a representation choice to disagree over.
       val scored = documents(s, d).select(
         col("doc_id"), col("source"),
-        size(tokens(col("text"))).cast("long").as("tok"),
+        graft.functions.CountExprs.tokenCount(col("text")).as("tok"),
         floor(when(words === 0, 0.0).otherwise(stops / words) * 10000 + 0.5)
           .cast("long").as("sr"))
       val w = org.apache.spark.sql.expressions.Window

@@ -123,6 +123,19 @@ class CountExprsSpec extends AnyFunSuite {
     assert(bad == 0, "native counting columns drifted from the regex forms on the fixture corpus")
   }
 
+  test("tokenCount == size(tokens(text)) on adversarial and fixture text") {
+    assertParity(
+      CountExprs.tokenCount(col("text")),
+      size(tokens(col("text"))).cast("long"),
+      "tokenCount")
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    val bad = docs.select(
+      CountExprs.tokenCount(col("text")).as("nat"),
+      size(tokens(col("text"))).cast("long").as("ref"))
+      .filter(not(col("nat") <=> col("ref"))).count()
+    assert(bad == 0, "tokenCount drifted from size(tokens(…)) on the fixture corpus")
+  }
+
   test("null text yields NULL counts (not the legacy size(null) = -1)") {
     // Under ansi=false + the legacy sizeOfNull default, the regex
     // formulation returns -1 for null input — a legacy artifact, not a
