@@ -298,13 +298,25 @@ class PlanAuditSpec extends AnyFunSuite {
   test("q_sample's stratified rank parallelizes WITHIN a language") {
     // r13 verdict #2: a rank window partitioned on lang alone funnels each
     // language through one task — a dominant language is most of a 100 TB
-    // corpus. The two-phase bucketed rank partitions every window on
-    // (lang, bucket); no single-column partition spec may reappear.
+    // corpus. The two-phase bucketed rank partitions every DATA window on
+    // (lang, bucket); no single-column partition spec may reappear over
+    // data rows. Windows over AGGREGATE output (the r17 in-plan bases:
+    // per-(lang, bucket) counts, ≤ 256 rows per language by construction)
+    // are exempt — their per-key row count is bounded by the bucket
+    // fan-out, not the corpus — but must still sit strictly above an
+    // Aggregate so a data-row window can never slip through this test.
     val wins = windowsIn(execPlan("q_sample"))
     assert(wins.nonEmpty, "q_sample should rank through a (lang,bucket) window")
-    wins.foreach { w =>
-      assert(w.partitionSpec.length >= 2,
-        s"q_sample window partitions on ${w.partitionSpec} — one task per language")
+    def hasAggBelow(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.isDefined
+    assert(wins.exists(_.partitionSpec.length >= 2),
+      "q_sample lost its (lang,bucket) data rank window")
+    wins.filter(_.partitionSpec.length < 2).foreach { w =>
+      assert(w.children.forall(hasAggBelow),
+        s"q_sample window partitions on ${w.partitionSpec} over DATA rows " +
+          "— one task per language")
     }
   }
 
