@@ -136,6 +136,36 @@ class CountExprsSpec extends AnyFunSuite {
     assert(bad == 0, "tokenCount drifted from size(tokens(…)) on the fixture corpus")
   }
 
+  test("doGenCode compiles: codegen-only mode matches the regex forms") {
+    // CODEGEN_ONLY turns a silent interpreted fallback into a hard
+    // failure (the TextExprsSpec discipline) — the value tests above
+    // would pass either way
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val bad = df.select(col("id"),
+        CountExprs.wordRunCount(col("text")).as("w"),
+        size(regexp_extract_all(col("text"), lit("\\w+"), lit(0))).cast("long").as("wr"),
+        CountExprs.bpeishCount(col("text")).as("b"),
+        bpeishTokenCountColumns(col("text")).as("br"),
+        CountExprs.tokenCount(col("text")).as("t"),
+        size(tokens(col("text"))).cast("long").as("tr"),
+        CountExprs.wordSetCount(lower(col("text")), stops).as("s"),
+        size(regexp_extract_all(lower(col("text")),
+          lit(s"\\b(${stops.mkString("|")})\\b"), lit(0))).cast("long").as("sr"))
+        .filter(not(col("w") <=> col("wr")) || not(col("b") <=> col("br")) ||
+          not(col("t") <=> col("tr")) || not(col("s") <=> col("sr")))
+        .collect()
+      assert(bad.isEmpty, s"codegen mismatches: ${bad.take(3).mkString("; ")}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("null text yields NULL counts (not the legacy size(null) = -1)") {
     // Under ansi=false + the legacy sizeOfNull default, the regex
     // formulation returns -1 for null input — a legacy artifact, not a
