@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout/stderr through VERBATIM instead of sbt's
+// `[info] `/`[error] ` logger framing: the bench's one-line JSON contract
+// must reach stdout unprefixed (the driver's extractor failed to recover
+// it from `[info] {...}` in rounds 16 and 17 — r17 verdict #2). Timing is
+// untouched; only the log decoration goes.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -250,6 +250,26 @@ object Bench {
     ratios.collect { case (k, r) if r / norm > 1.2 => k }
   }
 
+  /** Emit the one-line JSON contract where no log framing can touch it
+    * (r17 verdict #2: the driver's extractor failed to recover the line
+    * from sbt's `[info] `-prefixed stdout two rounds running). The line
+    * still prints to stdout — last, and unprefixed now that build.sbt
+    * passes the forked run's output through verbatim — AND is written
+    * byte-identically to `GRAFT_BENCH_OUT` (default `bench_out.json`) so
+    * a parser that reads neither framing nor ordering can recover it from
+    * the file. Same line, two sinks; the timing protocol is untouched.
+    */
+  private[graft] def emitContract(line: String,
+      out: String = sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_out.json")): Unit = {
+    println(line)
+    try
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
+    ()
+  }
+
   private def jsonLine(perQuery: Seq[(String, Option[Double])],
       spreadOpt: Option[(Double, Double)], sfDir: String, runs: Int,
       failed: Set[String], calibration: Option[Double]): String = {
@@ -391,7 +411,7 @@ object Bench {
       if (spreads.forall(_.isDefined))
         Some((spreads.flatten.map(_._1).sum, spreads.flatten.map(_._2).sum))
       else None
-    println(jsonLine(perQuery, spreadSum, sfDir, runs, failed, calibration))
+    emitContract(jsonLine(perQuery, spreadSum, sfDir, runs, failed, calibration))
   }
 
   def main(args: Array[String]): Unit = {
@@ -451,7 +471,7 @@ object Bench {
       val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
       val calib = calibrateMin()
       val (perQuery, totals, failed) = runSuite(spark, sfDir, runs)
-      println(jsonLine(perQuery, Some((totals.min, totals.max)), sfDir, runs,
+      emitContract(jsonLine(perQuery, Some((totals.min, totals.max)), sfDir, runs,
         failed, Some(calib)))
     } else {
       System.err.println(s"[bench] unknown args: ${args.mkString(" ")}")

@@ -30,4 +30,26 @@ class BenchFamiliesSpec extends AnyFunSuite {
     assert(planned.sorted == headline.toSeq.sorted)
     assert(planned.distinct.size == planned.size)
   }
+
+  test("emitContract prints the JSON line AND mirrors it verbatim to the out file") {
+    // r17 verdict #2: the driver's extractor lost the stdout line to sbt's
+    // `[info] ` framing two rounds running — the contract line must also
+    // land byte-identically in a file no log framing can touch, and the
+    // stdout print must remain (the primary contract)
+    val tmp = java.nio.file.Files.createTempFile("bench_out", ".json")
+    val line = """{"metric":"total","value":1.234,"unit":"sec","queries":{}}"""
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Bench.emitContract(line, tmp.toString)
+    }
+    assert(buf.toString("UTF-8").contains(line), "stdout line lost")
+    val read = new String(java.nio.file.Files.readAllBytes(tmp), "UTF-8")
+    assert(read == line + "\n", "file copy must be the verbatim line")
+    // an unwritable path must not kill the bench (stdout still carries it)
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Bench.emitContract(line, "/nonexistent-dir-xyz/bench_out.json")
+    }
+    java.nio.file.Files.deleteIfExists(tmp)
+    ()
+  }
 }
