@@ -52,10 +52,13 @@ object DedupOps {
     * Plan shape matters at scale:
     *  - the signature base is persisted — without the barrier Catalyst
     *    inlines the k-permutation minhash expression into all 8 band keys
-    *    on both sides of the self-join (a ~500× recompute measured at
-    *    sf0.1);
+    *    on every candidate-generation branch (a ~500× recompute measured
+    *    at sf0.1);
     *  - band rows carry only (band, bucket, doc_id) — the shingle arrays
-    *    never enter the exploded self-join shuffle;
+    *    never enter the exploded candidate shuffle, and candidate pairs
+    *    expand IN-ROW from one bucket-membership aggregation (r18: the
+    *    former window-capped sort-merge self-join read that exchange twice
+    *    and sorted it twice for the same pair multiset);
     *  - verification re-joins the (doc_id, shingles) base once per side on
     *    the deduped candidate pairs only.
     *
@@ -100,19 +103,29 @@ object DedupOps {
     // signature) can dominate the whole job. Buckets past the cap are
     // dropped from NEAR-dup candidate generation — their members are
     // near-identical by construction and exact dedup already collapses
-    // them. The cap rides the candidate shuffle itself: a keyed window
-    // count over the (band, bucket) hash partitioning the self-join needs
-    // anyway, so both join sides reuse ONE exchange (and its sort) instead
-    // of a separate count aggregate + broadcast anti-join — that variant
-    // re-shuffled the band rows three times and cost +41% on this query.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-    val sized = allBands.withColumn("_n", count(lit(1)).over(w))
-      .filter(col("_n") <= maxBucket)
-    val cand = sized.select(col("band"), col("bucket"), col("doc_id").as("a"))
-      .join(sized.select(col("band"), col("bucket"), col("doc_id").as("b")),
-        Seq("band", "bucket"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    // them.
+    //
+    // Candidate generation is ONE aggregation on the (band, bucket)
+    // exchange — collect each bucket's (bounded) membership list, apply
+    // the size cap to the list, and expand the strictly-ordered pairs
+    // in-row ([[graft.functions.OrderedPairsGen]], a lazy generator) —
+    // instead of the previous window-count + sort-merge SELF-JOIN, whose
+    // plan read the same exchange twice and sorted it twice (once per
+    // join side) to produce the identical pair multiset. Same single
+    // exchange, same cap semantics (size(list) == the window count for
+    // the non-null doc_ids the pairs are made of), same pairs into
+    // `distinct`. An earlier separate-count + broadcast-anti-join variant
+    // re-shuffled the band rows three times and cost +41%; this shape
+    // shuffles them once and sorts them zero times (the aggregation
+    // hash-groups; its sort-based fallback only engages past the in-memory
+    // group budget).
+    val cand = allBands
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("doc_id")).as("_ids"))
+      .filter(size(col("_ids")).between(2, maxBucket))
+      .select(graft.functions.OrderedPairsGen.orderedPairs(col("_ids"))
+        .as(Seq("a", "b")))
+      .distinct()
     val shingleSets = base.select(col("doc_id"), col("sh"))
     cand
       .join(shingleSets.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
