@@ -118,8 +118,23 @@ package object functions {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Jaccard similarity of two pre-deduped arrays. */
-  def jaccard(a: Column, b: Column): Column = {
+  /** Jaccard similarity of two arrays. Backed by the native one-pass
+    * [[JaccardSimExpr]] — the builtin formulation re-hashes both inputs
+    * twice (array_intersect AND array_union each build their sets) and
+    * materializes both result arrays just for their lengths, inside the
+    * minhash/ngram verification inner loops. [[jaccardColumns]] keeps the
+    * builtin formulation as the parity reference (JaccardExprSpec).
+    */
+  def jaccard(a: Column, b: Column): Column =
+    JaccardSimExpr.jaccardNative(a, b)
+
+  /** The builtin-composed reference formulation of [[jaccard]] (tested
+    * value-identical in JaccardExprSpec for non-null inputs; on a NULL
+    * ARRAY it yields 1.0 through `size(null) = -1` on both numerator and
+    * denominator — the native expression yields null there, the
+    * oracle-faithful value; no query path feeds a null array).
+    */
+  def jaccardColumns(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val uni = size(array_union(a, b)).cast("double")
     when(uni === 0, lit(1.0)).otherwise(inter / uni)
