@@ -117,9 +117,9 @@ object CleanOps {
   // leaves the '<...' text in place (the old regex ate to the first '>') —
   // the conservative direction for malformed markup.
   private val tagBody = """(?:[^>"']|"[^"]*"|'[^']*')"""
-  private[ml] val tagRe = s"<$tagBody+>"
-  private val scriptRe = s"(?is)<script$tagBody*>.*?</script>"
-  private val styleRe = s"(?is)<style$tagBody*>.*?</style>"
+  private[graft] val tagRe = s"<$tagBody+>"
+  private[graft] val scriptRe = s"(?is)<script$tagBody*>.*?</script>"
+  private[graft] val styleRe = s"(?is)<style$tagBody*>.*?</style>"
   // the same patterns as DuckDB string literals (quotes doubled) — the
   // oracles interpolate THESE, so the two engines cannot drift
   private def sqlLit(re: String): String = re.replace("'", "''")
@@ -127,18 +127,43 @@ object CleanOps {
   private val sqlScriptRe = sqlLit(scriptRe)
   private val sqlStyleRe = sqlLit(styleRe)
 
+  /** Native byte-scan pipeline ([[graft.functions.TextCleanExprs]]), each
+    * stage value-identical to the regexp_replace it replaces —
+    * TextCleanExprsSpec pins every stage against java.util.regex on the
+    * exact `scriptRe`/`styleRe`/`tagRe` patterns, and [[stripHtmlColumns]]
+    * keeps the full regexp chain as the parity reference. The entity
+    * unescapes are LITERAL patterns, so they become the (native) `replace`
+    * builtin. Same composition, same residual semantics (unclosed quote
+    * in a tag leaves the '<…' text in place), no regex engine and no
+    * per-row UTF-16 decode at 100 TB.
+    */
   def stripHtml(c: Column): Column = {
-    // (?is): real HTML has uppercase tags and multi-line script bodies;
-    // without DOTALL the block patterns never match across newlines and
-    // the later tag pass would strip only the tags, LEAKING the JS/CSS
-    // body text into the cleaned corpus
+    import graft.functions.TextCleanExprs._
+    // (?is) blocks first: real HTML has uppercase tags and multi-line
+    // script bodies; stripping tags first would LEAK the JS/CSS body text
+    val noBlocks = stripStyle(stripScript(c))
+    // comments and CDATA are BLOCK strips too (r12 verdict): the tag pass
+    // alone eats `<!--` only up to its first `>`, leaking the comment
+    // body (nav boilerplate, conditional-IE markup) into the corpus
+    val noMeta = stripCdata(stripComment(noBlocks))
+    val noTags = stripTags(noMeta)
+    // lt/gt first, amp LAST so '&amp;lt;' can't double-unescape
+    val unesc = replace(
+      replace(
+        replace(noTags, lit("&lt;"), lit("<")),
+        lit("&gt;"), lit(">")),
+      lit("&amp;"), lit("&"))
+    trim(wsCollapse(unesc))
+  }
+
+  /** The regexp_replace reference formulation of [[stripHtml]] (parity
+    * pinned in TextCleanExprsSpec; the DuckDB oracles interpolate the same
+    * pattern strings).
+    */
+  private[graft] def stripHtmlColumns(c: Column): Column = {
     val noBlocks = regexp_replace(
       regexp_replace(c, lit(scriptRe), lit("")),
       lit(styleRe), lit(""))
-    // comments and CDATA are BLOCK strips too (r12 verdict): the tag pass
-    // alone eats `<!--` only up to its first `>`, leaking the comment
-    // body (nav boilerplate, conditional-IE markup) into the corpus —
-    // real crawls hit this on page one.
     val noMeta = regexp_replace(
       regexp_replace(noBlocks, lit("(?s)<!--.*?-->"), lit("")),
       lit("(?is)<!\\[CDATA\\[.*?\\]\\]>"), lit(""))
@@ -168,8 +193,7 @@ object CleanOps {
       documents(s, d).select(
         col("doc_id"),
         stripHtml(synth).as("stripped"),
-        size(regexp_extract_all(synth, lit(tagRe), lit(0))).cast("long")
-          .as("n_tags"))
+        graft.functions.TextCleanExprs.tagCount(synth).as("n_tags"))
     },
     Some(s"""SELECT doc_id,
                    trim(regexp_replace(

@@ -40,7 +40,11 @@ object TextOps {
 
   /** One marker score, native: whole-word membership counts for the word
     * languages, CJK codepoint-range count for zh — value-identical to
-    * [[markerCount]] over the corresponding [[langMarkers]] pattern.
+    * [[markerCount]] over the corresponding [[langMarkers]] pattern under
+    * RE2's ASCII `\b` (the DuckDB oracle's semantics, which the driver
+    * hash-matches). Java regex's Unicode-aware `\b` differs on stopwords
+    * abutting non-ASCII letters — see
+    * [[graft.functions.WordSetCountExpr]] for the pinned divergence.
     */
   private def markerScore(text: Column, lang: String): Column = lang match {
     case "zh" => graft.functions.CountExprs
@@ -154,7 +158,8 @@ object TextOps {
     (s, d) =>
       documents(s, d).select(
         col("doc_id"),
-        md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp")),
+        md5(lower(graft.functions.TextCleanExprs.wsCollapse(trim(col("text")))))
+          .as("fp")),
     Some("""SELECT doc_id,
                    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
             FROM documents"""))
@@ -168,19 +173,40 @@ object TextOps {
     Some(SimhashOracle.rollingFpSql))
 
   /** PII redaction: URLs, then emails, then long digit runs (ids/phones)
-    * replace with typed placeholder tokens. Pure codegen'd regexp chain —
-    * scan-speed at 100 TB; URL first so an address inside a URL can't
-    * partially survive.
+    * replace with typed placeholder tokens; URL first so an address inside
+    * a URL can't partially survive. Native byte-scan passes
+    * ([[graft.functions.TextCleanExprs]], value-identical to the
+    * java.util.regex chain — TextCleanExprsSpec pins parity against the
+    * regex engine); [[redactPiiColumns]] keeps the regexp formulation as
+    * the parity reference. Scan-speed at 100 TB without the regex engine
+    * or the per-row UTF-16 decode.
     */
-  def redactPii(c: Column): Column =
+  def redactPii(c: Column): Column = {
+    import graft.functions.TextCleanExprs._
+    numRedact(emailRedact(urlRedact(c, "<URL>"), "<EMAIL>"), "<NUM>")
+  }
+
+  /** The regexp_replace reference formulation of [[redactPii]] (parity
+    * pinned in TextCleanExprsSpec; the DuckDB oracles interpolate the same
+    * patterns).
+    */
+  private[graft] def redactPiiColumns(c: Column): Column =
     regexp_replace(
       regexp_replace(
         regexp_replace(c, lit("https?://[^\\s]+"), lit("<URL>")),
         lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>")),
       lit("\\b\\d{6,}\\b"), lit("<NUM>"))
 
-  /** Whitespace/case normalization: collapse runs, trim, lowercase. */
+  /** Whitespace/case normalization: collapse runs, trim, lowercase. The
+    * `\s+` collapse is the native [[graft.functions.TextCleanExprs
+    * .wsCollapse]] byte scan; trim/lower stay the (already native)
+    * builtins.
+    */
   def normalizeText(c: Column): Column =
+    lower(trim(graft.functions.TextCleanExprs.wsCollapse(c)))
+
+  /** The regexp_replace reference formulation of [[normalizeText]]. */
+  private[graft] def normalizeTextColumns(c: Column): Column =
     lower(trim(regexp_replace(c, lit("\\s+"), lit(" "))))
 
   // The synthetic corpus carries no PII, so the gate query plants a
@@ -196,13 +222,9 @@ object TextOps {
       documents(s, d).select(
         col("doc_id"),
         normalizeText(redactPii(synth)).as("clean"),
-        size(regexp_extract_all(synth,
-          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0)))
-          .cast("long").as("n_emails"),
-        size(regexp_extract_all(synth, lit("https?://[^\\s]+"), lit(0)))
-          .cast("long").as("n_urls"),
-        size(regexp_extract_all(synth, lit("\\b\\d{6,}\\b"), lit(0)))
-          .cast("long").as("n_nums"))
+        graft.functions.TextCleanExprs.emailCount(synth).as("n_emails"),
+        graft.functions.TextCleanExprs.urlCount(synth).as("n_urls"),
+        graft.functions.TextCleanExprs.numCount(synth).as("n_nums"))
     },
     Some("""SELECT doc_id,
                    lower(trim(regexp_replace(
