@@ -21,10 +21,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * Value parity with the regex formulation is exact and pinned by
   * CountExprsSpec; the notes on each expression say why the byte scan and
   * the java.util.regex semantics coincide:
-  *  - Java's `\w`/`\s`/`\b` are ASCII-only by default (no
+  *  - Java's `\w`/`\s` CLASSES are ASCII-only by default (no
   *    UNICODE_CHARACTER_CLASS), and UTF-8 continuation/lead bytes are
   *    ≥ 0x80 — never members of an ASCII class — so byte runs equal
-  *    regex runs;
+  *    regex runs. (Java's `\b` BOUNDARY is the exception: Pattern's Bound
+  *    node is Unicode-aware even without the flag — see
+  *    [[WordSetCountExpr]] for the deliberate, oracle-matching divergence
+  *    that implies);
   *  - negated classes (`[^A-Za-z0-9\s]`) match one CODE POINT; in UTF-8
   *    that is exactly one lead byte (continuation bytes are skipped);
   *  - alternation `[A-Za-z]+|[0-9]+|[^...]` is leftmost-greedy, which on
@@ -52,13 +55,15 @@ object CountExprs {
   def charSetCount(text: Column, chars: String): Column =
     bridge(CharSetCountExpr(expr(text.cast("string")), chars))
 
-  /** Count of `\b(w1|w2|…)\b` matches over ALREADY-LOWERCASED text, where
-    * every wi is a pure `[a-z0-9_]+` word: with word-boundary anchors on
-    * both sides and alternatives that are whole `\w` runs, a match is
-    * exactly a maximal `\w+` run equal to some wi — so the count is a
-    * membership test per token run. The caller passes `lower(text)` as
-    * the child (same discipline as [[TextExprs.tokensNative]], keeping
-    * Spark's own collation-aware `Lower` in the plan).
+  /** Count of whole-word `(w1|w2|…)` matches over ALREADY-LOWERCASED
+    * text, where every wi is a pure `[a-z0-9_]+` word: a match is exactly
+    * a maximal ASCII `\w+` run equal to some wi — so the count is a
+    * membership test per token run. Word boundaries are ASCII (RE2/DuckDB
+    * `\b` semantics — the oracle's; java.util.regex's Unicode-aware `\b`
+    * differs on non-ASCII adjacency, see [[WordSetCountExpr]]). The
+    * caller passes `lower(text)` as the child (same discipline as
+    * [[TextExprs.tokensNative]], keeping Spark's own collation-aware
+    * `Lower` in the plan).
     */
   def wordSetCount(lowered: Column, words: Seq[String]): Column =
     bridge(WordSetCountExpr(expr(lowered.cast("string")), words))
@@ -236,10 +241,23 @@ case class CharSetCountExpr(child: Expression, chars: String)
     copy(child = newChild)
 }
 
-/** Count of maximal `\w+` runs equal to a member of `words` (all pure
-  * `[a-z0-9_]+`, input already lowercased) == count of `\b(w1|…)\b`
-  * matches: `\b` on both sides forces a match to span a complete word
-  * run, and a whole-run alternative can never match mid-run.
+/** Count of maximal ASCII `\w+` runs equal to a member of `words` (all
+  * pure `[a-z0-9_]+`, input already lowercased): with word-boundary
+  * anchors on both sides and alternatives that are whole runs, a match is
+  * exactly a complete token run equal to some wi.
+  *
+  * BOUNDARY SEMANTICS (r17 advice — deliberate and pinned): the run
+  * boundary here is the ASCII `\w` byte class, which is RE2's `\b` — the
+  * semantics of the DuckDB oracle every gate hash-matches. It is NOT
+  * quite java.util.regex's `\b`, whose Bound node is Unicode-aware even
+  * without UNICODE_CHARACTER_CLASS (`ch == '_' ||
+  * Character.isLetterOrDigit(ch)`): a stopword run abutting a non-ASCII
+  * letter/digit ("日本語the", "ététhe", "itア") counts 1 here and under
+  * RE2, but 0 under the Java regex. ASCII boundaries are the better
+  * tokenization for this pipeline (the graft tokenizer itself splits on
+  * non-ASCII) and the one the oracle certifies; CountExprsSpec pins the
+  * divergence on exactly those adjacency shapes so it can never drift
+  * silently.
   */
 case class WordSetCountExpr(child: Expression, words: Seq[String])
     extends StringCountExpr {

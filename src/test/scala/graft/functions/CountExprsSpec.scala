@@ -166,6 +166,36 @@ class CountExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("wordSetCount boundary is ASCII (RE2/oracle \\b), NOT java regex's Unicode \\b") {
+    // r17 advice: java.util.regex's \b is Unicode-aware even without
+    // UNICODE_CHARACTER_CLASS (Pattern's Bound node tests
+    // `ch == '_' || Character.isLetterOrDigit(ch)`), so a stopword run
+    // abutting a non-ASCII letter/digit matches \b(w)\b ZERO times under
+    // Java but once under RE2's ASCII \b — which is what DuckDB runs and
+    // what every gate's oracle hash certifies. The native byte scan
+    // implements the RE2/oracle semantics DELIBERATELY; this pins the
+    // divergence on exactly the adjacency shapes where it shows, so
+    // neither side can drift silently.
+    import spark.implicits._
+    val adversarial = Seq("ꬱthe", "日本語the", "itア", "ététhe", "theé",
+      "٣the") // the Arabic-Indic digit is Character.isDigit, hence a java word char
+    val d = adversarial.toDF("text")
+    val rows = d.select(
+      CountExprs.wordSetCount(lower(col("text")), stops).as("nat"),
+      size(regexp_extract_all(lower(col("text")),
+        lit(s"\\b(${stops.mkString("|")})\\b"), lit(0))).cast("long").as("javab"))
+      .collect()
+    rows.zip(adversarial).foreach { case (r, s) =>
+      assert(r.getLong(0) == 1L, s"native should count 1 whole-word run in '$s'")
+      assert(r.getLong(1) == 0L,
+        s"java \\b should reject the non-ASCII adjacency in '$s' — if this " +
+          "starts matching, the JDK changed \\b and the docs need re-review")
+    }
+    // and DuckDB-RE2 agreement on these shapes is certified by the
+    // driver's oracle hash-match: langIdCol/quality gates run this very
+    // expression over the fixture corpus every round
+  }
+
   test("null text yields NULL counts (not the legacy size(null) = -1)") {
     // Under ansi=false + the legacy sizeOfNull default, the regex
     // formulation returns -1 for null input — a legacy artifact, not a
