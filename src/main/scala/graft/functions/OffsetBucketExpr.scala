@@ -61,7 +61,70 @@ case class OffsetBucketExpr(child: Expression, m: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** [[OffsetBucketExpr]] of the SHIFTED key `key − base` (saturating): the
+  * min-key normalization for arbitrary integral domains. The octave
+  * scheme's bucket width is 2^(bitLength(key)−m), so a key population
+  * clustered at a high offset (epoch milliseconds, snowflake ids) collapses
+  * into one or two enormous buckets — the single-task window the scheme
+  * exists to avoid (r17 advice). Subtracting the domain's minimum (a plan
+  * constant — scalar subquery or literal) re-bases any domain to
+  * dense-from-0, where the octave split spreads it ≈ 2^m ways.
+  *
+  * Monotonicity (what the prefix-sum needs) is preserved: key − base is
+  * strictly monotone in key for a fixed base, SATURATING the subtraction
+  * at ±Long.MaxValue/MinValue on a > 2^63 span keeps it weakly monotone
+  * (ties collapse into one bucket, which the within-bucket ordering then
+  * sorts), and [[OffsetBucketExpr]] is monotone in its input.
+  */
+case class ShiftedOffsetBucketExpr(left: Expression, right: Expression, m: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(m >= 1 && m <= 25, s"octave bits out of range: $m")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "offset_bucket_shifted"
+
+  override protected def nullSafeEval(key: Any, base: Any): Any =
+    Integer.valueOf(OffsetBucketExpr.bucket(
+      OffsetBucketExpr.saturatingSub(
+        key.asInstanceOf[Long], base.asInstanceOf[Long]), m))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (key, base) => {
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      s"""
+        long $d = $key - $base;
+        if ((($key ^ $base) & ($key ^ $d)) < 0) {
+          $d = $key >= 0L ? Long.MAX_VALUE : Long.MIN_VALUE;
+        }
+        if ($d < 0L) {
+          ${ev.value} = -1;
+        } else if ($d < (1L << $m)) {
+          ${ev.value} = (int) $d;
+        } else {
+          int $t = 64 - java.lang.Long.numberOfLeadingZeros($d) - $m;
+          ${ev.value} = $t * (1 << $m) + (int) ($d >>> $t);
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShiftedOffsetBucketExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object OffsetBucketExpr {
+
+  /** key − base, saturating at ±Long extremes instead of wrapping (a wrap
+    * would break bucket monotonicity on a > 2^63 key span).
+    */
+  private[functions] def saturatingSub(key: Long, base: Long): Long = {
+    val d = key - base
+    if (((key ^ base) & (key ^ d)) < 0)
+      if (key >= 0L) Long.MaxValue else Long.MinValue
+    else d
+  }
 
   private[functions] def bucket(o: Long, m: Int): Int =
     if (o < 0L) -1
@@ -78,4 +141,14 @@ object OffsetBucketExpr {
     org.apache.spark.sql.graftbridge.Bridge.column(
       OffsetBucketExpr(
         org.apache.spark.sql.graftbridge.Bridge.expression(key.cast("long")), m))
+
+  /** Column API: monotone octave bucket of `key − base` (saturating) —
+    * `base` is a plan constant (literal or scalar subquery), typically the
+    * domain's min key; see [[ShiftedOffsetBucketExpr]].
+    */
+  def offsetBucketShifted(key: Column, base: Column, m: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      ShiftedOffsetBucketExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(key.cast("long")),
+        org.apache.spark.sql.graftbridge.Bridge.expression(base.cast("long")), m))
 }

@@ -53,12 +53,24 @@ object PackOps {
     }
     val parted =
       if (integral) {
-        // negative keys all land in octave bucket −1, which sorts below
-        // every other bucket — ordering (hence cum) stays correct; only
-        // the parallelism of a heavily-negative domain would suffer
+        // Min-key normalization (r17 advice): the octave bucket width is
+        // 2^(bitLength(key)−m), so a domain clustered at a high offset
+        // (epoch millis, snowflake ids) would collapse into one or two
+        // buckets and funnel the running-sum window through ONE task —
+        // the very bottleneck this function exists to avoid. Shift keys
+        // by the in-plan min (ONE scalar subquery over the pruned key
+        // column — lazy, parallel, still zero driver jobs) so bucketing
+        // always sees a dense-from-0 domain; `cum` is unchanged because
+        // ANY monotone bucketing telescopes to the same running sum, and
+        // the shifted bucket stays monotone by construction (saturating
+        // subtract; negative domains now spread instead of collapsing
+        // into bucket −1). ReuseSubquery folds the min across the window
+        // and totals subtrees, so the plan pays one key-column pass.
         val m = graft.etl.OctaveScan.octaveBits(n)
+        val minKey = org.apache.spark.sql.graftbridge.Bridge.scalarSubquery(
+          df.agg(min(col(orderCol)).cast("long")))
         df.withColumn("_bkt", graft.functions.OffsetBucketExpr
-          .offsetBucketNative(col(orderCol), m))
+          .offsetBucketShifted(col(orderCol), minKey, m))
       } else {
         val probes = (1 until n).map(_.toDouble / n).toArray
         val bounds =

@@ -56,6 +56,67 @@ class PackSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("prefix sum stays correct AND parallel on high-offset integral keys") {
+    // r17 advice: the unshifted octave bucket of an epoch-millisecond-like
+    // key domain is 2^(bitLength−m) wide — the whole batch lands in 1-2
+    // buckets and the running-sum window funnels through one task. The
+    // min-key normalization must (a) keep cum exact and (b) spread the
+    // domain across many buckets.
+    import spark.implicits._
+    val base = 1755475200000L // epoch-ms-like magnitude
+    val df = (0L until 4000L).map(i => (base + i * 3, i % 5 + 1))
+      .toDF("ts", "n").repartition(8)
+    val got = PackOps.prefixSum(df, "ts", "n", partitions = 8)
+      .select("ts", "cum").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = df.withColumn("cum",
+      sum("n").over(Window.orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("ts", "cum").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+    // the shifted bucket spreads the domain (the unshifted one collapses
+    // it into ≤ 2 buckets at this magnitude)
+    import graft.functions.OffsetBucketExpr.{offsetBucketNative, offsetBucketShifted}
+    val m = graft.etl.OctaveScan.octaveBits(8)
+    val unshifted = df.select(offsetBucketNative(col("ts"), m).as("b"))
+      .distinct().count()
+    val shifted = df.select(
+      offsetBucketShifted(col("ts"), lit(base), m).as("b")).distinct().count()
+    assert(unshifted <= 2, s"premise broke: unshifted spread $unshifted")
+    assert(shifted >= 8, s"shifted spread too narrow: $shifted buckets")
+  }
+
+  test("prefix sum on negative and mixed-sign domains (shift spreads bucket −1)") {
+    import spark.implicits._
+    val df = (-2000L until 2000L).map(i => (i, (i % 3).abs + 1))
+      .toDF("k", "n").repartition(6)
+    val got = PackOps.prefixSum(df, "k", "n", partitions = 6)
+      .select("k", "cum").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = df.withColumn("cum",
+      sum("n").over(Window.orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("k", "cum").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+
+  test("saturating shift is monotone across a > 2^63 key span") {
+    // keys spanning [min+δ, MaxValue]: key − min overflows for the high
+    // end; the saturating subtract must clamp (weakly monotone), never
+    // wrap into bucket −1 below lower keys — cum stays exact either way
+    import spark.implicits._
+    val keys = Seq(Long.MinValue + 1, -5L, 0L, 5L,
+      Long.MaxValue - 1, Long.MaxValue)
+    val df = keys.map(k => (k, 1L)).toDF("k", "n")
+    val got = PackOps.prefixSum(df, "k", "n", partitions = 4)
+      .orderBy("k").select("cum").collect().map(_.getLong(0)).toSeq
+    assert(got == (1L to keys.length).toSeq)
+    // direct monotonicity of the bucket under saturation
+    import graft.functions.OffsetBucketExpr.offsetBucketShifted
+    val bks = df.select(col("k"),
+      offsetBucketShifted(col("k"), lit(Long.MinValue + 1), 6).as("b"))
+      .orderBy("k").collect().map(_.getInt(1)).toSeq
+    assert(bks == bks.sorted, s"shifted buckets not monotone: $bks")
+  }
+
   test("packing fills budgets in order; long docs span sequences") {
     import spark.implicits._
     val docs = Seq((1L, 300L), (2L, 300L), (3L, 700L), (4L, 100L))
