@@ -307,14 +307,40 @@ class PlanAuditSpec extends AnyFunSuite {
     // Aggregate so a data-row window can never slip through this test.
     val wins = windowsIn(execPlan("q_sample"))
     assert(wins.nonEmpty, "q_sample should rank through a (lang,bucket) window")
-    def hasAggBelow(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
-      p.collectFirst {
-        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
-      }.isDefined
+    // The exemption walks the window's DIRECT input path (r17 advice): a
+    // subtree-wide collectFirst would exempt a data-row window sitting
+    // above e.g. a join one of whose sides aggregates. Only nodes that
+    // cannot MULTIPLY per-key rows may stand between the window and the
+    // aggregate whose bounded output it ranks: project/filter/sort/
+    // exchange and the AQE/codegen wrappers — never a join, generate,
+    // expand, or a raw scan.
+    def aggOnDirectInput(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+      import org.apache.spark.sql.execution._
+      p match {
+        case _: aggregate.BaseAggregateExec => true
+        case q: adaptive.QueryStageExec => aggOnDirectInput(q.plan)
+        case a: adaptive.AdaptiveSparkPlanExec => aggOnDirectInput(a.executedPlan)
+        case _: GenerateExec | _: ExpandExec => false
+        case w: WholeStageCodegenExec => aggOnDirectInput(w.child)
+        case i: InputAdapter => aggOnDirectInput(i.child)
+        case u: UnaryExecNode
+          if u.isInstanceOf[ProjectExec] || u.isInstanceOf[FilterExec] ||
+            u.isInstanceOf[SortExec] || u.isInstanceOf[CoalesceExec] ||
+            u.isInstanceOf[exchange.ShuffleExchangeLike] ||
+            u.isInstanceOf[adaptive.AQEShuffleReadExec] ||
+            // another window below preserves row count 1:1 (the stacked
+            // in-plan bases windows), so it cannot turn bounded aggregate
+            // output back into corpus-scale rows
+            u.isInstanceOf[window.WindowExec] =>
+          aggOnDirectInput(u.child)
+        case r: exchange.ReusedExchangeExec => aggOnDirectInput(r.child)
+        case _ => false
+      }
+    }
     assert(wins.exists(_.partitionSpec.length >= 2),
       "q_sample lost its (lang,bucket) data rank window")
     wins.filter(_.partitionSpec.length < 2).foreach { w =>
-      assert(w.children.forall(hasAggBelow),
+      assert(w.children.forall(aggOnDirectInput),
         s"q_sample window partitions on ${w.partitionSpec} over DATA rows " +
           "— one task per language")
     }
